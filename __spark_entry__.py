@@ -1,17 +1,481 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship smoke query (sf0.001).
+``queries()``   — one entry per implemented operator family from SURVEY.md §2
+                  plus the training-data-pipeline operators; each callable
+                  takes (spark, sf_dir) and returns a DataFrame.
+``oracle_sql()``— DuckDB-runnable ANSI SQL equivalents over the same tables.
+                  Image-engine queries over synthetic binary blobs and the
+                  approximate (LSH) operators are rows-only (no oracle entry).
+
+Design notes for oracle exactness:
+  * money sums are computed in integer cents (ROUND(x*100) -> BIGINT) so
+    float summation order can never drift between engines;
+  * timestamps in this testdata load as TIMESTAMP_NTZ in Spark 4 — naive in
+    both engines, so year()/date_trunc/comparisons agree independent of TZ;
+  * derived geometry (points from events/customers, boxes from parts) uses
+    integer modulo arithmetic so coordinates are bit-identical in both
+    engines; the Spark side still exercises the real cell-cover join path
+    and must reproduce the plain theta-join SQL answer exactly.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F  # noqa: N812
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col):
+    return F.round(col * 100).cast("bigint")
+
+
+# --- derived geometry (exact integer arithmetic, mirrored in SQL) -------------
+def _event_points(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "ts",
+        ((F.col("user_id") % 3600) / 10.0 - 180.0).alias("x"),
+        (((F.col("event_id") * 7) % 1700) / 10.0 - 85.0).alias("y"),
+    )
+
+
+_EVENT_POINTS_SQL = (
+    "SELECT event_id, user_id, event_type, value, ts, "
+    "(user_id % 3600) / 10.0 - 180.0 AS x, "
+    "((event_id * 7) % 1700) / 10.0 - 85.0 AS y FROM events"
+)
+
+
+def _part_boxes(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 20 == 0)
+    cx = ((F.col("p_partkey") * 13) % 3600) / 10.0 - 180.0
+    cy = ((F.col("p_partkey") * 7) % 1700) / 10.0 - 85.0
+    half = F.col("p_size") / 25.0
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        (cx - half).alias("img_xmin"),
+        (cy - half).alias("img_ymin"),
+        (cx + half).alias("img_xmax"),
+        (cy + half).alias("img_ymax"),
+    )
+
+
+_PART_BOXES_SQL = (
+    "SELECT p_partkey, p_brand, "
+    "((p_partkey * 13) % 3600) / 10.0 - 180.0 - p_size / 25.0 AS img_xmin, "
+    "((p_partkey * 7) % 1700) / 10.0 - 85.0 - p_size / 25.0 AS img_ymin, "
+    "((p_partkey * 13) % 3600) / 10.0 - 180.0 + p_size / 25.0 AS img_xmax, "
+    "((p_partkey * 7) % 1700) / 10.0 - 85.0 + p_size / 25.0 AS img_ymax "
+    "FROM part WHERE p_partkey % 20 = 0"
+)
+
+
+# ==============================================================================
+# relational / reference-operator parity
+# ==============================================================================
+def q01_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "sum_disc_cents"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q02_filter_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        & (F.col("o_orderstatus") == "O")
+        & (F.col("o_totalprice") > 50000.0)
+    ).select("o_orderkey", "o_custkey", _cents(F.col("o_totalprice")).alias("total_cents"))
+
+
+def q03_semi_join(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        li.join(urgent.select("o_orderkey"), li.l_orderkey == urgent.o_orderkey, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q04_latest_order_per_customer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey")
+    )
+
+
+def q05_asof_event_before_order(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), F.col("ts").alias("ets"), "event_id"
+    )
+    o = o.select("o_orderkey", (F.col("o_custkey") % 150).alias("k"),
+                 F.col("o_orderdate").alias("ots"))
+    # as-of backward on a shifted clock: event ts minus 29 years aligns ranges
+    ev = ev.withColumn("ets_adj", F.col("ets") - F.expr("INTERVAL 29 YEARS"))
+    j = o.join(ev, "k", "left").filter(F.col("ets_adj") <= F.col("ots"))
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("ets_adj").desc(), F.col("event_id").desc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "event_id")
+    )
+
+
+def q06_extent(spark, sf_dir):
+    pts = _event_points(spark, sf_dir)
+    return pts.agg(
+        F.min("x").alias("xmin"),
+        F.min("y").alias("ymin"),
+        F.max("x").alias("xmax"),
+        F.max("y").alias("ymax"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q07_mode_event_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy(F.col("n").desc(), F.col("event_type").asc())
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "n")
+    )
+
+
+def q08_distinct_nations_per_region(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.countDistinct("n_nationkey").alias("n_nations"))
+    )
+
+
+def q09_topk_parts_by_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("rev_cents")
+    )
+    return (
+        rev.join(F.broadcast(p), rev.l_partkey == p.p_partkey)
+        .orderBy(F.col("rev_cents").desc(), F.col("l_partkey").asc())
+        .select("l_partkey", "p_name", "rev_cents")
+        .limit(10)
+    )
+
+
+def q10_running_totals(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.sum(_cents(F.col("o_totalprice"))).over(w).alias("cum_cents"),
+    )
+
+
+# ==============================================================================
+# spatial operators on derived geometry (cell join must equal theta-join SQL)
+# ==============================================================================
+def q11_cell_assign(spark, sf_dir):
+    from rasteret_spark.operators.spatial_join import cell_of_point_col
+
+    pts = _event_points(spark, sf_dir)
+    return (
+        pts.withColumn("cell", cell_of_point_col(F.col("x"), F.col("y"), 7))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q12_pip_join(spark, sf_dir):
+    from rasteret_spark.operators.spatial_join import point_in_bbox_join
+
+    pts = _event_points(spark, sf_dir).filter(F.col("event_id") % 5 == 0)
+    boxes = _part_boxes(spark, sf_dir)
+    j = point_in_bbox_join(pts, boxes, res=6)
+    return j.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_hits"))
+
+
+def q13_knn(spark, sf_dir):
+    from rasteret_spark.operators.knn import knn_cells
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 20)
+    probes = c.select(
+        F.col("c_custkey").alias("point_index"),
+        (((F.col("c_custkey") * 37) % 3600) / 10.0 - 180.0).alias("x"),
+        (((F.col("c_custkey") * 91) % 1700) / 10.0 - 85.0).alias("y"),
+    )
+    s = _t(spark, sf_dir, "supplier")
+    targets = s.select(
+        F.col("s_suppkey").alias("target_id"),
+        (((F.col("s_suppkey") * 53) % 3600) / 10.0 - 180.0).alias("tx"),
+        (((F.col("s_suppkey") * 17) % 1700) / 10.0 - 85.0).alias("ty"),
+    )
+    out = knn_cells(probes, targets, k=3, res=5)
+    return out.select(
+        F.col("point_index").alias("c_custkey"),
+        F.col("target_id").alias("s_suppkey"),
+        "rank",
+    )
+
+
+def q14_zonal_value_stats(spark, sf_dir):
+    from rasteret_spark.operators.spatial_join import point_in_bbox_join
+
+    pts = _event_points(spark, sf_dir)
+    boxes = _part_boxes(spark, sf_dir)
+    j = point_in_bbox_join(pts, boxes, res=6)
+    return j.groupBy("p_partkey").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(F.round(F.col("value") * 1000).cast("bigint")).alias("sum_v1000"),
+    )
+
+
+def q15_latest_event_per_cell(spark, sf_dir):
+    from rasteret_spark.operators.asof import latest_per_key
+    from rasteret_spark.operators.spatial_join import cell_of_point_col
+
+    pts = _event_points(spark, sf_dir).withColumn(
+        "cell", cell_of_point_col(F.col("x"), F.col("y"), 5)
+    )
+    return latest_per_key(pts, ["cell"], order_col="ts", tie_break="event_id").select(
+        "cell", "event_id"
+    )
+
+
+# ==============================================================================
+# training-data pipeline operators (documents / embeddings)
+# ==============================================================================
+def q16_dedup_fingerprint(spark, sf_dir):
+    from rasteret_spark.operators.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fp", fingerprint(F.col("text"), 32))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("survivor_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def q17_token_stats(spark, sf_dir):
+    from rasteret_spark.operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(token_count(F.col("text")).cast("bigint")).alias("sum_tokens"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def q18_lang_id(spark, sf_dir):
+    from rasteret_spark.operators.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(lang_id(F.col("text")).alias("pred_lang")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q19_quality_buckets(spark, sf_dir):
+    from rasteret_spark.operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("q", quality_score(F.col("text")))
+        .groupBy(F.floor(F.col("q") * 10).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q20_minhash_groups(spark, sf_dir):
+    """1-permutation minhash over word tokens (md5 keeps it SQL-reproducible)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    mh = toks.groupBy("doc_id").agg(F.min(F.md5(F.col("tok"))).alias("minhash"))
+    return mh.groupBy("minhash").agg(
+        F.min("doc_id").alias("survivor_id"), F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def q21_embed_knn(spark, sf_dir):
+    from rasteret_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    out = cosine_topk(emb, probes, k=3)
+    return out.select("probe_id", F.col("vec_id").alias("neighbor_id"), "rank")
+
+
+def q22_embed_near_pairs(spark, sf_dir):
+    """Exact embedding near-pair search (cosine >= 0.4), native expressions."""
+    from rasteret_spark.operators.similarity import cosine_expr
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr(F.col("ea"), F.col("eb")))
+        .filter(F.col("cosine") >= 0.4)
+        .select("id_a", "id_b")
+    )
+
+
+def q23_windowed_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 1000).cast("bigint")).alias("sum_v1000"),
+    )
+
+
+def q24_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_timestamp(F.col("ts").cast("timestamp")) - F.unix_timestamp(
+        F.lag(F.col("ts").cast("timestamp")).over(w)
+    )
+    marked = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0))
+    )
+    return marked.groupBy("user_id").agg(F.sum("new_sess").alias("n_sessions"))
+
+
+# ==============================================================================
+# rows-only queries (no SQL oracle): image engine over synthetic blobs + LSH ops
+# ==============================================================================
+def _images_df(spark, n=120):
+    from rasteret_spark.sources import synthetic as syn
+
+    return spark.createDataFrame(syn.images_table(n).to_pandas())
+
+
+def q40_image_enrich(spark, sf_dir):
+    from rasteret_spark.operators.enrich import enrich_headers
+
+    img = _images_df(spark)
+    return enrich_headers(img).select(
+        "image_id", "fmt", "meta.width", "meta.height", "meta.compression",
+        "meta.predictor", "meta.epsg", F.size("meta.tile_offsets").alias("n_tiles"),
+    )
+
+
+def q41_image_zonal(spark, sf_dir):
+    from rasteret_spark.operators import decode, spatial_join as sj
+    from rasteret_spark.sources import synthetic as syn
+
+    img = _images_df(spark).select(
+        "image_id", "bytes", "caption",
+        F.col("xmin").alias("img_xmin"), F.col("ymin").alias("img_ymin"),
+        F.col("xmax").alias("img_xmax"), F.col("ymax").alias("img_ymax"),
+    )
+    aoi = spark.createDataFrame(syn.aois_table(40).to_pandas()).select(
+        "aoi_id", F.col("geometry").alias("aoi_geometry"),
+        F.col("xmin").alias("aoi_xmin"), F.col("ymin").alias("aoi_ymin"),
+        F.col("xmax").alias("aoi_xmax"), F.col("ymax").alias("aoi_ymax"),
+    )
+    cands = sj.bbox_join(img, aoi, res=7)
+    refined = sj.refine_rect_polygon(cands).filter(F.col("intersects"))
+    return decode.zonal_stats(refined)
+
+
+def q42_image_point_sample(spark, sf_dir):
+    from rasteret_spark.operators import sampling, spatial_join as sj
+    from rasteret_spark.sources import synthetic as syn
+
+    img = _images_df(spark).select(
+        "image_id", "bytes",
+        F.col("xmin").alias("img_xmin"), F.col("ymin").alias("img_ymin"),
+        F.col("xmax").alias("img_xmax"), F.col("ymax").alias("img_ymax"),
+    )
+    pts = spark.createDataFrame(syn.points_table(200).to_pandas())
+    cands = sj.point_in_bbox_join(pts, img, res=8)
+    return sampling.sample_points(cands, max_ring=4)
+
+
+def q43_image_dedup_phash(spark, sf_dir):
+    from rasteret_spark.operators.dedup import exact_dedup
+
+    img = _images_df(spark).select("image_id", "phash")
+    return exact_dedup(img, "phash", "image_id")
+
+
+def q44_image_psnr(spark, sf_dir):
+    from rasteret_spark.operators.decode import psnr_check
+
+    return psnr_check(_images_df(spark).select("image_id", "bytes", "fmt"))
+
+
+def q45_simhash_near_dups(spark, sf_dir):
+    from rasteret_spark.operators.dedup import simhash_near_dups
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_dups(d, "text", "doc_id", max_hamming=10)
+
+
+def q46_minhash_lsh_pairs(spark, sf_dir):
+    from rasteret_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "text", "doc_id", num_perm=16, bands=4,
+                             jaccard_threshold=0.3).select("id_a", "id_b")
+
+
+def q47_lsh_ann(spark, sf_dir):
+    from rasteret_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return lsh_topk(emb, probes, k=3, dim=64, n_bits=4, n_tables=8)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -22,8 +486,6 @@ def entry(spark: SparkSession) -> DataFrame:
     per-image tile-dedup decode + ring-fallback sampling -> metadata join-back.
     Exercises decode + cell join + tile assignment (the headline metric path).
     """
-    from pyspark.sql import functions as F
-
     from rasteret_spark.operators import sampling, spatial_join as sj
     from rasteret_spark.sources import synthetic as syn
 
@@ -53,19 +515,260 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_filter_orders": q02_filter_orders,
+        "q03_semi_join": q03_semi_join,
+        "q04_latest_order_per_customer": q04_latest_order_per_customer,
+        "q05_asof_event_before_order": q05_asof_event_before_order,
+        "q06_extent": q06_extent,
+        "q07_mode_event_type": q07_mode_event_type,
+        "q08_distinct_nations_per_region": q08_distinct_nations_per_region,
+        "q09_topk_parts_by_revenue": q09_topk_parts_by_revenue,
+        "q10_running_totals": q10_running_totals,
+        "q11_cell_assign": q11_cell_assign,
+        "q12_pip_join": q12_pip_join,
+        "q13_knn": q13_knn,
+        "q14_zonal_value_stats": q14_zonal_value_stats,
+        "q15_latest_event_per_cell": q15_latest_event_per_cell,
+        "q16_dedup_fingerprint": q16_dedup_fingerprint,
+        "q17_token_stats": q17_token_stats,
+        "q18_lang_id": q18_lang_id,
+        "q19_quality_buckets": q19_quality_buckets,
+        "q20_minhash_groups": q20_minhash_groups,
+        "q21_embed_knn": q21_embed_knn,
+        "q22_embed_near_pairs": q22_embed_near_pairs,
+        "q23_windowed_events": q23_windowed_events,
+        "q24_sessionize": q24_sessionize,
+        "q40_image_enrich": q40_image_enrich,
+        "q41_image_zonal": q41_image_zonal,
+        "q42_image_point_sample": q42_image_point_sample,
+        "q43_image_dedup_phash": q43_image_dedup_phash,
+        "q44_image_psnr": q44_image_psnr,
+        "q45_simhash_near_dups": q45_simhash_near_dups,
+        "q46_minhash_lsh_pairs": q46_minhash_lsh_pairs,
+        "q47_lsh_ann": q47_lsh_ann,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ep = _EVENT_POINTS_SQL
+    pb = _PART_BOXES_SQL
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+                   SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+                   COUNT(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q02_filter_orders": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND o_orderstatus = 'O' AND o_totalprice > 50000.0
+        """,
+        "q03_semi_join": """
+            SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
+            GROUP BY l_returnflag
+        """,
+        "q04_latest_order_per_customer": """
+            SELECT o_custkey, o_orderkey FROM (
+                SELECT o_custkey, o_orderkey,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+                FROM orders) WHERE rn = 1
+        """,
+        "q05_asof_event_before_order": """
+            WITH o AS (SELECT o_orderkey, o_custkey % 150 AS k, o_orderdate AS ots
+                       FROM orders WHERE o_orderkey % 100 = 0),
+                 e AS (SELECT user_id AS k, event_id,
+                              ts - INTERVAL 29 YEAR AS ets_adj FROM events)
+            SELECT o_orderkey, event_id FROM (
+                SELECT o.o_orderkey, e.event_id,
+                       ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
+                                          ORDER BY e.ets_adj DESC, e.event_id DESC) AS rn
+                FROM o LEFT JOIN e ON o.k = e.k AND e.ets_adj <= o.ots) WHERE rn = 1
+        """,
+        "q06_extent": f"""
+            SELECT MIN(x) AS xmin, MIN(y) AS ymin, MAX(x) AS xmax, MAX(y) AS ymax,
+                   COUNT(*) AS n
+            FROM ({ep})
+        """,
+        "q07_mode_event_type": """
+            SELECT event_type, n FROM (
+                SELECT event_type, COUNT(*) AS n,
+                       ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+                FROM events GROUP BY event_type) WHERE rn = 1
+        """,
+        "q08_distinct_nations_per_region": """
+            SELECT r_name, COUNT(DISTINCT n_nationkey) AS n_nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "q09_topk_parts_by_revenue": """
+            SELECT l_partkey, p_name, rev_cents FROM (
+                SELECT l_partkey,
+                       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS rev_cents
+                FROM lineitem GROUP BY l_partkey) r
+            JOIN part ON l_partkey = p_partkey
+            ORDER BY rev_cents DESC, l_partkey ASC LIMIT 10
+        """,
+        "q10_running_totals": """
+            SELECT o_custkey, o_orderkey,
+                   ROW_NUMBER() OVER w AS rn,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS cum_cents
+            FROM orders WHERE o_custkey < 50
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        """,
+        "q11_cell_assign": f"""
+            SELECT 7 * 4503599627370496 +
+                   CAST(LEAST(GREATEST(FLOOR((x + 180.0) / 360.0 * 128.0), 0), 127) AS BIGINT) * 67108864 +
+                   CAST(LEAST(GREATEST(FLOOR((y + 90.0) / 180.0 * 128.0), 0), 127) AS BIGINT) AS cell,
+                   COUNT(*) AS n
+            FROM ({ep}) GROUP BY 1
+        """,
+        "q12_pip_join": f"""
+            SELECT p_brand, COUNT(*) AS n_hits
+            FROM ({ep}) pts JOIN ({pb}) b
+              ON pts.x >= b.img_xmin AND pts.x <= b.img_xmax
+             AND pts.y >= b.img_ymin AND pts.y <= b.img_ymax
+            WHERE pts.event_id % 5 = 0
+            GROUP BY p_brand
+        """,
+        "q13_knn": """
+            WITH probes AS (
+                SELECT c_custkey, ((c_custkey * 37) % 3600) / 10.0 - 180.0 AS x,
+                       ((c_custkey * 91) % 1700) / 10.0 - 85.0 AS y
+                FROM customer WHERE c_custkey < 20),
+            targets AS (
+                SELECT s_suppkey, ((s_suppkey * 53) % 3600) / 10.0 - 180.0 AS tx,
+                       ((s_suppkey * 17) % 1700) / 10.0 - 85.0 AS ty
+                FROM supplier)
+            SELECT c_custkey, s_suppkey, rank FROM (
+                SELECT c_custkey, s_suppkey,
+                       ROW_NUMBER() OVER (PARTITION BY c_custkey
+                           ORDER BY (x - tx) * (x - tx) + (y - ty) * (y - ty) ASC,
+                                    s_suppkey ASC) AS rank
+                FROM probes CROSS JOIN targets) WHERE rank <= 3
+        """,
+        "q14_zonal_value_stats": f"""
+            SELECT p_partkey, COUNT(*) AS n_points,
+                   SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS sum_v1000
+            FROM ({ep}) pts JOIN ({pb}) b
+              ON pts.x >= b.img_xmin AND pts.x <= b.img_xmax
+             AND pts.y >= b.img_ymin AND pts.y <= b.img_ymax
+            GROUP BY p_partkey
+        """,
+        "q15_latest_event_per_cell": f"""
+            WITH c AS (
+                SELECT 5 * 4503599627370496 +
+                       CAST(LEAST(GREATEST(FLOOR((x + 180.0) / 360.0 * 32.0), 0), 31) AS BIGINT) * 67108864 +
+                       CAST(LEAST(GREATEST(FLOOR((y + 90.0) / 180.0 * 32.0), 0), 31) AS BIGINT) AS cell,
+                       event_id, ts
+                FROM ({ep}))
+            SELECT cell, event_id FROM (
+                SELECT cell, event_id,
+                       ROW_NUMBER() OVER (PARTITION BY cell
+                                          ORDER BY ts DESC, event_id ASC) AS rn
+                FROM c) WHERE rn = 1
+        """,
+        "q16_dedup_fingerprint": """
+            SELECT md5(substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 32)) AS fp,
+                   MIN(doc_id) AS survivor_id, COUNT(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "q17_token_stats": """
+            SELECT lang,
+                   SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS sum_tokens,
+                   SUM(n_chars) AS sum_chars, COUNT(*) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "q18_lang_id": """
+            SELECT CASE
+                WHEN ' ' || lower(text) || ' ' LIKE '% the %'
+                  OR ' ' || lower(text) || ' ' LIKE '% and %'
+                  OR ' ' || lower(text) || ' ' LIKE '% of %' THEN 'en'
+                WHEN ' ' || lower(text) || ' ' LIKE '% der %'
+                  OR ' ' || lower(text) || ' ' LIKE '% und %'
+                  OR ' ' || lower(text) || ' ' LIKE '% die %' THEN 'de'
+                WHEN ' ' || lower(text) || ' ' LIKE '% le %'
+                  OR ' ' || lower(text) || ' ' LIKE '% les %'
+                  OR ' ' || lower(text) || ' ' LIKE '% des %' THEN 'fr'
+                WHEN ' ' || lower(text) || ' ' LIKE '% el %'
+                  OR ' ' || lower(text) || ' ' LIKE '% los %'
+                  OR ' ' || lower(text) || ' ' LIKE '% las %' THEN 'es'
+                ELSE 'und' END AS pred_lang, COUNT(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        "q19_quality_buckets": """
+            WITH q AS (
+                SELECT ROUND((
+                    LEAST(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+                  + GREATEST(1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+                       ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) END) * 4.0, 0.0)
+                  + GREATEST(1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+                       ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) END) * 4.0, 0.0)
+                  + (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) = 0 THEN 0.5
+                          WHEN CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+                               / (CASE WHEN length(trim(text)) = 0 THEN 0
+                                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+                               BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+                ) / 4.0, 6) AS q FROM documents)
+            SELECT CAST(FLOOR(q * 10) AS BIGINT) AS bucket, COUNT(*) AS n FROM q GROUP BY 1
+        """,
+        "q20_minhash_groups": """
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+                FROM documents),
+            mh AS (SELECT doc_id, MIN(md5(tok)) AS minhash FROM toks GROUP BY doc_id)
+            SELECT minhash, MIN(doc_id) AS survivor_id, COUNT(*) AS n_docs
+            FROM mh GROUP BY minhash
+        """,
+        "q21_embed_knn": """
+            WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
+                       FROM embeddings WHERE vec_id < 10)
+            SELECT probe_id, neighbor_id, rank FROM (
+                SELECT p.probe_id, e.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY p.probe_id
+                           ORDER BY list_dot_product(e.embedding, p.pe) /
+                                    (sqrt(list_dot_product(e.embedding, e.embedding)) *
+                                     sqrt(list_dot_product(p.pe, p.pe))) DESC,
+                                    e.vec_id ASC) AS rank
+                FROM embeddings e CROSS JOIN p WHERE e.vec_id <> p.probe_id)
+            WHERE rank <= 3
+        """,
+        "q22_embed_near_pairs": """
+            WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.embedding, b.embedding) /
+                  (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                   sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.4
+        """,
+        "q23_windowed_events": """
+            SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+                   COUNT(*) AS n,
+                   SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS sum_v1000
+            FROM events GROUP BY 1, 2
+        """,
+        "q24_sessionize": """
+            WITH g AS (
+                SELECT user_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+            SELECT user_id, SUM(new_sess) AS n_sessions FROM g GROUP BY user_id
+        """,
+    }

@@ -1,0 +1,212 @@
+"""Deduplication operators for document tables at training-data scale.
+
+Five families, each shaped for a 1000-executor cluster:
+
+  * exact           — hash-groupBy, one shuffle on the content hash
+  * minhash + LSH   — shingle -> seeded-hash min-signature -> banded bucket
+                      join; candidate pairs verified with exact Jaccard.
+                      All signature math is native (explode + xxhash64 +
+                      groupBy min) so codegen applies; no Python.
+  * simhash         — 64-bit bit-majority of token hashes (Arrow-batched
+                      pandas UDF; numpy bit ops), near-dup = hamming <= d
+  * n-gram Jaccard  — exact pairwise similarity, bucketed by LSH first so
+                      the cross product never materializes globally
+  * embedding cosine near-dup lives in ``similarity.py``
+
+The ``phash`` column of the image table plays the same role for imagery
+(rasteret dedupes per-URL work the same way, `src/rasteret/ingest/
+enrich.py:274-292`); ``exact_dedup`` on ``phash`` is the image-dedup path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F  # noqa: N812
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact content hash (deterministic winner)."""
+    h = F.md5(F.col(content_col).cast("string")).alias("_h")
+    w = Window.partitionBy("_h").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )
+
+
+def _shingles(text_col: str, n: int = 3) -> F.Column:
+    """Word n-gram shingles as an array column (native)."""
+    toks = F.split(F.trim(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_perm: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """(id, perm, minhash) -> grouped to (id, signature array<long>).
+
+    Signature = per-permutation min of xxhash64(perm_seed, shingle) — entirely
+    JVM-native: explode shingles x posexplode permutation seeds, groupBy min.
+    One shuffle on (id, perm)."""
+    ex = df.select(
+        F.col(id_col).alias("_id"), F.explode(_shingles(text_col, shingle_n)).alias("_sh")
+    ).withColumn("_perm", F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))))
+    mins = ex.groupBy("_id", "_perm").agg(
+        F.min(F.xxhash64(F.col("_perm"), F.col("_sh"))).alias("_mh")
+    )
+    return (
+        mins.groupBy("_id")
+        .agg(F.array_sort(F.collect_list(F.struct("_perm", "_mh"))).alias("_s"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.transform(F.col("_s"), lambda s: s["_mh"]).alias("signature"),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH, verified with exact shingle
+    Jaccard.  Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    Plan shape: signatures (1 shuffle) -> band explode -> bucket equi-join
+    (self-join on band hash; AQE handles bucket skew) -> exact verify on the
+    pair's shingle sets (array_intersect/array_union — native)."""
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
+    banded = sig.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1)))).select(
+        F.col(id_col),
+        "band",
+        F.xxhash64(
+            F.col("band"), F.slice(F.col("signature"), F.col("band") * rows_per_band + 1, rows_per_band)
+        ).alias("bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sh = df.select(
+        F.col(id_col), F.array_distinct(_shingles(text_col, shingle_n)).alias("sh")
+    )
+    pairs = (
+        cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, threshold: float, shingle_n: int = 3
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard >= threshold (brute verify path /
+    oracle for the LSH variant).  O(n^2) — small inputs or post-bucket only."""
+    sh = df.select(F.col(id_col), F.array_distinct(_shingles(text_col, shingle_n)).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (
+                F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+                / F.size(F.array_union("a.sh", "b.sh"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- simhash -------------------------------------------------------------------
+def simhash_udf():
+    """64-bit simhash of whitespace tokens (numpy bit-majority, Arrow batched)."""
+
+    @F.pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = [w for w in (t or "").lower().split() if w]
+            if not toks:
+                continue
+            hs = np.array(
+                [np.int64(hash64_str(w)) for w in toks], dtype=np.int64
+            ).astype(np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+                np.int64
+            )
+            votes = (2 * bits - 1).sum(axis=0)
+            v = np.uint64(0)
+            for bpos in np.nonzero(votes > 0)[0]:
+                v |= np.uint64(1) << np.uint64(bpos)
+            out[i] = np.int64(v.astype(np.int64))
+        return pd.Series(out)
+
+    return _simhash
+
+
+def hash64_str(s: str) -> int:
+    """Deterministic 64-bit FNV-1a (stable across processes, unlike hash())."""
+    h = 0xCBF29CE484222325
+    for ch in s.encode("utf-8"):
+        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, block_bits: int = 16
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance <= max_hamming.
+
+    Scale path: block on 4 x 16-bit bands (a pair within hamming<=3 must agree
+    on at least one band — pigeonhole), equi-join per band, verify hamming via
+    bit_count(xor).  Native join + bit ops; only the signature is a UDF."""
+    sh = df.select(F.col(id_col), simhash_udf()(F.col(text_col)).alias("sim"))
+    bands = 64 // block_bits
+    mask = (1 << block_bits) - 1
+    banded = sh.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1)))).withColumn(
+        "key", F.expr(f"shiftright(sim, band * {block_bits}) & {mask}")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

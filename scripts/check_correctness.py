@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Local stand-in for the driver's correctness gate: run every queries()
+entry at sf0.01 and diff against its oracle_sql() through DuckDB
+(row count, column names, order-insensitive values)."""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
+            )
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def compare(got: pd.DataFrame, want: pd.DataFrame) -> str:
+    if len(got) != len(want):
+        return f"ROWS {len(got)} vs {len(want)}"
+    if sorted(got.columns) != sorted(want.columns):
+        return f"COLS {sorted(got.columns)} vs {sorted(want.columns)}"
+    g, w = normalize(got), normalize(want)
+    for c in g.columns:
+        gv, wv = g[c].to_numpy(), w[c].to_numpy()
+        if np.issubdtype(gv.dtype, np.floating) or np.issubdtype(wv.dtype, np.floating):
+            if not np.allclose(
+                gv.astype(float), wv.astype(float), rtol=1e-9, atol=1e-12, equal_nan=True
+            ):
+                return f"VALUES col={c}"
+            if not (gv.astype(float) == wv.astype(float)).all():
+                return f"OK~ (float-inexact col={c})"
+        else:
+            if not (pd.Series(gv).astype(str) == pd.Series(wv).astype(str)).all():
+                return f"VALUES col={c}"
+    return "OK"
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None) -> int:
+    import __spark_entry__ as E
+    from rasteret_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    qs, os_ = E.queries(), E.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as ex:
+            print(f"{name:36s} SPARK-ERROR {type(ex).__name__}: {str(ex)[:120]}")
+            failures += 1
+            continue
+        dt = time.time() - t0
+        if name not in os_:
+            print(f"{name:36s} rows-only   rows={len(got):7d}  {dt:6.1f}s")
+            continue
+        try:
+            want = con.execute(os_[name]).df()
+        except Exception as ex:
+            print(f"{name:36s} SQL-ERROR   {str(ex)[:140]}")
+            failures += 1
+            continue
+        verdict = compare(got, want)
+        tag = "ok" if verdict.startswith("OK") else "MISMATCH"
+        if tag == "MISMATCH":
+            failures += 1
+        print(f"{name:36s} {verdict:22s} rows={len(got):7d}  {dt:6.1f}s")
+    spark.stop()
+    print("FAILURES:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(only=sys.argv[1:] or None))
