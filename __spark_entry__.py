@@ -411,8 +411,9 @@ def q41_image_zonal(spark, sf_dir):
     from rasteret_spark.operators import decode, spatial_join as sj
     from rasteret_spark.sources import synthetic as syn
 
-    img = _images_df(spark).select(
-        "image_id", "bytes", "caption",
+    images = _images_df(spark)
+    img_light = images.select(
+        "image_id",
         F.col("xmin").alias("img_xmin"), F.col("ymin").alias("img_ymin"),
         F.col("xmax").alias("img_xmax"), F.col("ymax").alias("img_ymax"),
     )
@@ -421,23 +422,29 @@ def q41_image_zonal(spark, sf_dir):
         F.col("xmin").alias("aoi_xmin"), F.col("ymin").alias("aoi_ymin"),
         F.col("xmax").alias("aoi_xmax"), F.col("ymax").alias("aoi_ymax"),
     )
-    cands = sj.bbox_join(img, aoi, res=7)
-    refined = sj.refine_rect_polygon(cands).filter(F.col("intersects"))
-    return decode.zonal_stats(refined)
+    cands = sj.bbox_join(img_light, aoi, res=7)
+    refined = sj.refine_rect_polygon(cands).filter(F.col("intersects")).select(
+        "image_id", "aoi_id", "aoi_geometry",
+        "aoi_xmin", "aoi_ymin", "aoi_xmax", "aoi_ymax",
+    )
+    return decode.zonal_stats(refined, images.select("image_id", "bytes", "caption"))
 
 
 def q42_image_point_sample(spark, sf_dir):
     from rasteret_spark.operators import sampling, spatial_join as sj
     from rasteret_spark.sources import synthetic as syn
 
-    img = _images_df(spark).select(
-        "image_id", "bytes",
+    images = _images_df(spark)
+    img_light = images.select(
+        "image_id",
         F.col("xmin").alias("img_xmin"), F.col("ymin").alias("img_ymin"),
         F.col("xmax").alias("img_xmax"), F.col("ymax").alias("img_ymax"),
     )
     pts = spark.createDataFrame(syn.points_table(200).to_pandas())
-    cands = sj.point_in_bbox_join(pts, img, res=8)
-    return sampling.sample_points(cands, max_ring=4)
+    cands = sj.point_in_bbox_join(pts, img_light, res=8).select(
+        "point_index", "x", "y", "image_id"
+    )
+    return sampling.sample_points(cands, images.select("image_id", "bytes"), max_ring=4)
 
 
 def q43_image_dedup_phash(spark, sf_dir):
@@ -496,13 +503,16 @@ def entry(spark: SparkSession) -> DataFrame:
         (F.lit(52.5) + ((F.col("event_id") % 101) - 50) * 0.002).alias("y"),
         F.col("event_type").alias("station_id"),
     )
-    images = spark.createDataFrame(syn.images_table(150).to_pandas()).select(
-        "image_id", "bytes", "caption", "datetime",
+    images = spark.createDataFrame(syn.images_table(150).to_pandas())
+    img_light = images.select(
+        "image_id",
         F.col("xmin").alias("img_xmin"), F.col("ymin").alias("img_ymin"),
         F.col("xmax").alias("img_xmax"), F.col("ymax").alias("img_ymax"),
     )
-    cands = sj.point_in_bbox_join(points, images, res=8)
-    samples = sampling.sample_points(cands, max_ring=4)
+    cands = sj.point_in_bbox_join(points, img_light, res=8).select(
+        "point_index", "x", "y", "image_id"
+    )
+    samples = sampling.sample_points(cands, images.select("image_id", "bytes"), max_ring=4)
     meta = images.select("image_id", "caption", "datetime")
     return (
         samples.join(F.broadcast(meta), "image_id")

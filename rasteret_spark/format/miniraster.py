@@ -100,7 +100,10 @@ class MiniRasterMeta:
             dtype_code=int(d["dtype_code"]),
             compression=int(d["compression"]),
             predictor=int(d["predictor"]),
-            nodata=None if d.get("nodata") is None else float(d["nodata"]),
+            nodata=None
+            if d.get("nodata") is None
+            or (isinstance(d["nodata"], float) and np.isnan(d["nodata"]))
+            else float(d["nodata"]),
             qstep=float(d["qstep"]),
             transform=tuple(float(v) for v in d["transform"]),
             epsg=int(d["epsg"]),
@@ -334,3 +337,57 @@ def read_window(
 def decode_full(blob: bytes) -> np.ndarray:
     """Decode the whole image (correctness oracle path)."""
     return read_window(blob)
+
+
+class CachedReader:
+    """Per-image window reader with a decoded-tile cache.
+
+    One instance per image inside a UDF batch lets many windows (multiple
+    AOIs / many sampled points on the same image) share tile decodes — the
+    distributed analogue of rasteret's per-source tile cache in the point
+    sampler (`src/rasteret/core/raster_accessor.py:519-560`).
+    """
+
+    def __init__(self, blob: bytes, meta: MiniRasterMeta | None = None):
+        self.blob = blob
+        if meta is None:
+            need = header_len_from_prefix(blob[:8])
+            meta = parse_header(blob[:need])
+        self.meta = meta
+        self._tiles: dict[int, np.ndarray] = {}
+
+    def _tile(self, t_idx: int) -> np.ndarray:
+        t = self._tiles.get(t_idx)
+        if t is None:
+            m = self.meta
+            off = int(m.tile_offsets[t_idx])
+            cnt = int(m.tile_byte_counts[t_idx])
+            t = codecs.decode_tile(
+                self.blob[off : off + cnt], m.compression, m.predictor,
+                m.dtype, m.tile_h, m.tile_w, m.qstep,
+            )
+            self._tiles[t_idx] = t
+        return t
+
+    def window(
+        self, col_off: int, row_off: int, win_w: int, win_h: int,
+        fill: float | None = None,
+    ) -> np.ndarray:
+        m = self.meta
+        if fill is None:
+            fill = m.nodata if m.nodata is not None else 0
+        canvas = np.full((win_h, win_w), fill, dtype=m.dtype)
+        for t_idx, tx, ty in plan_window_tiles(m, col_off, row_off, win_w, win_h):
+            tile = self._tile(t_idx)
+            px0, py0 = tx * m.tile_w, ty * m.tile_h
+            vw = min(m.tile_w, m.width - px0)
+            vh = min(m.tile_h, m.height - py0)
+            c0, r0 = max(px0, col_off), max(py0, row_off)
+            c1 = min(px0 + vw, col_off + win_w)
+            r1 = min(py0 + vh, row_off + win_h)
+            if c1 <= c0 or r1 <= r0:
+                continue
+            canvas[r0 - row_off : r1 - row_off, c0 - col_off : c1 - col_off] = tile[
+                r0 - py0 : r1 - py0, c0 - px0 : c1 - px0
+            ]
+        return canvas

@@ -79,10 +79,11 @@ IMAGE_STATS_SCHEMA = (
 )
 
 
-def decode_image_stats(df: DataFrame) -> DataFrame:
+def decode_image_stats(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     """Decode every image fully (all tiles via coalesced range reads) and emit
     per-image pixel stats.  Input needs columns: image_id, bytes, fmt, caption."""
     cols = ["image_id", "bytes", "fmt", "caption"]
+    df = df.repartition(_decode_parallelism(df, parallelism), "image_id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -97,10 +98,9 @@ def decode_image_stats(df: DataFrame) -> DataFrame:
                 vals = arr.astype(np.float64)
                 valid = np.ones(arr.shape, dtype=bool)
                 if meta.nodata is not None:
-                    valid = ~(
-                        np.isclose(vals, meta.nodata)
-                        | (np.isnan(vals) if np.isnan(meta.nodata) else False)
-                    )
+                    valid = vals != meta.nodata
+                    if np.isnan(meta.nodata):
+                        valid = ~np.isnan(vals)
                 v = vals[valid]
                 out.append(
                     {
@@ -130,73 +130,122 @@ ZONAL_SCHEMA = (
 )
 
 
-def zonal_stats(joined: DataFrame) -> DataFrame:
-    """Per (image, AOI) join row: window-read only intersecting tiles, mask by
-    polygon (pixel-center PIP), aggregate valid pixels.
+def pixel_axes_lonlat(
+    transform: tuple[float, ...], epsg: int, col_off: int, row_off: int, win_w: int, win_h: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """1-D lon (per column) and lat (per row) of pixel centers — exact for the
+    engine's axis-aligned linear CRS registry (separable transform)."""
+    a, _, c, _, e, f = transform
+    xs = a * (col_off + np.arange(win_w) + 0.5) + c
+    ys = e * (row_off + np.arange(win_h) + 0.5) + f
+    lon, _ = crs.to_lonlat(epsg, xs, np.zeros_like(xs))
+    _, lat = crs.to_lonlat(epsg, np.zeros_like(ys), ys)
+    return lon, lat
 
-    Input columns required: image_id, bytes, caption, aoi_id, aoi_geometry
-    (WKB lon/lat), aoi_xmin/aoi_ymin/aoi_xmax/aoi_ymax.
+
+def _decode_parallelism(df: DataFrame, parallelism: int | None) -> int:
+    """Decode stages are compute-bound, not byte-bound: AQE's size-based
+    partition coalescing would pack a whole image table (tiny in bytes,
+    heavy in CPU) onto a couple of tasks.  Pin an explicit hash repartition
+    so every core decodes."""
+    if parallelism is not None:
+        return parallelism
+    return df.sparkSession.sparkContext.defaultParallelism * 2
+
+
+def zonal_stats(
+    pairs: DataFrame,
+    images: DataFrame,
+    parallelism: int | None = None,
+    broadcast_pairs: bool = True,
+) -> DataFrame:
+    """Zonal extraction with scale-aware dataflow.
+
+    ``pairs`` is the refined candidate set carrying LIGHT columns only
+    (image_id, aoi_id, aoi_geometry WKB + aoi bbox) — blobs never ride
+    through the cell-join shuffles.  The plan:
+
+      pairs.groupBy(image_id).collect_list(aoi struct)     -- small shuffle
+        JOIN images(image_id, bytes, caption)              -- each blob moves
+                                                              at most once
+        mapInPandas: per image, ONE CachedReader shares tile decodes across
+        all its AOIs; masking is the scanline grid PIP (bit-identical to the
+        generic ray-cast kernel).
+
+    This mirrors rasteret's per-record multi-geometry read loop
+    (`src/rasteret/core/execution.py:244-297`) in distributed form.
     """
-    cols = [
-        "image_id", "bytes", "caption", "aoi_id", "aoi_geometry",
-        "aoi_xmin", "aoi_ymin", "aoi_xmax", "aoi_ymax",
-    ]
+    agg = pairs.groupBy("image_id").agg(
+        F.collect_list(
+            F.struct("aoi_id", "aoi_geometry", "aoi_xmin", "aoi_ymin", "aoi_xmax", "aoi_ymax")
+        ).alias("_aois")
+    )
+    has_meta = "meta" in images.columns
+    cols = ["image_id", "bytes", "caption"] + (["meta"] if has_meta else [])
+    if broadcast_pairs:
+        # the grouped AOI side is tiny next to the blobs: broadcast it so the
+        # decode fuses with the image scan — blobs NEVER shuffle.  (At extreme
+        # AOI cardinality pass broadcast_pairs=False: shuffle join on
+        # image_id + explicit repartition instead.)
+        src = images.select(*cols).join(F.broadcast(agg), "image_id")
+    else:
+        src = images.select(*cols).join(agg, "image_id")
+        src = src.repartition(_decode_parallelism(src, parallelism), "image_id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for row in pdf.itertuples(index=False):
-                blob = bytes(row.bytes)
-                need = mr.header_len_from_prefix(blob[:8])
-                meta = mr.parse_header(blob[:need])
-                # AOI bbox (lon/lat) -> pixel CRS
-                bx, by = crs.from_lonlat(
-                    meta.epsg,
-                    np.array([row.aoi_xmin, row.aoi_xmax]),
-                    np.array([row.aoi_ymin, row.aoi_ymax]),
-                )
-                c0, r0, ww, wh = window_from_bbox(
-                    meta.transform, meta.width, meta.height,
-                    float(bx.min()), float(by.min()), float(bx.max()), float(by.max()),
-                )
-                rec = {
-                    "image_id": row.image_id,
-                    "aoi_id": row.aoi_id,
-                    "caption": row.caption,
-                    "win_col": c0,
-                    "win_row": r0,
-                    "win_w": ww,
-                    "win_h": wh,
-                    "px_count": 0,
-                    "valid_count": 0,
-                    "v_sum": None,
-                    "v_mean": None,
-                    "v_min": None,
-                    "v_max": None,
-                }
-                if ww > 0 and wh > 0:
-                    arr = mr.read_window(blob, meta, c0, r0, ww, wh)
-                    lon, lat = pixel_centers_lonlat(meta.transform, meta.epsg, c0, r0, ww, wh)
-                    inside = geom.points_in_polygon_wkb(
-                        lon.ravel(), lat.ravel(), bytes(row.aoi_geometry)
-                    ).reshape(wh, ww)
-                    vals = arr.astype(np.float64)
-                    valid = inside
-                    if meta.nodata is not None:
-                        valid = valid & ~np.isclose(vals, meta.nodata)
-                    v = vals[valid]
-                    rec.update(
-                        px_count=int(inside.sum()),
-                        valid_count=int(v.size),
-                        v_sum=float(v.sum()) if v.size else None,
-                        v_mean=float(v.mean()) if v.size else None,
-                        v_min=float(v.min()) if v.size else None,
-                        v_max=float(v.max()) if v.size else None,
+            metas = pdf["meta"] if has_meta else [None] * len(pdf)
+            for image_id, blob, caption, aois, meta_row in zip(
+                pdf["image_id"], pdf["bytes"], pdf["caption"], pdf["_aois"], metas
+            ):
+                meta = mr.MiniRasterMeta.from_row(meta_row) if meta_row is not None else None
+                reader = mr.CachedReader(bytes(blob), meta)
+                meta = reader.meta
+                for aoi in aois:
+                    bx, by = crs.from_lonlat(
+                        meta.epsg,
+                        np.array([aoi["aoi_xmin"], aoi["aoi_xmax"]]),
+                        np.array([aoi["aoi_ymin"], aoi["aoi_ymax"]]),
                     )
-                out.append(rec)
-            yield pd.DataFrame(out)
+                    c0, r0, ww, wh = window_from_bbox(
+                        meta.transform, meta.width, meta.height,
+                        float(bx.min()), float(by.min()), float(bx.max()), float(by.max()),
+                    )
+                    rec = {
+                        "image_id": image_id,
+                        "aoi_id": aoi["aoi_id"],
+                        "caption": caption,
+                        "win_col": c0, "win_row": r0, "win_w": ww, "win_h": wh,
+                        "px_count": 0, "valid_count": 0,
+                        "v_sum": None, "v_mean": None, "v_min": None, "v_max": None,
+                    }
+                    if ww > 0 and wh > 0:
+                        arr = reader.window(c0, r0, ww, wh)
+                        lon, lat = pixel_axes_lonlat(meta.transform, meta.epsg, c0, r0, ww, wh)
+                        inside = geom.points_in_polygon_grid(
+                            lon, lat, bytes(aoi["aoi_geometry"])
+                        )
+                        valid = inside
+                        if meta.nodata is not None:
+                            # exact equality — nodata masking parity with the
+                            # reference (mask = arr == nodata, no tolerance)
+                            valid = valid & (arr != np.asarray(meta.nodata).astype(arr.dtype))
+                        v = arr[valid].astype(np.float64)
+                        rec.update(
+                            px_count=int(inside.sum()),
+                            valid_count=int(v.size),
+                            v_sum=float(v.sum()) if v.size else None,
+                            v_mean=float(v.mean()) if v.size else None,
+                            v_min=float(v.min()) if v.size else None,
+                            v_max=float(v.max()) if v.size else None,
+                        )
+                    out.append(rec)
+            yield pd.DataFrame(out) if out else pd.DataFrame(
+                {f.split(" ")[0]: [] for f in ZONAL_SCHEMA.split(", ")}
+            )
 
-    return joined.select(*cols).mapInPandas(run, schema=ZONAL_SCHEMA)
+    return src.mapInPandas(run, schema=ZONAL_SCHEMA)
 
 
 # --- driver-side single-process oracle (tests) ---------------------------------
@@ -216,7 +265,7 @@ def zonal_oracle_row(image_row: dict, aoi_row: dict) -> dict:
     vals = arr.astype(np.float64)
     valid = inside
     if meta.nodata is not None:
-        valid = valid & ~np.isclose(vals, meta.nodata)
+        valid = valid & (vals != meta.nodata)
     v = vals[valid]
     return {
         "image_id": image_row["image_id"],
@@ -258,6 +307,8 @@ def psnr_check(df: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return df.select("image_id", "bytes", "fmt").mapInPandas(
+    df = df.select("image_id", "bytes", "fmt")
+    df = df.repartition(_decode_parallelism(df, None), "image_id")
+    return df.mapInPandas(
         run, schema="image_id string, fmt string, exact boolean, psnr_db double, lossless boolean"
     )

@@ -5,26 +5,28 @@ Spark re-expression of rasteret's 4-phase point sampler
 `src/rasteret/core/point_sample_helpers.py:59-249`):
 
   phase 1 (plan)   — the candidate join (points x images) is done upstream by
-                     ``spatial_join.point_in_bbox_join`` (cell equi-join);
-  phase 2 (dedup)  — inside each image group, points are mapped through the
-                     inverse affine to pixel (row, col); the distinct tiles
-                     they touch are decoded ONCE each (A9 tile dedup);
-  phase 3 (lookup) — values gathered from decoded tiles, nodata flagged;
+                     ``spatial_join.point_in_bbox_join`` over LIGHT columns
+                     (no blobs in the cell-join shuffle);
+  phase 2 (group)  — candidates collapse to one row per image
+                     (``collect_list`` of point structs), then join the image
+                     ``bytes`` so each blob moves through at most one shuffle;
+  phase 3 (lookup) — inside ``mapInPandas``: inverse-affine all points at
+                     once, decode each touched tile ONCE via a per-image
+                     CachedReader (A9 tile dedup), gather values, flag nodata;
   phase 4 (ring)   — nodata points fall back to an expanding Chebyshev ring
                      search for the nearest valid pixel (exact center-distance
-                     scoring, deterministic row/col tie-break), bounded by
-                     ``max_ring`` — the J5 kNN-flavoured ring search.
-
-The group stage is ``applyInPandas`` keyed by image_id: one decode context per
-image, vectorized numpy inside.  Output is one row per (point, image)
-candidate with value/validity/ring metadata.
+                     scoring, deterministic (d², row, col) tie-break), bounded
+                     by ``max_ring`` — the J5 kNN-flavoured ring search.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: N812
 
 from rasteret_spark import crs
 from rasteret_spark.format import miniraster as mr
@@ -36,13 +38,13 @@ SAMPLES_SCHEMA = (
 )
 
 
-def _sample_one_image(pdf: pd.DataFrame, max_ring: int) -> pd.DataFrame:
-    blob = bytes(pdf["bytes"].iloc[0])
-    meta = mr.parse_header(blob[: mr.header_len_from_prefix(blob[:8])])
+def _sample_image(image_id, reader: mr.CachedReader, pts, max_ring: int) -> dict:
+    meta = reader.meta
     a, _, c, _, e, f = meta.transform
-
     xs, ys = crs.from_lonlat(
-        meta.epsg, pdf["x"].to_numpy(dtype=float), pdf["y"].to_numpy(dtype=float)
+        meta.epsg,
+        np.asarray([p["x"] for p in pts], dtype=float),
+        np.asarray([p["y"] for p in pts], dtype=float),
     )
     fcols = (xs - c) / a
     frows = (ys - f) / e
@@ -50,34 +52,26 @@ def _sample_one_image(pdf: pd.DataFrame, max_ring: int) -> pd.DataFrame:
     rows = np.floor(frows).astype(np.int64)
     in_bounds = (cols >= 0) & (cols < meta.width) & (rows >= 0) & (rows < meta.height)
 
-    n = len(pdf)
+    n = len(pts)
     value = np.full(n, np.nan)
     valid = np.zeros(n, dtype=bool)
     ring_steps = np.zeros(n, dtype=np.int32)
     s_col = np.where(in_bounds, cols, -1).astype(np.int64)
     s_row = np.where(in_bounds, rows, -1).astype(np.int64)
 
-    # phase 2+3: distinct tiles -> decode once -> gather
-    tile_cache: dict[tuple[int, int], np.ndarray] = {}
-
-    def tile_of(r: int, cc: int) -> np.ndarray:
-        ty, tx = r // meta.tile_h, cc // meta.tile_w
-        key = (ty, tx)
-        if key not in tile_cache:
-            tile_cache[key] = mr.read_window(
-                blob, meta, tx * meta.tile_w, ty * meta.tile_h, meta.tile_w, meta.tile_h
-            )
-        return tile_cache[key]
-
+    # phase 3 vectorized: group points by touched tile, decode each tile once,
+    # gather all its point values in one fancy-index (A9 tile dedup)
+    tile_ids = (rows // meta.tile_h) * meta.tiles_x + (cols // meta.tile_w)
+    for t in np.unique(tile_ids[in_bounds]):
+        sel = in_bounds & (tile_ids == t)
+        tile = reader._tile(int(t))
+        value[sel] = tile[rows[sel] % meta.tile_h, cols[sel] % meta.tile_w]
+    if meta.nodata is None:
+        valid[in_bounds] = True
+    else:
+        valid[in_bounds] = value[in_bounds] != meta.nodata
     idxs = np.nonzero(in_bounds)[0]
-    for i in idxs:
-        r, cc = int(rows[i]), int(cols[i])
-        t = tile_of(r, cc)
-        v = float(t[r % meta.tile_h, cc % meta.tile_w])
-        value[i] = v
-        valid[i] = meta.nodata is None or not np.isclose(v, meta.nodata)
 
-    # phase 4: ring fallback for in-bounds nodata points
     if max_ring > 0 and meta.nodata is not None:
         for i in idxs:
             if valid[i]:
@@ -87,55 +81,80 @@ def _sample_one_image(pdf: pd.DataFrame, max_ring: int) -> pd.DataFrame:
             for k in range(1, max_ring + 1):
                 r0, r1 = max(r - k, 0), min(r + k, meta.height - 1)
                 c0, c1 = max(cc - k, 0), min(cc + k, meta.width - 1)
-                win = mr.read_window(blob, meta, c0, r0, c1 - c0 + 1, r1 - r0 + 1)
+                win = reader.window(c0, r0, c1 - c0 + 1, r1 - r0 + 1)
                 rr, ccs = np.mgrid[r0 : r1 + 1, c0 : c1 + 1]
                 on_ring = np.maximum(np.abs(rr - r), np.abs(ccs - cc)) == k
-                ok = on_ring & ~np.isclose(win, meta.nodata)
+                ok = on_ring & (win.astype(np.float64) != meta.nodata)
                 if ok.any():
                     drr = rr[ok] + 0.5 - frows[i]
                     dcc = ccs[ok] + 0.5 - fcols[i]
                     d2 = drr * drr + dcc * dcc
-                    order = np.lexsort((ccs[ok], rr[ok], d2))
-                    j = order[0]
+                    j = np.lexsort((ccs[ok], rr[ok], d2))[0]
                     cand = (float(d2[j]), int(rr[ok][j]), int(ccs[ok][j]), float(win[ok][j]))
                     if best is None or cand < best:
                         best = cand
-                    # a strictly closer pixel can still appear one ring out;
-                    # check the next ring then stop (exact-distance guarantee,
-                    # same bounded-continue rule as the reference ring search)
-                    if best is not None and best[0] <= (k - 0.5) ** 2:
-                        break
+                # a strictly closer pixel can still appear one ring out;
+                # continue until the best is certified (d <= (k-0.5) rule)
+                if best is not None and best[0] <= (k - 0.5) ** 2:
+                    break
             if best is not None:
                 value[i] = best[3]
                 valid[i] = True
-                ring_steps[i] = int(np.ceil(max(abs(best[1] - r), abs(best[2] - cc))))
+                ring_steps[i] = int(max(abs(best[1] - r), abs(best[2] - cc)))
                 s_row[i], s_col[i] = best[1], best[2]
 
-    return pd.DataFrame(
-        {
-            "point_index": pdf["point_index"].to_numpy(),
-            "image_id": pdf["image_id"].to_numpy(),
-            "px_col": cols.astype(np.int32),
-            "px_row": rows.astype(np.int32),
-            "in_bounds": in_bounds,
-            "value": value,
-            "valid": valid,
-            "ring_steps": ring_steps,
-            "sample_col": s_col.astype(np.int32),
-            "sample_row": s_row.astype(np.int32),
-        }
+    return {
+        "point_index": np.asarray([p["point_index"] for p in pts], dtype=np.int64),
+        "image_id": np.full(n, image_id, dtype=object),
+        "px_col": cols.astype(np.int32),
+        "px_row": rows.astype(np.int32),
+        "in_bounds": in_bounds,
+        "value": value,  # NaN -> null via pandas
+        "valid": valid,
+        "ring_steps": ring_steps,
+        "sample_col": s_col.astype(np.int32),
+        "sample_row": s_row.astype(np.int32),
+    }
+
+
+def sample_points(
+    candidates: DataFrame,
+    images: DataFrame,
+    max_ring: int = 0,
+    parallelism: int | None = None,
+    broadcast_points: bool = True,
+) -> DataFrame:
+    """``candidates``: light output of ``point_in_bbox_join``
+    (point_index, x, y, image_id — NO bytes).  ``images``: (image_id, bytes).
+    Returns SAMPLES_SCHEMA rows, one per candidate pair."""
+    from rasteret_spark.operators.decode import _decode_parallelism
+
+    agg = candidates.groupBy("image_id").agg(
+        F.collect_list(F.struct("point_index", "x", "y")).alias("_pts")
     )
+    if broadcast_points:
+        # grouped probe side is tiny next to the blobs: broadcast it so the
+        # sampling stage fuses with the image scan (no blob shuffle)
+        src = images.select("image_id", "bytes").join(F.broadcast(agg), "image_id")
+    else:
+        src = images.select("image_id", "bytes").join(agg, "image_id")
+        src = src.repartition(_decode_parallelism(src, parallelism), "image_id")
 
+    col_names = [f.split(" ")[0] for f in SAMPLES_SCHEMA.split(", ")]
 
-def sample_points(candidates: DataFrame, max_ring: int = 0) -> DataFrame:
-    """candidates: output of ``point_in_bbox_join`` carrying at least
-    (point_index, x, y, image_id, bytes).  Returns SAMPLES_SCHEMA rows."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parts: list[dict] = []
+            for image_id, blob, pts in zip(pdf["image_id"], pdf["bytes"], pdf["_pts"]):
+                reader = mr.CachedReader(bytes(blob))
+                parts.append(_sample_image(image_id, reader, pts, max_ring))
+            if parts:
+                out = pd.DataFrame(
+                    {c: np.concatenate([p[c] for p in parts]) for c in col_names}
+                )
+                out["value"] = out["value"].where(np.isfinite(out["value"]), None)
+                yield out
+            else:
+                yield pd.DataFrame({c: [] for c in col_names})
 
-    def run(key, pdf):
-        return _sample_one_image(pdf, max_ring)
-
-    return (
-        candidates.select("point_index", "x", "y", "image_id", "bytes")
-        .groupBy("image_id")
-        .applyInPandas(run, schema=SAMPLES_SCHEMA)
-    )
+    return src.mapInPandas(run, schema=SAMPLES_SCHEMA)

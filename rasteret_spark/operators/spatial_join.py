@@ -188,19 +188,35 @@ def refine_rect_polygon(
     rect_prefix: str = "img",
     poly_col: str = "aoi_geometry",
     out_col: str = "intersects",
+    parallelism: int | None = None,
 ) -> DataFrame:
-    """Exact rectangle x polygon refine for candidate pairs (Arrow-batched)."""
+    """Exact rectangle x polygon refine for candidate pairs (Arrow-batched).
+
+    The candidate rows are byte-small but CPU-heavy per row, so AQE's
+    size-based coalescing would serialize this python stage — pin an explicit
+    round-robin repartition sized to the cluster."""
     from rasteret_spark import geom
+
+    if parallelism is None:
+        parallelism = cands.sparkSession.sparkContext.defaultParallelism * 2
+    cands = cands.repartition(parallelism)
+
+    import numpy as np
 
     @F.pandas_udf("boolean")
     def _refine(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series,
                 wkb: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                geom.rect_intersects_polygon(a, b, c, d, bytes(g))
-                for a, b, c, d, g in zip(xmin, ymin, xmax, ymax, wkb)
-            ]
-        )
+        # one vectorized pass per distinct polygon payload in the batch
+        out = np.zeros(len(xmin), dtype=bool)
+        groups: dict[bytes, list[int]] = {}
+        for i, g in enumerate(wkb):
+            groups.setdefault(bytes(g), []).append(i)
+        a = xmin.to_numpy(float); b = ymin.to_numpy(float)
+        c = xmax.to_numpy(float); d = ymax.to_numpy(float)
+        for g, idxs in groups.items():
+            ii = np.asarray(idxs)
+            out[ii] = geom.rects_intersect_polygon(a[ii], b[ii], c[ii], d[ii], g)
+        return pd.Series(out)
 
     return cands.withColumn(
         out_col,

@@ -1,0 +1,85 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has no true streaming semantics (SURVEY.md §2.9 — its only
+incremental construct is batched iteration), so these operators EXTEND the
+engine for continuous ingest: late-data-tolerant windowed aggregation and
+stateful sessionization, both expressed so the same code runs on a file
+stream (tests drive it with the parquet events table + memory sink) or any
+production source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: N812
+from pyspark.sql import types as T  # noqa: N812
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-based event stream (one parquet dir; production would swap the
+    source format — the plan downstream is identical)."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling/sliding window counts + value sums per event_type with a
+    watermark for late data."""
+    w = F.window(F.col("ts"), window, slide) if slide else F.window(F.col("ts"), window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(w.alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 1000).cast("bigint")).alias("sum_v1000"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type", "n", "sum_v1000",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Session windows per user (built-in session_window: state handled by
+    Spark, gap-based close)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window(F.col("ts"), gap).alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "user_id", "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> None:
+    """Drive a streaming query to completion on the available files
+    (synchronous smoke path: memory sink + processAllAvailable)."""
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -1,0 +1,80 @@
+"""Checkpointed-stage resume protocol: partition-granular, idempotent."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rasteret_spark.plans import lineage
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    return str(tmp_path / "ckpt")
+
+
+def _transform(df):
+    return df.withColumn("doubled", F.col("value") * 2)
+
+
+def test_full_run_then_noop_resume(spark, workdir):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("key"), (F.col("id") % 7).alias("value")
+    )
+    out1 = lineage.checkpointed_run(
+        spark, df, _transform, workdir, key_col="key", stage="s1", n_parts=8
+    )
+    assert out1.count() == 1000
+    log = lineage.read_log(spark, workdir)
+    assert log.count() == 8
+    assert log.agg(F.sum("rows_out")).first()[0] == 1000
+
+    # resume over completed state: no partition re-runs, same output
+    out2 = lineage.checkpointed_run(
+        spark, df, _transform, workdir, key_col="key", stage="s1", n_parts=8
+    )
+    assert out2.count() == 1000
+    assert lineage.read_log(spark, workdir).count() == 8  # no new log rows
+
+
+def test_partial_then_resume_completes(spark, workdir):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("key"), (F.col("id") % 7).alias("value")
+    )
+    # simulate a killed job: only half the key space was processed
+    first_half = df.filter(
+        F.pmod(F.xxhash64(F.col("key")), F.lit(8)) < 4
+    )
+    lineage.checkpointed_run(
+        spark, first_half, _transform, workdir, key_col="key", stage="s1", n_parts=8
+    )
+    done_before = lineage.completed_parts(spark, workdir, "s1")
+    assert 0 < len(done_before) <= 4
+
+    out = lineage.checkpointed_run(
+        spark, df, _transform, workdir, key_col="key", stage="s1", n_parts=8
+    )
+    assert out.count() == 1000
+    assert sorted(r.doubled for r in out.collect()) == sorted(
+        (i % 7) * 2 for i in range(1000)
+    )
+    assert len(lineage.completed_parts(spark, workdir, "s1")) == 8
+
+
+def test_orphaned_data_without_log_is_rerun(spark, workdir):
+    """Data written but no log row (kill between data and marker) -> re-run."""
+    df = spark.range(0, 100).select(F.col("id").alias("key"), F.lit(1).alias("value"))
+    out = lineage.checkpointed_run(
+        spark, df, _transform, workdir, key_col="key", stage="s1", n_parts=4
+    )
+    assert out.count() == 100
+    # wipe the log (as if the marker write never happened), keep the data
+    logdir = os.path.join(workdir, "_lineage")
+    for f in os.listdir(logdir):
+        os.remove(os.path.join(logdir, f))
+    out2 = lineage.checkpointed_run(
+        spark, df, _transform, workdir, key_col="key", stage="s1", n_parts=4
+    )
+    # dynamic partition overwrite keeps it idempotent: still exactly 100 rows
+    assert out2.count() == 100
+    assert len(lineage.completed_parts(spark, workdir, "s1")) == 4

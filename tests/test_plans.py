@@ -1,0 +1,95 @@
+"""Physical-plan quality gates: pushdown, pruning, broadcast, no blob shuffle.
+
+These assertions pin the *plan shape*, not just results — the properties that
+keep the engine viable at 10^12 rows (SURVEY.md §4).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def images_path(spark, images_pdf, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "images")
+    spark.createDataFrame(images_pdf).write.parquet(p)
+    return p
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_and_column_pruning(spark, images_path):
+    df = (
+        spark.read.parquet(images_path)
+        .filter(F.col("fmt") == "deflate")
+        .select("image_id", "w", "h")
+    )
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "fmt" in plan.split("PushedFilters")[1][:200]
+    rs = plan.split("ReadSchema")[1][:250]
+    assert "bytes" not in rs, "projection must prune the blob column from the scan"
+
+
+def test_small_dim_join_is_broadcast(spark):
+    n = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    big = spark.range(0, 10000).withColumnRenamed("id", "k")
+    plan = _plan(big.join(F.broadcast(n), "k"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_zonal_plan_broadcasts_pairs_and_keeps_blobs_unshuffled(spark, images_path):
+    from rasteret_spark.operators import decode
+
+    images = spark.read.parquet(images_path)
+    pairs = spark.createDataFrame(
+        [("img-00000000", "a", bytearray(b"\x01"), 0.0, 0.0, 1.0, 1.0)],
+        "image_id string, aoi_id string, aoi_geometry binary, "
+        "aoi_xmin double, aoi_ymin double, aoi_xmax double, aoi_ymax double",
+    )
+    z = decode.zonal_stats(pairs, images.select("image_id", "bytes", "caption"))
+    plan = _plan(z)
+    assert "BroadcastHashJoin" in plan, "pairs side must broadcast"
+    # hash exchanges may only appear inside the broadcast (pairs) subtree —
+    # the blob scan side must flow into the python stage with no shuffle
+    first_exchange = plan.find("Exchange hashpartitioning")
+    bcast = plan.find("BroadcastExchange")
+    assert first_exchange == -1 or (bcast != -1 and first_exchange > bcast), (
+        "blobs must not shuffle (hash exchange outside the broadcast subtree)"
+    )
+
+
+def test_cell_join_is_native_no_python_in_candidates(spark, images_pdf, aois_pdf):
+    from rasteret_spark.operators import spatial_join as sj
+
+    img = spark.createDataFrame(
+        images_pdf[["image_id", "xmin", "ymin", "xmax", "ymax"]].rename(
+            columns={c: f"img_{c}" for c in ["xmin", "ymin", "xmax", "ymax"]}
+        )
+    )
+    aoi = spark.createDataFrame(
+        aois_pdf[["aoi_id", "xmin", "ymin", "xmax", "ymax"]].rename(
+            columns={c: f"aoi_{c}" for c in ["xmin", "ymin", "xmax", "ymax"]}
+        )
+    )
+    cands = sj.bbox_join(img, aoi, res=7)
+    plan = _optimized(cands)
+    assert "pythonUDF" not in plan and "PythonUDF" not in plan, (
+        "candidate generation must stay JVM-native"
+    )
+
+
+def test_partition_pruning_on_catalog(spark, images_pdf, tmp_path_factory):
+    from rasteret_spark.sources import catalog
+
+    p = str(tmp_path_factory.mktemp("cat") / "t")
+    catalog.write_images(spark.createDataFrame(images_pdf), p)
+    df = catalog.load_images(spark, p).filter(F.col("month") == 2)
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1][:200]
+    assert "month" in seg

@@ -47,7 +47,7 @@ def test_decode_image_stats_matches_oracle(images_df, images_pdf):
         blob = bytes(row["bytes"])
         meta = mr.parse_header(blob[: mr.header_len_from_prefix(blob[:8])])
         arr = mr.decode_full(blob).astype(np.float64)
-        valid = np.ones(arr.shape, bool) if meta.nodata is None else ~np.isclose(arr, meta.nodata)
+        valid = np.ones(arr.shape, bool) if meta.nodata is None else arr != meta.nodata
         g = got.loc[row["image_id"]]
         assert int(g["px_count"]) == arr.size
         assert int(g["valid_count"]) == int(valid.sum())
@@ -116,9 +116,11 @@ def test_point_in_bbox_join_matches_bruteforce(spark, images_pdf, points_pdf):
 
 
 def test_zonal_stats_matches_oracle(spark, images_pdf, aois_pdf):
-    img = spark.createDataFrame(
-        images_pdf.rename(columns={c: f"img_{c}" for c in ["xmin", "ymin", "xmax", "ymax"]})
+    img_light = spark.createDataFrame(
+        images_pdf[["image_id", "xmin", "ymin", "xmax", "ymax"]]
+        .rename(columns={c: f"img_{c}" for c in ["xmin", "ymin", "xmax", "ymax"]})
     )
+    images = spark.createDataFrame(images_pdf[["image_id", "bytes", "caption"]])
     aoi = spark.createDataFrame(
         aois_pdf.rename(
             columns={
@@ -127,9 +129,14 @@ def test_zonal_stats_matches_oracle(spark, images_pdf, aois_pdf):
             }
         )
     )
-    cands = sj.bbox_join(img, aoi, res=7)
-    refined = sj.refine_rect_polygon(cands).filter(F.col("intersects"))
-    got = decode.zonal_stats(refined).toPandas()
+    cands = sj.bbox_join(img_light, aoi, res=7)
+    refined = (
+        sj.refine_rect_polygon(cands)
+        .filter(F.col("intersects"))
+        .select("image_id", "aoi_id", "aoi_geometry",
+                "aoi_xmin", "aoi_ymin", "aoi_xmax", "aoi_ymax")
+    )
+    got = decode.zonal_stats(refined, images).toPandas()
 
     # oracle: brute-force pairs, exact rect-poly intersect, full decode + mask
     recs = []

@@ -28,11 +28,11 @@ def _sampling_oracle(images_pdf, points_pdf, max_ring):
                 out[key] = (False, None, False)
                 continue
             v = float(arr[row, col])
-            valid = meta.nodata is None or not np.isclose(v, meta.nodata)
+            valid = meta.nodata is None or v != meta.nodata
             if not valid and max_ring > 0 and meta.nodata is not None:
                 rr, cc = np.mgrid[0 : meta.height, 0 : meta.width]
                 cheb = np.maximum(np.abs(rr - row), np.abs(cc - col))
-                ok = (cheb >= 1) & (cheb <= max_ring) & ~np.isclose(arr.astype(float), meta.nodata)
+                ok = (cheb >= 1) & (cheb <= max_ring) & (arr.astype(float) != meta.nodata)
                 if ok.any():
                     d2 = (rr[ok] + 0.5 - fr) ** 2 + (cc[ok] + 0.5 - fc) ** 2
                     j = np.lexsort((cc[ok], rr[ok], d2))[0]
@@ -51,7 +51,7 @@ def _nodata_probe_points(images_pdf, n=6):
         if meta.nodata is None:
             continue
         arr = mr.decode_full(blob)
-        bad = np.argwhere(np.isclose(arr.astype(float), meta.nodata))
+        bad = np.argwhere(arr.astype(float) == meta.nodata)
         if not len(bad):
             continue
         r, c = bad[len(bad) // 2]
@@ -71,12 +71,16 @@ def test_sample_points_matches_oracle(spark, images_pdf, points_pdf):
     points_pdf = pd.concat(
         [points_pdf, _nodata_probe_points(images_pdf)], ignore_index=True
     )
-    img = spark.createDataFrame(
-        images_pdf.rename(columns={c: f"img_{c}" for c in ["xmin", "ymin", "xmax", "ymax"]})
+    img_light = spark.createDataFrame(
+        images_pdf[["image_id", "xmin", "ymin", "xmax", "ymax"]]
+        .rename(columns={c: f"img_{c}" for c in ["xmin", "ymin", "xmax", "ymax"]})
     )
+    images = spark.createDataFrame(images_pdf[["image_id", "bytes"]])
     pts = spark.createDataFrame(points_pdf)
-    cands = sj.point_in_bbox_join(pts, img, res=8)
-    got = sampling.sample_points(cands, max_ring=6).toPandas()
+    cands = sj.point_in_bbox_join(pts, img_light, res=8).select(
+        "point_index", "x", "y", "image_id"
+    )
+    got = sampling.sample_points(cands, images, max_ring=6).toPandas()
     want = _sampling_oracle(images_pdf, points_pdf, max_ring=6)
     assert len(got) == len(want)
     n_ring = 0
