@@ -388,6 +388,46 @@ def q24_sessionize(spark, sf_dir):
     return marked.groupBy("user_id").agg(F.sum("new_sess").alias("n_sessions"))
 
 
+def q25_first_valid_mosaic(spark, sf_dir):
+    """First-valid-precedence reduce (A7): per user, newest event with
+    value > 250 wins (explicit deterministic ordering)."""
+    from rasteret_spark.operators.mosaic import first_valid_mosaic
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id"), F.col("event_id"), F.col("ts"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("v1000"),
+        (F.col("value") > 250.0).alias("ok"),
+    )
+    out = first_valid_mosaic(
+        ev, keys=("user_id",), value_col="v1000", valid_col="ok",
+        order_col="ts", tie_break="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.col("mosaic_value").alias("v1000"),
+        F.col("winner_image_id").alias("winner_event_id"),
+    )
+
+
+def q26_chip_stack(spark, sf_dir):
+    """Time-ordered series stacking (W3): per user, the ordered value series
+    (summarized as first/last/n for a hashable output)."""
+    from rasteret_spark.operators.mosaic import chip_stack
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        F.round(F.col("value") * 1000).cast("bigint").alias("v1000"),
+    )
+    s = chip_stack(ev, keys=("user_id",), value_col="v1000",
+                   order_col="ts", tie_break="event_id")
+    return s.select(
+        "user_id",
+        F.element_at("series", 1).alias("first_v"),
+        F.element_at("series", -1).alias("last_v"),
+        F.col("n_obs"),
+    )
+
+
 # ==============================================================================
 # rows-only queries (no SQL oracle): image engine over synthetic blobs + LSH ops
 # ==============================================================================
@@ -550,6 +590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_embed_near_pairs": q22_embed_near_pairs,
         "q23_windowed_events": q23_windowed_events,
         "q24_sessionize": q24_sessionize,
+        "q25_first_valid_mosaic": q25_first_valid_mosaic,
+        "q26_chip_stack": q26_chip_stack,
         "q40_image_enrich": q40_image_enrich,
         "q41_image_zonal": q41_image_zonal,
         "q42_image_point_sample": q42_image_point_sample,
@@ -770,6 +812,26 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n,
                    SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS sum_v1000
             FROM events GROUP BY 1, 2
+        """,
+        "q25_first_valid_mosaic": """
+            SELECT user_id, v1000, winner_event_id FROM (
+                SELECT user_id,
+                       CAST(ROUND(value * 1000) AS BIGINT) AS v1000,
+                       event_id AS winner_event_id,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id ASC) AS rn
+                FROM events WHERE value > 250.0) WHERE rn = 1
+        """,
+        "q26_chip_stack": """
+            WITH s AS (
+                SELECT user_id,
+                       list(CAST(ROUND(value * 1000) AS BIGINT)
+                            ORDER BY ts ASC, event_id ASC,
+                                     CAST(ROUND(value * 1000) AS BIGINT) ASC) AS series
+                FROM events GROUP BY user_id)
+            SELECT user_id, series[1] AS first_v, series[-1] AS last_v,
+                   len(series) AS n_obs
+            FROM s
         """,
         "q24_sessionize": """
             WITH g AS (

@@ -33,8 +33,13 @@ def run_once(cpus: int) -> dict:
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=3600,
     )
-    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    lines = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
+    if not lines:
+        raise RuntimeError(
+            f"bench.py produced no JSON at cpus={cpus}; stderr tail:\n"
+            + "\n".join(out.stderr.strip().splitlines()[-15:])
+        )
+    return json.loads(lines[-1])
 
 
 REPS = int(os.environ.get("BENCH_REPS", "2"))
