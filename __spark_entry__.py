@@ -434,7 +434,7 @@ def q26_chip_stack(spark, sf_dir):
 def _images_df(spark, n=120):
     from rasteret_spark.sources import synthetic as syn
 
-    return spark.createDataFrame(syn.images_table(n).to_pandas())
+    return syn.spark_images_df(spark, n)
 
 
 def q40_image_enrich(spark, sf_dir):
@@ -543,7 +543,7 @@ def entry(spark: SparkSession) -> DataFrame:
         (F.lit(52.5) + ((F.col("event_id") % 101) - 50) * 0.002).alias("y"),
         F.col("event_type").alias("station_id"),
     )
-    images = spark.createDataFrame(syn.images_table(150).to_pandas())
+    images = syn.spark_images_df(spark, 150)
     img_light = images.select(
         "image_id",
         F.col("xmin").alias("img_xmin"), F.col("ymin").alias("img_ymin"),

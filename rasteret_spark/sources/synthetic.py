@@ -324,6 +324,19 @@ def points_table(n: int, seed: int = 42) -> pa.Table:
     return pa.Table.from_pydict(cols, schema=POINTS_SCHEMA)
 
 
+def spark_images_df(spark, n: int, seed: int = 42):
+    """Driver-side images table as a Spark DataFrame — robust to sessions
+    without Arrow enabled (explicit schema; enables Arrow conversion at
+    runtime, which is a runtime-settable conf)."""
+    try:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    except Exception:
+        pass
+    pdf = images_table(n, seed).to_pandas()
+    pdf["transform"] = pdf["transform"].map(list)
+    return spark.createDataFrame(pdf, schema=_spark_images_schema())
+
+
 # --- Spark-side distributed generation (bench scale) -------------------------
 def images_df(spark, n: int, seed: int = 42, partitions: int = 32):
     """Generate the images table distributed: id range -> mapInPandas."""
