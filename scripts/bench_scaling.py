@@ -87,6 +87,10 @@ def main() -> None:
     }
     print(json.dumps(report))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling_runs.jsonl"), "a") as f:
+        f.write(json.dumps(report) + "\n")
+    if os.environ.get("BENCH_WRITE_MD", "0") != "1":
+        return  # BASELINE.md is curated by hand from scaling_runs.jsonl
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(
             f"""# BENCH baseline — rasteret_spark engine
