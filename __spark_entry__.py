@@ -133,23 +133,24 @@ def q04_latest_order_per_customer(spark, sf_dir):
 
 
 def q05_asof_event_before_order(spark, sf_dir):
+    """Backward as-of via the union-merge operator (one key shuffle, |L|+|R|
+    rows, NO range-join pair explosion)."""
+    from rasteret_spark.operators.asof import asof_join
+
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
-    ev = _t(spark, sf_dir, "events").select(
-        F.col("user_id").alias("k"), F.col("ts").alias("ets"), "event_id"
-    )
     o = o.select("o_orderkey", (F.col("o_custkey") % 150).alias("k"),
                  F.col("o_orderdate").alias("ots"))
     # as-of backward on a shifted clock: event ts minus 29 years aligns ranges
-    ev = ev.withColumn("ets_adj", F.col("ets") - F.expr("INTERVAL 29 YEARS"))
-    j = o.join(ev, "k", "left").filter(F.col("ets_adj") <= F.col("ots"))
-    w = Window.partitionBy("o_orderkey").orderBy(
-        F.col("ets_adj").desc(), F.col("event_id").desc()
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        (F.col("ts") - F.expr("INTERVAL 29 YEARS")).alias("ets_adj"),
+        "event_id",
     )
-    return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("o_orderkey", "event_id")
+    out = asof_join(
+        o, ev, key="k", left_ts="ots", right_ts="ets_adj",
+        direction="backward", right_cols=["event_id"], tie_break="event_id",
     )
+    return out.select("o_orderkey", "event_id")
 
 
 def q06_extent(spark, sf_dir):
@@ -608,10 +609,12 @@ def oracle_sql() -> dict[str, str]:
     pb = _PART_BOXES_SQL
     return {
         "q01_pricing_summary": """
+            -- outer CASTs: DuckDB SUM(BIGINT) yields HUGEINT which pandas
+            -- renders float64 -> driver value-hash mismatch vs Spark int64
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-                   SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
                    COUNT(*) AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
             GROUP BY l_returnflag, l_linestatus
@@ -668,7 +671,7 @@ def oracle_sql() -> dict[str, str]:
         "q09_topk_parts_by_revenue": """
             SELECT l_partkey, p_name, rev_cents FROM (
                 SELECT l_partkey,
-                       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS rev_cents
+                       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents
                 FROM lineitem GROUP BY l_partkey) r
             JOIN part ON l_partkey = p_partkey
             ORDER BY rev_cents DESC, l_partkey ASC LIMIT 10
@@ -676,7 +679,7 @@ def oracle_sql() -> dict[str, str]:
         "q10_running_totals": """
             SELECT o_custkey, o_orderkey,
                    ROW_NUMBER() OVER w AS rn,
-                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS cum_cents
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS cum_cents
             FROM orders WHERE o_custkey < 50
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
         """,
@@ -713,7 +716,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q14_zonal_value_stats": f"""
             SELECT p_partkey, COUNT(*) AS n_points,
-                   SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS sum_v1000
+                   CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS sum_v1000
             FROM ({ep}) pts JOIN ({pb}) b
               ON pts.x >= b.img_xmin AND pts.x <= b.img_xmax
              AND pts.y >= b.img_ymin AND pts.y <= b.img_ymax
@@ -739,9 +742,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q17_token_stats": """
             SELECT lang,
-                   SUM(CASE WHEN length(trim(text)) = 0 THEN 0
-                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS sum_tokens,
-                   SUM(n_chars) AS sum_chars, COUNT(*) AS n_docs
+                   CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS sum_tokens,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars, COUNT(*) AS n_docs
             FROM documents GROUP BY lang
         """,
         "q18_lang_id": """
@@ -810,7 +813,7 @@ def oracle_sql() -> dict[str, str]:
         "q23_windowed_events": """
             SELECT date_trunc('hour', ts) AS hour_ts, event_type,
                    COUNT(*) AS n,
-                   SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS sum_v1000
+                   CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS sum_v1000
             FROM events GROUP BY 1, 2
         """,
         "q25_first_valid_mosaic": """
@@ -841,6 +844,6 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END AS new_sess
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
-            SELECT user_id, SUM(new_sess) AS n_sessions FROM g GROUP BY user_id
+            SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions FROM g GROUP BY user_id
         """,
     }

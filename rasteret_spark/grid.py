@@ -126,13 +126,16 @@ def ring_distance(cell_a, cell_b) -> np.ndarray:
 
 
 def cover_bbox(xmin: float, ymin: float, xmax: float, ymax: float, res: int) -> np.ndarray:
-    """All cells at ``res`` intersecting the bbox (inclusive of edges)."""
+    """All cells at ``res`` intersecting the bbox (inclusive of edges).
+
+    No epsilon shrink on the max edge: containment predicates downstream are
+    closed (x <= xmax), so a max edge exactly on a cell boundary must include
+    the boundary cell (matches ``spatial_join._ix_col`` semantics)."""
     n = np.int64(1) << res
-    eps = 1e-12
     ix0 = int(np.clip(np.floor((xmin + 180.0) / 360.0 * n), 0, n - 1))
-    ix1 = int(np.clip(np.floor((xmax + 180.0 - eps) / 360.0 * n), 0, n - 1))
+    ix1 = int(np.clip(np.floor((xmax + 180.0) / 360.0 * n), 0, n - 1))
     iy0 = int(np.clip(np.floor((ymin + 90.0) / 180.0 * n), 0, n - 1))
-    iy1 = int(np.clip(np.floor((ymax + 90.0 - eps) / 180.0 * n), 0, n - 1))
+    iy1 = int(np.clip(np.floor((ymax + 90.0) / 180.0 * n), 0, n - 1))
     ix1 = max(ix1, ix0)
     iy1 = max(iy1, iy0)
     ixs, iys = np.meshgrid(np.arange(ix0, ix1 + 1), np.arange(iy0, iy1 + 1))

@@ -42,29 +42,71 @@ def asof_join(
     right_ts: str,
     direction: str = "backward",
     right_cols: Sequence[str] | None = None,
-    left_id: str | None = None,
+    tie_break: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right_ts <= left_ts`` (backward) or earliest with ``>=`` (forward),
-    per ``key``.  Implemented as equi-join on key + range predicate + window
-    dedup over the left row identity — shuffles once on ``key``; AQE picks
-    broadcast when the right side is small."""
-    if left_id is None:
-        left = left.withColumn("_lid", F.monotonically_increasing_id())
-        left_id = "_lid"
+    per ``key`` — left rows with no match keep nulls (left-join semantics).
+
+    Union-merge plan (NOT an equi-join + range filter): tag both sides, union
+    on (key, ts), and take ``last(right_payload, ignorenulls)`` over a
+    rows-between-unbounded-preceding window per key ordered by ts.  Exactly
+    ONE shuffle on ``key`` and |L|+|R| intermediate rows — a hot key with
+    many left and right rows never materializes the |L|x|R| pair explosion
+    the naive range-join plan produces (the reference's J3 winner-selection-
+    before-expansion insight, `src/rasteret/core/point_sampling.py:350-514`).
+
+    Ordering rule: right rows sort BEFORE left rows at equal ts (inclusive
+    <=/>=); among right rows at the same ts the one with the greatest
+    ``tie_break`` wins for backward (smallest for forward) — deterministic
+    when ``tie_break`` is a right-side unique column.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction}")
+    payload_cols = list(
+        right_cols
+        if right_cols is not None
+        else [c for c in right.columns if c not in (key, right_ts)]
+    )
+    clash = [c for c in payload_cols if c in left.columns]
+    if clash:
+        raise ValueError(
+            f"right_cols {clash} collide with left columns — alias them first"
+        )
     rsel = right.select(
-        F.col(key).alias("_rkey"),
-        F.col(right_ts).alias("_rts"),
-        *[F.col(c).alias(c) for c in (right_cols or [c for c in right.columns if c not in (key,)])],
+        F.col(key).alias(key),
+        F.col(right_ts).cast(left.schema[left_ts].dataType).alias("_ts"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("_payload"),
+        F.lit(0).alias("_side"),  # right sorts before left at equal ts
+        (F.col(tie_break) if tie_break else F.lit(0)).alias("_tie"),
     )
-    cond = (F.col(key) == F.col("_rkey")) & (
-        (F.col("_rts") <= F.col(left_ts))
-        if direction == "backward"
-        else (F.col("_rts") >= F.col(left_ts))
+    lsel = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(left_ts).alias("_ts"),
+        F.lit(None).cast(rsel.schema["_payload"].dataType).alias("_payload"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(rsel.schema["_tie"].dataType).alias("_tie"),
     )
-    j = left.join(rsel, cond, "left")
-    order = F.col("_rts").desc() if direction == "backward" else F.col("_rts").asc()
-    w = Window.partitionBy(F.col(left_id)).orderBy(order)
-    out = j.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
-    drop = ["_rn", "_rkey", "_rts"] + (["_lid"] if left_id == "_lid" else [])
-    return out.drop(*drop)
+    missing = [
+        F.lit(None).cast(left.schema[c].dataType).alias(c)
+        for c in left.columns
+        if c != key
+    ]
+    rsel = rsel.select(key, *missing, "_ts", "_payload", "_side", "_tie")
+
+    if direction == "backward":
+        order = [F.col("_ts").asc(), F.col("_side").asc(), F.col("_tie").asc()]
+    else:  # forward: flip time so "last right at or before" = earliest at/after
+        order = [F.col("_ts").desc(), F.col("_side").asc(), F.col("_tie").desc()]
+    w = (
+        Window.partitionBy(F.col(key))
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = lsel.unionByName(rsel).withColumn(
+        "_match", F.last(F.col("_payload"), ignorenulls=True).over(w)
+    )
+    out = merged.filter(F.col("_side") == 1)
+    for c in payload_cols:
+        out = out.withColumn(c, F.col("_match")[c])
+    return out.drop("_ts", "_payload", "_side", "_tie", "_match")

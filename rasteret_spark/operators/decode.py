@@ -229,8 +229,12 @@ def zonal_stats(
                         valid = inside
                         if meta.nodata is not None:
                             # exact equality — nodata masking parity with the
-                            # reference (mask = arr == nodata, no tolerance)
-                            valid = valid & (arr != np.asarray(meta.nodata).astype(arr.dtype))
+                            # reference (mask = arr == nodata, no tolerance);
+                            # NaN nodata needs isnan (NaN != NaN keeps all)
+                            if np.isnan(meta.nodata):
+                                valid = valid & ~np.isnan(arr.astype(np.float64))
+                            else:
+                                valid = valid & (arr != np.asarray(meta.nodata).astype(arr.dtype))
                         v = arr[valid].astype(np.float64)
                         rec.update(
                             px_count=int(inside.sum()),
@@ -265,7 +269,10 @@ def zonal_oracle_row(image_row: dict, aoi_row: dict) -> dict:
     vals = arr.astype(np.float64)
     valid = inside
     if meta.nodata is not None:
-        valid = valid & (vals != meta.nodata)
+        if np.isnan(meta.nodata):
+            valid = valid & ~np.isnan(vals)
+        else:
+            valid = valid & (vals != meta.nodata)
     v = vals[valid]
     return {
         "image_id": image_row["image_id"],

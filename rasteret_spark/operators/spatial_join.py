@@ -63,19 +63,23 @@ def cell_of_point_col(lon: Column, lat: Column, res: int) -> Column:
 
 
 def _ix_col(x: Column, res: int, is_max: bool) -> Column:
+    # NOTE: no epsilon shrink on the max edge.  The containment predicate is
+    # closed (x <= xmax), so a point lying exactly on a cell boundary that is
+    # also the bbox max edge must still find the cover cell containing it —
+    # shrinking by eps dropped those matches.  Cost is at most one extra
+    # candidate cell per axis; canonical-cell dedup and the exact refine
+    # filter keep the output identical otherwise.
     n = _n(res)
-    eps = F.lit(1e-12) if is_max else F.lit(0.0)
     return F.least(
-        F.greatest(F.floor((x + F.lit(180.0) - eps) / F.lit(360.0) * F.lit(float(n))), F.lit(0)),
+        F.greatest(F.floor((x + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n))), F.lit(0)),
         F.lit(n - 1),
     )
 
 
 def _iy_col(y: Column, res: int, is_max: bool) -> Column:
     n = _n(res)
-    eps = F.lit(1e-12) if is_max else F.lit(0.0)
     return F.least(
-        F.greatest(F.floor((y + F.lit(90.0) - eps) / F.lit(180.0) * F.lit(float(n))), F.lit(0)),
+        F.greatest(F.floor((y + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n))), F.lit(0)),
         F.lit(n - 1),
     )
 

@@ -46,7 +46,14 @@ def stream_sample_points(
     max_ring: int = 2,
 ):
     """Continuously sample a static probe-point table against arriving
-    images; parquet sink, per-batch exactly-once."""
+    images; parquet sink.
+
+    Exactly-once: ``foreachBatch`` alone is at-least-once (a crash between the
+    data append and the checkpoint commit replays the batch), so each batch
+    writes to an epoch-keyed partition directory with dynamic-partition
+    OVERWRITE — a replayed epoch overwrites its own output instead of
+    appending duplicates, making the sink idempotent and therefore
+    effectively exactly-once."""
     from rasteret_spark.operators import sampling, spatial_join as sj
 
     points = points.persist()
@@ -63,7 +70,18 @@ def stream_sample_points(
         out = sampling.sample_points(
             cands, batch_df.select("image_id", "bytes"), max_ring=max_ring
         )
-        out.write.mode("append").parquet(out_path)
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                out.withColumn("epoch", F.lit(int(epoch_id)))
+                .write.partitionBy("epoch")
+                .mode("overwrite")
+                .parquet(out_path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     return (
         image_stream.writeStream.foreachBatch(process)

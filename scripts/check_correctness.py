@@ -38,6 +38,14 @@ def compare(got: pd.DataFrame, want: pd.DataFrame) -> str:
     g, w = normalize(got), normalize(want)
     for c in g.columns:
         gv, wv = g[c].to_numpy(), w[c].to_numpy()
+        # the driver's value-hash is dtype-sensitive: Spark int64 vs oracle
+        # float64 (DuckDB HUGEINT->pandas float) hash-mismatches even when
+        # every value is equal — treat cross-kind numeric columns as failures
+        if (
+            np.issubdtype(gv.dtype, np.integer) != np.issubdtype(wv.dtype, np.integer)
+            and (np.issubdtype(gv.dtype, np.number) and np.issubdtype(wv.dtype, np.number))
+        ):
+            return f"DTYPE col={c} {gv.dtype} vs {wv.dtype}"
         if np.issubdtype(gv.dtype, np.floating) or np.issubdtype(wv.dtype, np.floating):
             if not np.allclose(
                 gv.astype(float), wv.astype(float), rtol=1e-9, atol=1e-12, equal_nan=True

@@ -128,17 +128,20 @@ def test_asof_join_matches_merge_asof(spark):
             "payload": rng.random(40),
         }
     )
+    out = asof.asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        key="key",
+        left_ts="lts",
+        right_ts="rts",
+        right_cols=["payload"],
+    )
+    # union-merge plan shape: the only wide exchange is the key shuffle —
+    # there is NO join operator at all (no |L|x|R| pair explosion possible)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
     got = (
-        asof.asof_join(
-            spark.createDataFrame(left),
-            spark.createDataFrame(right),
-            key="key",
-            left_ts="lts",
-            right_ts="rts",
-            right_cols=["payload"],
-            left_id="lid",
-        )
-        .select("lid", "payload")
+        out.select("lid", "payload")
         .toPandas()
         .sort_values("lid")
         .reset_index(drop=True)
@@ -157,6 +160,45 @@ def test_asof_join_matches_merge_asof(spark):
     both = ~(np.isnan(got_np) | np.isnan(want_np))
     assert (np.isnan(got_np) == np.isnan(want_np)).all()
     assert np.allclose(got_np[both], want_np[both])
+
+
+def test_asof_join_forward_matches_merge_asof(spark):
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame(
+        {"key": rng.integers(0, 4, 50), "lts": rng.integers(0, 500, 50),
+         "lid": np.arange(50)}
+    )
+    right = pd.DataFrame(
+        {"key": rng.integers(0, 4, 30), "rts": rng.integers(0, 500, 30),
+         "payload": rng.random(30)}
+    )
+    got = (
+        asof.asof_join(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            key="key", left_ts="lts", right_ts="rts",
+            direction="forward", right_cols=["payload"],
+        )
+        .select("lid", "payload").toPandas()
+        .sort_values("lid").reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("lts"),
+        right.sort_values("rts").rename(columns={"rts": "lts"}),
+        on="lts", by="key", direction="forward",
+    ).sort_values("lid").reset_index(drop=True)
+    g, w = got["payload"].to_numpy(), want["payload"].to_numpy()
+    both = ~(np.isnan(g) | np.isnan(w))
+    assert (np.isnan(g) == np.isnan(w)).all()
+    assert np.allclose(g[both], w[both])
+
+
+def test_asof_join_rejects_colliding_right_cols(spark):
+    left = spark.createDataFrame(pd.DataFrame({"k": [1], "ts": [1], "v": [1.0]}))
+    right = spark.createDataFrame(pd.DataFrame({"k": [1], "rts": [0], "v": [2.0]}))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collide"):
+        asof.asof_join(left, right, key="k", left_ts="ts", right_ts="rts")
 
 
 # --- kNN ------------------------------------------------------------------------
