@@ -143,6 +143,32 @@ def pixel_axes_lonlat(
     return lon, lat
 
 
+BROADCAST_PAIRS_CONF = "spark.rasteret.broadcastPairsLimit"
+BROADCAST_PAIRS_DEFAULT = 5_000_000
+
+
+def choose_broadcast(pairs: DataFrame, explicit: bool | None) -> bool:
+    """Broadcast-vs-shuffle decision for the grouped probe side.
+
+    The grouped side's broadcast payload is one struct per candidate pair, so
+    the guard bounds the PAIR count: at or below the limit (conf
+    ``spark.rasteret.broadcastPairsLimit``, default 5M pairs ~ a few hundred
+    MB) the grouped side broadcasts and blobs never shuffle; above it the
+    plan switches to a shuffle join on image_id, which scales to 10^9+ pairs
+    where an unconditional broadcast would blow the driver.  The probe count
+    uses ``limit(n+1).count()`` so the scan short-circuits at the bound
+    instead of counting the world.  ``explicit`` (True/False) overrides.
+    """
+    if explicit is not None:
+        return explicit
+    spark = pairs.sparkSession
+    try:
+        limit = int(spark.conf.get(BROADCAST_PAIRS_CONF))
+    except Exception:
+        limit = BROADCAST_PAIRS_DEFAULT
+    return pairs.limit(limit + 1).count() <= limit
+
+
 def _decode_parallelism(df: DataFrame, parallelism: int | None) -> int:
     """Decode stages are compute-bound, not byte-bound: AQE's size-based
     partition coalescing would pack a whole image table (tiny in bytes,
@@ -157,7 +183,7 @@ def zonal_stats(
     pairs: DataFrame,
     images: DataFrame,
     parallelism: int | None = None,
-    broadcast_pairs: bool = True,
+    broadcast_pairs: bool | None = None,
 ) -> DataFrame:
     """Zonal extraction with scale-aware dataflow.
 
@@ -182,11 +208,11 @@ def zonal_stats(
     )
     has_meta = "meta" in images.columns
     cols = ["image_id", "bytes", "caption"] + (["meta"] if has_meta else [])
-    if broadcast_pairs:
-        # the grouped AOI side is tiny next to the blobs: broadcast it so the
-        # decode fuses with the image scan — blobs NEVER shuffle.  (At extreme
-        # AOI cardinality pass broadcast_pairs=False: shuffle join on
-        # image_id + explicit repartition instead.)
+    if choose_broadcast(pairs, broadcast_pairs):
+        # the grouped AOI side is small next to the blobs (guarded by
+        # choose_broadcast): broadcast it so the decode fuses with the image
+        # scan — blobs NEVER shuffle.  Above the pair bound the plan
+        # switches to the shuffle join below automatically.
         src = images.select(*cols).join(F.broadcast(agg), "image_id")
     else:
         src = images.select(*cols).join(agg, "image_id")

@@ -147,26 +147,48 @@ def ngram_jaccard_pairs(
 
 # --- simhash -------------------------------------------------------------------
 def simhash_udf():
-    """64-bit simhash of whitespace tokens (numpy bit-majority, Arrow batched)."""
+    """64-bit simhash of whitespace tokens (Arrow batched, numpy-vectorized).
+
+    The FNV-1a token hash is computed for ALL tokens of the batch at once:
+    tokens are padded into one byte matrix and the FNV recurrence loops over
+    BYTE POSITIONS (bounded by the longest token), each step a vectorized
+    uint64 xor/multiply across every token — no per-token Python.  Bit
+    matrices and the per-document majority vote are a single ``reduceat``
+    over document boundaries.  Output is bit-identical to the scalar
+    ``hash64_str`` path (pinned by the pigeonhole-exact test)."""
 
     @F.pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = [w for w in (t or "").lower().split() if w]
-            if not toks:
-                continue
-            hs = np.array(
-                [np.int64(hash64_str(w)) for w in toks], dtype=np.int64
-            ).astype(np.uint64)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-                np.int64
-            )
-            votes = (2 * bits - 1).sum(axis=0)
-            v = np.uint64(0)
-            for bpos in np.nonzero(votes > 0)[0]:
-                v |= np.uint64(1) << np.uint64(bpos)
-            out[i] = np.int64(v.astype(np.int64))
+        n = len(texts)
+        out = np.zeros(n, dtype=np.int64)
+        tok_lists = [(t or "").lower().split() for t in texts]
+        counts = np.array([len(tl) for tl in tok_lists], dtype=np.int64)
+        toks = [w.encode("utf-8") for tl in tok_lists for w in tl]
+        if not toks:
+            return pd.Series(out)
+        lens = np.array([len(b) for b in toks], dtype=np.int64)
+        maxlen = int(lens.max())
+        m = np.zeros((len(toks), maxlen), dtype=np.uint64)
+        for i, b in enumerate(toks):
+            m[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+        h = np.full(len(toks), 0xCBF29CE484222325, dtype=np.uint64)
+        prime = np.uint64(0x100000001B3)
+        for j in range(maxlen):  # loop bound = longest token, not token count
+            active = lens > j
+            h[active] = (h[active] ^ m[active, j]) * prime  # uint64 wraps
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.int64
+        )
+        votes_tok = 2 * bits - 1
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        nonempty = counts > 0
+        doc_votes = np.add.reduceat(votes_tok, starts[nonempty], axis=0)
+        weights = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+        vals = ((doc_votes > 0).astype(np.uint64) * weights).sum(
+            axis=1, dtype=np.uint64
+        )
+        out[nonempty] = vals.view(np.int64)
         return pd.Series(out)
 
     return _simhash

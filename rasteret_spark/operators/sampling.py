@@ -122,19 +122,20 @@ def sample_points(
     images: DataFrame,
     max_ring: int = 0,
     parallelism: int | None = None,
-    broadcast_points: bool = True,
+    broadcast_points: bool | None = None,
 ) -> DataFrame:
     """``candidates``: light output of ``point_in_bbox_join``
     (point_index, x, y, image_id — NO bytes).  ``images``: (image_id, bytes).
     Returns SAMPLES_SCHEMA rows, one per candidate pair."""
-    from rasteret_spark.operators.decode import _decode_parallelism
+    from rasteret_spark.operators.decode import _decode_parallelism, choose_broadcast
 
     agg = candidates.groupBy("image_id").agg(
         F.collect_list(F.struct("point_index", "x", "y")).alias("_pts")
     )
-    if broadcast_points:
-        # grouped probe side is tiny next to the blobs: broadcast it so the
-        # sampling stage fuses with the image scan (no blob shuffle)
+    if choose_broadcast(candidates, broadcast_points):
+        # grouped probe side is small next to the blobs (size-guarded):
+        # broadcast it so the sampling stage fuses with the image scan (no
+        # blob shuffle); above the pair bound: shuffle join on image_id
         src = images.select("image_id", "bytes").join(F.broadcast(agg), "image_id")
     else:
         src = images.select("image_id", "bytes").join(agg, "image_id")

@@ -9,13 +9,19 @@ with a Spark-native protocol:
   * rows are bucketed by a deterministic ``part_id`` (hash of a stable key);
   * stage output is written as parquet partitioned by ``part_id``, dynamic
     partition overwrite ON, so re-processing a partition is idempotent;
+  * per-partition metrics (rows_out, wall_s) are emitted FROM THE STAGE
+    ITSELF: a pass-through instrumentation stage counts rows per bucket and
+    measures task wall time into a Spark accumulator — no post-hoc re-read
+    of the output;
   * the checkpoint LOG (one row per completed partition: stage, part_id,
-    rows_out, wall_s, completed_at) is itself a small parquet table; a
+    rows_out, wall_s, completed_at) is itself a small json table; a
     partition counts as done only when its log row exists — the log row is
     written AFTER the data, so a kill between the two re-runs that partition;
+  * completion is logged for every part_id PRESENT IN THE TODO INPUT
+    (collected before the write), so a bucket whose transform legitimately
+    produces zero rows gets a rows_out=0 log row and resume converges
+    instead of re-processing it forever;
   * resume = anti-join the input's part ids against the log.
-
-Driver-visible metrics per stage land in the same log table.
 """
 
 from __future__ import annotations
@@ -23,12 +29,28 @@ from __future__ import annotations
 import json
 import os
 import time
-from collections.abc import Callable
+from collections.abc import Callable, Iterator
 
+from pyspark import AccumulatorParam
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: N812
 
 LOG_SCHEMA = "stage string, part_id int, rows_out bigint, wall_s double, completed_at string"
+
+
+class _PartMetricsParam(AccumulatorParam):
+    """dict[part_id -> (rows, wall_s)]: rows add up across tasks; wall is the
+    max over the tasks that touched the bucket (the bucket is only complete
+    when its slowest contributing task is)."""
+
+    def zero(self, value):  # noqa: ANN001
+        return {}
+
+    def addInPlace(self, a, b):  # noqa: ANN001
+        for k, (rows, wall) in b.items():
+            r0, w0 = a.get(k, (0, 0.0))
+            a[k] = (r0 + rows, max(w0, wall))
+        return a
 
 
 def _log_dir(out_dir: str) -> str:
@@ -73,38 +95,50 @@ def checkpointed_run(
     done = completed_parts(spark, out_dir, stage)
     todo = bucketed.filter(~F.col("part_id").isin(list(done))) if done else bucketed
 
-    if not todo.isEmpty():
-        t0 = time.time()
+    # the completion contract is over the INPUT's buckets (collected before
+    # the write): a bucket with zero output rows still completes
+    todo_ids = sorted(
+        int(r.part_id) for r in todo.select("part_id").distinct().collect()
+    )
+    if todo_ids:
         result = transform(todo)
         if "part_id" not in result.columns:
             raise ValueError("transform must preserve the part_id column")
+
+        acc = spark.sparkContext.accumulator({}, _PartMetricsParam())
+
+        def _instrument(batches: Iterator) -> Iterator:
+            t0 = time.time()
+            local: dict[int, int] = {}
+            for pdf in batches:
+                for pid, cnt in pdf["part_id"].value_counts().items():
+                    local[int(pid)] = local.get(int(pid), 0) + int(cnt)
+                yield pdf
+            wall = time.time() - t0
+            acc.add({k: (v, wall) for k, v in local.items()})
+
+        instrumented = result.mapInPandas(_instrument, schema=result.schema)
         with_dyn = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            result.write.partitionBy("part_id").mode("overwrite").parquet(data_dir)
+            instrumented.write.partitionBy("part_id").mode("overwrite").parquet(data_dir)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", with_dyn)
-        wall = time.time() - t0
         # log rows AFTER data is durably written (kill-safe ordering)
-        counts = (
-            spark.read.parquet(data_dir)
-            .groupBy("part_id")
-            .count()
-            .collect()
-        )
+        metrics = dict(acc.value)
         now = time.strftime("%Y-%m-%dT%H:%M:%S")
-        new_parts = {int(r.part_id) for r in counts} - done
-        rows = [
-            {
-                "stage": stage,
-                "part_id": int(r.part_id),
-                "rows_out": int(r["count"]),
-                "wall_s": round(wall, 3),
-                "completed_at": now,
-            }
-            for r in counts
-            if int(r.part_id) in new_parts
-        ]
+        rows = []
+        for pid in todo_ids:
+            rows_out, wall = metrics.get(pid, (0, 0.0))
+            rows.append(
+                {
+                    "stage": stage,
+                    "part_id": pid,
+                    "rows_out": int(rows_out),
+                    "wall_s": round(float(wall), 3),
+                    "completed_at": now,
+                }
+            )
         fname = os.path.join(_log_dir(out_dir), f"{stage}-{int(time.time() * 1000)}.json")
         tmp = os.path.join(out_dir, f".{stage}.log.tmp")  # outside the log dir
         with open(tmp, "w") as f:

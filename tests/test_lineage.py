@@ -61,6 +61,46 @@ def test_partial_then_resume_completes(spark, workdir):
     assert len(lineage.completed_parts(spark, workdir, "s1")) == 8
 
 
+def test_empty_output_bucket_still_completes(spark, workdir):
+    """A bucket whose transform legitimately yields zero rows must get a
+    rows_out=0 log row (otherwise resume re-processes it forever)."""
+    df = spark.range(0, 400).select(
+        F.col("id").alias("key"), (F.col("id") % 7).alias("value")
+    )
+
+    def drop_some(d):
+        # empties whole buckets deterministically (part_id-dependent filter)
+        return d.filter(F.col("part_id") % 2 == 0).withColumn(
+            "doubled", F.col("value") * 2
+        )
+
+    lineage.checkpointed_run(
+        spark, df, drop_some, workdir, key_col="key", stage="s1", n_parts=8
+    )
+    log = lineage.read_log(spark, workdir).toPandas()
+    assert len(log) == 8, "every input bucket must log, including empty ones"
+    assert (log["rows_out"] == 0).any() and (log["rows_out"] > 0).any()
+    # resume is a no-op: no new log rows, empty buckets not re-processed
+    lineage.checkpointed_run(
+        spark, df, drop_some, workdir, key_col="key", stage="s1", n_parts=8
+    )
+    assert lineage.read_log(spark, workdir).count() == 8
+
+
+def test_log_carries_per_partition_wall(spark, workdir):
+    df = spark.range(0, 500).select(
+        F.col("id").alias("key"), (F.col("id") % 5).alias("value")
+    )
+    lineage.checkpointed_run(
+        spark, df, _transform, workdir, key_col="key", stage="s1", n_parts=4
+    )
+    log = lineage.read_log(spark, workdir).toPandas()
+    assert len(log) == 4
+    assert (log["wall_s"] >= 0).all()
+    # per-partition, not one stage-level number: rows_out varies per bucket
+    assert log["rows_out"].sum() == 500
+
+
 def test_orphaned_data_without_log_is_rerun(spark, workdir):
     """Data written but no log row (kill between data and marker) -> re-run."""
     df = spark.range(0, 100).select(F.col("id").alias("key"), F.lit(1).alias("value"))

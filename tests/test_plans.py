@@ -63,6 +63,49 @@ def test_zonal_plan_broadcasts_pairs_and_keeps_blobs_unshuffled(spark, images_pa
     )
 
 
+def test_broadcast_guard_switches_at_bound_with_identical_output(spark, images_pdf, points_pdf):
+    """choose_broadcast: default path broadcasts below the pair bound and
+    switches to the shuffle join above it; both plans produce identical rows."""
+    from rasteret_spark.operators import decode, sampling, spatial_join as sj
+
+    images = spark.createDataFrame(images_pdf)
+    img_light = images.select(
+        "image_id",
+        F.col("xmin").alias("img_xmin"), F.col("ymin").alias("img_ymin"),
+        F.col("xmax").alias("img_xmax"), F.col("ymax").alias("img_ymax"),
+    )
+    pts = spark.createDataFrame(points_pdf)
+    cands = sj.point_in_bbox_join(pts, img_light, res=8).select(
+        "point_index", "x", "y", "image_id"
+    )
+    blobs = images.select("image_id", "bytes")
+    assert decode.choose_broadcast(cands, None) is True  # small input
+    prev = spark.conf.get(decode.BROADCAST_PAIRS_CONF, None)
+    spark.conf.set(decode.BROADCAST_PAIRS_CONF, "1")  # force above-bound
+    try:
+        assert decode.choose_broadcast(cands, None) is False
+        shuffled = sampling.sample_points(cands, blobs, max_ring=2)
+        # above the bound: no broadcast HINT — AQE may still pick broadcast
+        # for a genuinely tiny side, but the plan must carry the explicit
+        # image_id repartition of the shuffle path
+        opt = _optimized(shuffled)
+        assert "strategy=broadcast" not in opt, opt
+        assert "REPARTITION_BY_NUM" in _plan(shuffled)
+        got_shuffle = shuffled.toPandas()
+    finally:
+        if prev is None:
+            spark.conf.unset(decode.BROADCAST_PAIRS_CONF)
+        else:
+            spark.conf.set(decode.BROADCAST_PAIRS_CONF, prev)
+    bcast = sampling.sample_points(cands, blobs, max_ring=2)
+    assert "strategy=broadcast" in _optimized(bcast)
+    got_bcast = bcast.toPandas()
+    key = ["point_index", "image_id"]
+    a = got_bcast.sort_values(key).reset_index(drop=True)
+    b = got_shuffle.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_cell_join_is_native_no_python_in_candidates(spark, images_pdf, aois_pdf):
     from rasteret_spark.operators import spatial_join as sj
 

@@ -221,12 +221,16 @@ def test_knn_cells_matches_bruteforce(spark):
     )
     tdf = spark.createDataFrame(targets)
     pdf = spark.createDataFrame(probes)
+    stats: dict = {}
     got = (
-        knn.knn_cells(pdf, tdf, k=3, res=6)
+        knn.knn_cells(pdf, tdf, k=3, res=6, stats=stats)
         .toPandas()
         .sort_values(["point_index", "rank"])
         .reset_index(drop=True)
     )
+    # bounded expansion: ring doubles from 1 and is capped at n/4=16 ->
+    # at most 5 rounds (1,2,4,8,16) before the brute-force fallback
+    assert 1 <= stats["rounds"] <= 5, stats
     want = (
         knn.knn_bruteforce(pdf, tdf, k=3)
         .toPandas()
@@ -236,3 +240,30 @@ def test_knn_cells_matches_bruteforce(spark):
     assert len(got) == len(want) == 40 * 3
     assert (got["target_id"].to_numpy() == want["target_id"].to_numpy()).all()
     np.testing.assert_allclose(got["dist2"].to_numpy(), want["dist2"].to_numpy())
+
+
+def test_knn_cells_rounds_are_checkpointed_not_reexecuted(spark):
+    """Per-round results read from localCheckpoint'd RDDs: the final plan
+    must contain no cell joins at all (lineage truncated), so actions on the
+    result can never re-execute earlier rounds' joins."""
+    rng = np.random.default_rng(5)
+    targets = spark.createDataFrame(
+        pd.DataFrame({"target_id": [f"t{i}" for i in range(80)],
+                      "tx": rng.normal(13, 0.3, 80), "ty": rng.normal(52, 0.3, 80)})
+    )
+    probes = spark.createDataFrame(
+        pd.DataFrame({"point_index": np.arange(10),
+                      "x": rng.normal(13, 0.3, 10), "y": rng.normal(52, 0.3, 10)})
+    )
+    stats: dict = {}
+    out = knn.knn_cells(probes, targets, k=2, res=6, stats=stats)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    if stats["bruteforced"] == 0:
+        # lineage truncated at the per-round checkpoint: the ring-cell
+        # explode (Generate) and the cell equi-join are gone from the final
+        # plan — only the cheap semi-join split of the checkpointed topk
+        # remains, so actions cannot re-execute the expansion rounds
+        assert "Generate" not in plan, plan
+        assert "= cell" not in plan and "cell#" not in plan, plan
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
+    assert out.count() == 10 * 2
