@@ -526,6 +526,116 @@ def q47_lsh_ann(spark, sf_dir):
     return lsh_topk(emb, probes, k=3, dim=64, n_bits=4, n_tables=8)
 
 
+def _chips_df(spark, n=9):
+    """Deterministic chip grid over the densest image hotspot."""
+    import pandas as pd
+
+    rows = [
+        {
+            "chip_id": f"chip-{j:03d}",
+            "chip_xmin": 13.35 + (j % 3) * 0.035,
+            "chip_ymax": 52.55 - (j // 3) * 0.035,
+            "chip_xres": 0.001,
+            "chip_yres": 0.001,
+            "chip_w": 32,
+            "chip_h": 32,
+        }
+        for j in range(n)
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def _chip_pairs(spark):
+    from rasteret_spark.operators import raster_mosaic as rmo
+
+    images = _images_df(spark)
+    img_light = images.select(
+        "image_id",
+        F.col("xmin").alias("img_xmin"), F.col("ymin").alias("img_ymin"),
+        F.col("xmax").alias("img_xmax"), F.col("ymax").alias("img_ymax"),
+    )
+    return rmo.chip_candidates(
+        _chips_df(spark), img_light, images.select("image_id", "datetime", "bytes"),
+        res=7,
+    )
+
+
+def q48_image_mosaic(spark, sf_dir):
+    """Pixel-level first-valid mosaic per chip (A7 on real pixels): decode ->
+    nearest-reproject onto the chip grid -> newest-first per-pixel composite.
+    Pinned bit-exact by tests/test_raster_mosaic.py against a full-decode
+    oracle, including mosaic order-invariance."""
+    from rasteret_spark.operators import raster_mosaic as rmo
+
+    out = rmo.first_valid_mosaic_pixels(_chip_pairs(spark), bands=(0, 1))
+    return out.select(
+        "chip_id", "band", "n_images", "n_contributing", "filled",
+        F.round(F.col("v_sum"), 3).alias("v_sum_r3"),
+    )
+
+
+def q49_image_latest_sample(spark, sf_dir):
+    """The reference's `match="latest"` ordering (metadata winner-dedup BEFORE
+    the decode UDF, `src/rasteret/core/point_sampling.py:350-514`): per probe
+    point keep only the newest containing image, then decode winners only."""
+    from rasteret_spark.operators import sampling, spatial_join as sj
+    from rasteret_spark.operators.asof import latest_per_key
+    from rasteret_spark.sources import synthetic as syn
+
+    images = _images_df(spark)
+    img_light = images.select(
+        "image_id", "datetime",
+        F.col("xmin").alias("img_xmin"), F.col("ymin").alias("img_ymin"),
+        F.col("xmax").alias("img_xmax"), F.col("ymax").alias("img_ymax"),
+    )
+    pts = spark.createDataFrame(syn.points_table(200).to_pandas())
+    cands = sj.point_in_bbox_join(pts, img_light, res=8).select(
+        "point_index", "x", "y", "image_id", "datetime"
+    )
+    winners = latest_per_key(
+        cands, ["point_index"], order_col="datetime", tie_break="image_id"
+    ).select("point_index", "x", "y", "image_id")
+    return sampling.sample_points(
+        winners, images.select("image_id", "bytes"), max_ring=4
+    )
+
+
+def q50_image_zonal_bands(spark, sf_dir):
+    """Band-parameterized zonal extraction (bands 0..2; images carry 1-3
+    planar bands — rows fan out per AVAILABLE band)."""
+    from rasteret_spark.operators import decode, spatial_join as sj
+    from rasteret_spark.sources import synthetic as syn
+
+    images = _images_df(spark)
+    img_light = images.select(
+        "image_id",
+        F.col("xmin").alias("img_xmin"), F.col("ymin").alias("img_ymin"),
+        F.col("xmax").alias("img_xmax"), F.col("ymax").alias("img_ymax"),
+    )
+    aoi = spark.createDataFrame(syn.aois_table(40).to_pandas()).select(
+        "aoi_id", F.col("geometry").alias("aoi_geometry"),
+        F.col("xmin").alias("aoi_xmin"), F.col("ymin").alias("aoi_ymin"),
+        F.col("xmax").alias("aoi_xmax"), F.col("ymax").alias("aoi_ymax"),
+    )
+    cands = sj.bbox_join(img_light, aoi, res=7)
+    refined = sj.refine_rect_polygon(cands).filter(F.col("intersects")).select(
+        "image_id", "aoi_id", "aoi_geometry",
+        "aoi_xmin", "aoi_ymin", "aoi_xmax", "aoi_ymax",
+    )
+    return decode.zonal_stats(
+        refined, images.select("image_id", "bytes", "caption"), bands=(0, 1, 2)
+    )
+
+
+def q51_image_chip_stack(spark, sf_dir):
+    """[T, C, H, W] chip tensors exploded as one row per (chip, t, band) —
+    the reference's stacked chip serving (`torchgeo.py:997-1236`)."""
+    from rasteret_spark.operators import raster_mosaic as rmo
+
+    out = rmo.chip_stack_pixels(_chip_pairs(spark), bands=(0, 1))
+    return out.select("chip_id", "t_index", "image_id", "band", "filled")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: point-sample pipeline end-to-end on sf0.001.
 
@@ -601,6 +711,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_simhash_near_dups": q45_simhash_near_dups,
         "q46_minhash_lsh_pairs": q46_minhash_lsh_pairs,
         "q47_lsh_ann": q47_lsh_ann,
+        "q48_image_mosaic": q48_image_mosaic,
+        "q49_image_latest_sample": q49_image_latest_sample,
+        "q50_image_zonal_bands": q50_image_zonal_bands,
+        "q51_image_chip_stack": q51_image_chip_stack,
     }
 
 

@@ -13,11 +13,11 @@ GDAL and without copying any reference code.
 
 Everything here is pure numpy + stdlib, safe to run inside Arrow-batched UDFs.
 
-Layout (little-endian):
+Layout v2 (little-endian):
 
     0   4  magic  b"MRST"
     4   4  header_len       u32   total header bytes incl. tile tables
-    8   1  version          u8
+    8   1  version          u8    (=2)
     9   1  dtype_code       u8    index into codecs.DTYPES
     10  1  compression      u8    codecs.COMP_*
     11  1  predictor        u8    1 none / 2 horizontal / 3 float-shuffle
@@ -25,14 +25,20 @@ Layout (little-endian):
     16  4  height           u32
     20  2  tile_w           u16
     22  2  tile_h           u16
-    24  1  nodata_flag      u8
-    25  8  nodata           f64
-    33  8  qstep            f64   quantization step for lossy tiles
-    41  48 transform        6xf64 (a,b,c,d,e,f): x=a*col+c, y=e*row+f (b=d=0)
-    89  4  epsg             u32
-    93  4  n_tiles          u32
-    97  8n tile_offsets     u64[n]  absolute into the blob
+    24  2  n_bands          u16   planar band count
+    26  1  nodata_flag      u8
+    27  8  nodata           f64
+    35  8  qstep            f64   quantization step for lossy tiles
+    43  48 transform        6xf64 (a,b,c,d,e,f): x=a*col+c, y=e*row+f (b=d=0)
+    91  4  epsg             u32
+    95  4  n_tiles          u32   total = tiles_x * tiles_y * n_bands
+    99  8n tile_offsets     u64[n]  absolute into the blob
     ..  8n tile_byte_counts u64[n]
+
+Bands are PLANAR, band-major: tile index = (band * tiles_y + ty) * tiles_x
++ tx — the same per-band planar slicing the reference performs on its tile
+tables (`src/rasteret/ingest/enrich.py:36-93`), so a one-band read touches a
+contiguous run of the offset table and never fetches other bands' tiles.
 
 Edge tiles are stored padded to full (tile_h, tile_w), TIFF-style; the window
 reader crops them (edge handling parity with `src/rasteret/fetch/cog.py:1378-1398`).
@@ -47,8 +53,8 @@ import numpy as np
 from rasteret_spark.format import codecs
 
 MAGIC = b"MRST"
-HEADER_FIXED = 97
-VERSION = 1
+HEADER_FIXED = 99
+VERSION = 2
 DEFAULT_PREFIX = 4096  # first speculative header read, like a COG 16 KiB prefix
 
 
@@ -70,6 +76,7 @@ class MiniRasterMeta:
     tile_offsets: np.ndarray  # u64[n_tiles]
     tile_byte_counts: np.ndarray  # u64[n_tiles]
     header_len: int
+    n_bands: int = 1
 
     @property
     def tiles_x(self) -> int:
@@ -78,6 +85,15 @@ class MiniRasterMeta:
     @property
     def tiles_y(self) -> int:
         return -(-self.height // self.tile_h)
+
+    @property
+    def tiles_per_band(self) -> int:
+        return self.tiles_x * self.tiles_y
+
+    def tile_index(self, band: int, ty: int, tx: int) -> int:
+        """Planar band-major tile index (reference planar-slicing order,
+        `src/rasteret/ingest/enrich.py:36-93`)."""
+        return (band * self.tiles_y + ty) * self.tiles_x + tx
 
     @property
     def dtype(self) -> np.dtype:
@@ -110,6 +126,7 @@ class MiniRasterMeta:
             tile_offsets=np.asarray(d["tile_offsets"], dtype=np.uint64),
             tile_byte_counts=np.asarray(d["tile_byte_counts"], dtype=np.uint64),
             header_len=int(d["header_len"]),
+            n_bands=int(d.get("n_bands", 1) or 1),
         )
 
 
@@ -125,23 +142,27 @@ def encode_image(
     nodata: float | None = None,
     qstep: float = 1.0,
 ) -> bytes:
-    """Encode a 2-D array into a mini-raster blob."""
-    assert arr.ndim == 2, "single-band planar only"
-    h, w = arr.shape
+    """Encode a 2-D (h, w) or planar 3-D (bands, h, w) array into a
+    mini-raster blob.  Tiles are stored band-major planar."""
+    if arr.ndim == 2:
+        arr = arr[None, :, :]
+    assert arr.ndim == 3, "expected (h, w) or (bands, h, w)"
+    n_bands, h, w = arr.shape
     dtype_code = codecs.DTYPE_CODE[arr.dtype.name]
     tiles_x = -(-w // tile_w)
     tiles_y = -(-h // tile_h)
-    n_tiles = tiles_x * tiles_y
+    n_tiles = tiles_x * tiles_y * n_bands
     header_len = HEADER_FIXED + 16 * n_tiles
 
     payloads: list[bytes] = []
-    for ty in range(tiles_y):
-        for tx in range(tiles_x):
-            tile = np.zeros((tile_h, tile_w), dtype=arr.dtype)
-            ys, xs = ty * tile_h, tx * tile_w
-            sub = arr[ys : min(ys + tile_h, h), xs : min(xs + tile_w, w)]
-            tile[: sub.shape[0], : sub.shape[1]] = sub
-            payloads.append(codecs.encode_tile(tile, compression, predictor, qstep))
+    for band in range(n_bands):
+        for ty in range(tiles_y):
+            for tx in range(tiles_x):
+                tile = np.zeros((tile_h, tile_w), dtype=arr.dtype)
+                ys, xs = ty * tile_h, tx * tile_w
+                sub = arr[band, ys : min(ys + tile_h, h), xs : min(xs + tile_w, w)]
+                tile[: sub.shape[0], : sub.shape[1]] = sub
+                payloads.append(codecs.encode_tile(tile, compression, predictor, qstep))
 
     offsets = np.zeros(n_tiles, dtype=np.uint64)
     counts = np.zeros(n_tiles, dtype=np.uint64)
@@ -157,6 +178,7 @@ def encode_image(
     head += bytes([VERSION, dtype_code, compression, predictor])
     head += np.uint32(w).tobytes() + np.uint32(h).tobytes()
     head += np.uint16(tile_w).tobytes() + np.uint16(tile_h).tobytes()
+    head += np.uint16(n_bands).tobytes()
     head += bytes([0 if nodata is None else 1])
     head += np.float64(0.0 if nodata is None else nodata).tobytes()
     head += np.float64(qstep).tobytes()
@@ -185,12 +207,13 @@ def parse_header(buf: bytes) -> MiniRasterMeta:
         raise ValueError(f"unsupported version {version}")
     w, h = np.frombuffer(buf[12:20], dtype=np.uint32)
     tile_w, tile_h = np.frombuffer(buf[20:24], dtype=np.uint16)
-    nodata_flag = buf[24]
-    nodata = float(np.frombuffer(buf[25:33], dtype=np.float64)[0])
-    qstep = float(np.frombuffer(buf[33:41], dtype=np.float64)[0])
-    transform = tuple(np.frombuffer(buf[41:89], dtype=np.float64))
-    epsg = int(np.frombuffer(buf[89:93], dtype=np.uint32)[0])
-    n_tiles = int(np.frombuffer(buf[93:97], dtype=np.uint32)[0])
+    n_bands = int(np.frombuffer(buf[24:26], dtype=np.uint16)[0])
+    nodata_flag = buf[26]
+    nodata = float(np.frombuffer(buf[27:35], dtype=np.float64)[0])
+    qstep = float(np.frombuffer(buf[35:43], dtype=np.float64)[0])
+    transform = tuple(np.frombuffer(buf[43:91], dtype=np.float64))
+    epsg = int(np.frombuffer(buf[91:95], dtype=np.uint32)[0])
+    n_tiles = int(np.frombuffer(buf[95:99], dtype=np.uint32)[0])
     off_end = HEADER_FIXED + 8 * n_tiles
     offsets = np.frombuffer(buf[HEADER_FIXED:off_end], dtype=np.uint64).copy()
     counts = np.frombuffer(buf[off_end : off_end + 8 * n_tiles], dtype=np.uint64).copy()
@@ -209,6 +232,7 @@ def parse_header(buf: bytes) -> MiniRasterMeta:
         tile_offsets=offsets,
         tile_byte_counts=counts,
         header_len=header_len,
+        n_bands=n_bands,
     )
 
 
@@ -216,9 +240,11 @@ def parse_header(buf: bytes) -> MiniRasterMeta:
 #     src/rasteret/fetch/cog.py:969-1089: clamp window to grid, list
 #     intersecting tiles) -------------------------------------------------------
 def plan_window_tiles(
-    meta: MiniRasterMeta, col_off: int, row_off: int, win_w: int, win_h: int
+    meta: MiniRasterMeta, col_off: int, row_off: int, win_w: int, win_h: int,
+    band: int = 0,
 ) -> list[tuple[int, int, int]]:
-    """Window -> [(tile_index, tile_col, tile_row)] of intersecting tiles."""
+    """Window -> [(tile_index, tile_col, tile_row)] of intersecting tiles of
+    one band (planar layout: only that band's tiles are ever touched)."""
     c0 = max(0, col_off)
     r0 = max(0, row_off)
     c1 = min(meta.width, col_off + win_w)
@@ -230,7 +256,7 @@ def plan_window_tiles(
     out = []
     for ty in range(ty0, ty1 + 1):
         for tx in range(tx0, tx1 + 1):
-            out.append((ty * meta.tiles_x + tx, tx, ty))
+            out.append((meta.tile_index(band, ty, tx), tx, ty))
     return out
 
 
@@ -270,6 +296,7 @@ def read_window(
     win_w: int | None = None,
     win_h: int | None = None,
     fill: float | None = None,
+    band: int = 0,
 ) -> np.ndarray:
     """Decode only the tiles intersecting the window; paste + crop.
 
@@ -293,7 +320,7 @@ def read_window(
         fill = meta.nodata if meta.nodata is not None else 0
     canvas = np.full((win_h, win_w), fill, dtype=dtype)
 
-    tiles = plan_window_tiles(meta, col_off, row_off, win_w, win_h)
+    tiles = plan_window_tiles(meta, col_off, row_off, win_w, win_h, band)
     if not tiles:
         return canvas
     idxs = np.array([t[0] for t in tiles])
@@ -334,9 +361,18 @@ def read_window(
     return canvas
 
 
-def decode_full(blob: bytes) -> np.ndarray:
-    """Decode the whole image (correctness oracle path)."""
-    return read_window(blob)
+def decode_full(blob: bytes, band: int | None = None) -> np.ndarray:
+    """Decode the whole image (correctness oracle path).
+
+    ``band=None``: 2-D for single-band blobs, else a stacked (bands, h, w)
+    cube; an explicit ``band`` always yields 2-D."""
+    if band is not None:
+        return read_window(blob, band=band)
+    need = header_len_from_prefix(blob[:8])
+    meta = parse_header(blob[:need])
+    if meta.n_bands == 1:
+        return read_window(blob, meta)
+    return np.stack([read_window(blob, meta, band=b) for b in range(meta.n_bands)])
 
 
 class CachedReader:
@@ -371,13 +407,13 @@ class CachedReader:
 
     def window(
         self, col_off: int, row_off: int, win_w: int, win_h: int,
-        fill: float | None = None,
+        fill: float | None = None, band: int = 0,
     ) -> np.ndarray:
         m = self.meta
         if fill is None:
             fill = m.nodata if m.nodata is not None else 0
         canvas = np.full((win_h, win_w), fill, dtype=m.dtype)
-        for t_idx, tx, ty in plan_window_tiles(m, col_off, row_off, win_w, win_h):
+        for t_idx, tx, ty in plan_window_tiles(m, col_off, row_off, win_w, win_h, band):
             tile = self._tile(t_idx)
             px0, py0 = tx * m.tile_w, ty * m.tile_h
             vw = min(m.tile_w, m.width - px0)

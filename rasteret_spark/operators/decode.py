@@ -94,7 +94,7 @@ def decode_image_stats(df: DataFrame, parallelism: int | None = None) -> DataFra
                 blob = bytes(blob)
                 need = mr.header_len_from_prefix(blob[:8])
                 meta = mr.parse_header(blob[:need])
-                arr = mr.read_window(blob, meta)
+                arr = mr.decode_full(blob)  # all bands: (h,w) or (bands,h,w)
                 vals = arr.astype(np.float64)
                 valid = np.ones(arr.shape, dtype=bool)
                 if meta.nodata is not None:
@@ -123,7 +123,7 @@ def decode_image_stats(df: DataFrame, parallelism: int | None = None) -> DataFra
 
 # --- zonal extraction (AOI x image join rows -> masked stats) ------------------
 ZONAL_SCHEMA = (
-    "image_id string, aoi_id string, caption string, "
+    "image_id string, aoi_id string, band int, caption string, "
     "win_col int, win_row int, win_w int, win_h int, "
     "px_count bigint, valid_count bigint, "
     "v_sum double, v_mean double, v_min double, v_max double"
@@ -184,6 +184,7 @@ def zonal_stats(
     images: DataFrame,
     parallelism: int | None = None,
     broadcast_pairs: bool | None = None,
+    bands: tuple[int, ...] | list[int] | None = None,
 ) -> DataFrame:
     """Zonal extraction with scale-aware dataflow.
 
@@ -218,6 +219,8 @@ def zonal_stats(
         src = images.select(*cols).join(agg, "image_id")
         src = src.repartition(_decode_parallelism(src, parallelism), "image_id")
 
+    want_bands = tuple(bands) if bands is not None else (0,)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
@@ -228,6 +231,7 @@ def zonal_stats(
                 meta = mr.MiniRasterMeta.from_row(meta_row) if meta_row is not None else None
                 reader = mr.CachedReader(bytes(blob), meta)
                 meta = reader.meta
+                img_bands = [b for b in want_bands if b < meta.n_bands]
                 for aoi in aois:
                     bx, by = crs.from_lonlat(
                         meta.epsg,
@@ -238,39 +242,45 @@ def zonal_stats(
                         meta.transform, meta.width, meta.height,
                         float(bx.min()), float(by.min()), float(bx.max()), float(by.max()),
                     )
-                    rec = {
-                        "image_id": image_id,
-                        "aoi_id": aoi["aoi_id"],
-                        "caption": caption,
-                        "win_col": c0, "win_row": r0, "win_w": ww, "win_h": wh,
-                        "px_count": 0, "valid_count": 0,
-                        "v_sum": None, "v_mean": None, "v_min": None, "v_max": None,
-                    }
+                    inside = None
                     if ww > 0 and wh > 0:
-                        arr = reader.window(c0, r0, ww, wh)
                         lon, lat = pixel_axes_lonlat(meta.transform, meta.epsg, c0, r0, ww, wh)
                         inside = geom.points_in_polygon_grid(
                             lon, lat, bytes(aoi["aoi_geometry"])
                         )
-                        valid = inside
-                        if meta.nodata is not None:
-                            # exact equality — nodata masking parity with the
-                            # reference (mask = arr == nodata, no tolerance);
-                            # NaN nodata needs isnan (NaN != NaN keeps all)
-                            if np.isnan(meta.nodata):
-                                valid = valid & ~np.isnan(arr.astype(np.float64))
-                            else:
-                                valid = valid & (arr != np.asarray(meta.nodata).astype(arr.dtype))
-                        v = arr[valid].astype(np.float64)
-                        rec.update(
-                            px_count=int(inside.sum()),
-                            valid_count=int(v.size),
-                            v_sum=float(v.sum()) if v.size else None,
-                            v_mean=float(v.mean()) if v.size else None,
-                            v_min=float(v.min()) if v.size else None,
-                            v_max=float(v.max()) if v.size else None,
-                        )
-                    out.append(rec)
+                    for band in img_bands:
+                        rec = {
+                            "image_id": image_id,
+                            "aoi_id": aoi["aoi_id"],
+                            "band": band,
+                            "caption": caption,
+                            "win_col": c0, "win_row": r0, "win_w": ww, "win_h": wh,
+                            "px_count": 0, "valid_count": 0,
+                            "v_sum": None, "v_mean": None, "v_min": None, "v_max": None,
+                        }
+                        if inside is not None:
+                            arr = reader.window(c0, r0, ww, wh, band=band)
+                            valid = inside
+                            if meta.nodata is not None:
+                                # exact equality — nodata masking parity with
+                                # the reference (mask = arr == nodata);
+                                # NaN nodata needs isnan (NaN != NaN keeps all)
+                                if np.isnan(meta.nodata):
+                                    valid = valid & ~np.isnan(arr.astype(np.float64))
+                                else:
+                                    valid = valid & (
+                                        arr != np.asarray(meta.nodata).astype(arr.dtype)
+                                    )
+                            v = arr[valid].astype(np.float64)
+                            rec.update(
+                                px_count=int(inside.sum()),
+                                valid_count=int(v.size),
+                                v_sum=float(v.sum()) if v.size else None,
+                                v_mean=float(v.mean()) if v.size else None,
+                                v_min=float(v.min()) if v.size else None,
+                                v_max=float(v.max()) if v.size else None,
+                            )
+                        out.append(rec)
             yield pd.DataFrame(out) if out else pd.DataFrame(
                 {f.split(" ")[0]: [] for f in ZONAL_SCHEMA.split(", ")}
             )
@@ -279,7 +289,7 @@ def zonal_stats(
 
 
 # --- driver-side single-process oracle (tests) ---------------------------------
-def zonal_oracle_row(image_row: dict, aoi_row: dict) -> dict:
+def zonal_oracle_row(image_row: dict, aoi_row: dict, band: int = 0) -> dict:
     """Independent oracle: decode the FULL image (no window path), mask, reduce.
 
     Used by tests to pin the Spark pipeline bit-for-bit (the reference pins
@@ -287,7 +297,7 @@ def zonal_oracle_row(image_row: dict, aoi_row: dict) -> dict:
     `tests/test_dataset_pixel_comparison.py`)."""
     blob = image_row["bytes"]
     meta = mr.parse_header(blob[: mr.header_len_from_prefix(blob[:8])])
-    arr = mr.decode_full(blob)
+    arr = mr.decode_full(blob, band=band)
     lon, lat = pixel_centers_lonlat(meta.transform, meta.epsg, 0, 0, meta.width, meta.height)
     inside = geom.points_in_polygon_wkb(
         lon.ravel(), lat.ravel(), aoi_row["geometry"]
@@ -303,6 +313,7 @@ def zonal_oracle_row(image_row: dict, aoi_row: dict) -> dict:
     return {
         "image_id": image_row["image_id"],
         "aoi_id": aoi_row["aoi_id"],
+        "band": band,
         "px_count": int(inside.sum()),
         "valid_count": int(v.size),
         "v_sum": float(v.sum()) if v.size else None,

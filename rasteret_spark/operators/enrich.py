@@ -29,6 +29,7 @@ META_FIELDS = [
     T.StructField("height", T.IntegerType()),
     T.StructField("tile_w", T.IntegerType()),
     T.StructField("tile_h", T.IntegerType()),
+    T.StructField("n_bands", T.IntegerType()),
     T.StructField("dtype_code", T.IntegerType()),
     T.StructField("compression", T.IntegerType()),
     T.StructField("predictor", T.IntegerType()),

@@ -52,7 +52,7 @@ def decode_resize(
                     raise NotImplementedError(
                         "non-miniraster decode requires an image codec library"
                     )
-                arr = mr.decode_full(blob).astype(np.float64)
+                arr = mr.decode_full(blob, band=0).astype(np.float64)
                 ys = (np.arange(out_h) * arr.shape[0] / out_h).astype(int)
                 xs = (np.arange(out_w) * arr.shape[1] / out_w).astype(int)
                 out.append(

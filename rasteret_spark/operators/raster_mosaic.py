@@ -1,0 +1,227 @@
+"""Pixel-level first-valid mosaics and [T, C, H, W] chip stacks.
+
+Spark re-expression of the reference's pixel compositing paths:
+
+  * first-valid-per-pixel mosaic over decoded windows in deterministic order
+    (rasteret `src/rasteret/integrations/torchgeo.py:958-995`);
+  * chip serving — per-chip [T, C, H, W] window tensors
+    (`torchgeo.py:997-1236`);
+  * nearest-neighbour reprojection of each source image onto the target chip
+    grid (the R8/R9 warp/merge-resample path, reference
+    `src/rasteret/core/utils.py:215-344` + `core/rio_semantics.py:51-313`) —
+    every contributing image is resampled onto ONE common grid before
+    compositing, so cross-CRS and cross-resolution inputs mosaic correctly.
+
+Plan shape (scale discipline):
+
+  1. Candidate (chip x image) pairs come from the native cell-cover
+     ``bbox_join`` upstream — LIGHT columns only, no blobs in that shuffle.
+  2. Pairs join image payloads on ``image_id``, then group by ``chip_id``:
+     each blob moves through exactly ONE shuffle, into the chip group that
+     composites it.  Chips are independent -> perfectly parallel across
+     executors; group size is bounded by the temporal depth of the stack,
+     not by dataset size.
+  3. ``applyInPandas`` composites one chip per group with vectorized numpy;
+     images are sorted INSIDE the kernel by (datetime desc, image_id) so the
+     result is independent of upstream row order (mosaic order-invariance,
+     SURVEY.md §7 "hard parts").
+
+The target grid is axis-aligned lon/lat (EPSG:4326): ``chip_id, xmin, ymax,
+xres, yres, width, height`` with x = xmin + (col+0.5)*xres,
+y = ymax - (row+0.5)*yres.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: N812
+
+from rasteret_spark import crs
+from rasteret_spark.format import miniraster as mr
+
+CHIP_COLS = ("chip_id", "chip_xmin", "chip_ymax", "chip_xres", "chip_yres",
+             "chip_w", "chip_h")
+
+MOSAIC_SCHEMA = (
+    "chip_id string, band int, n_images int, n_contributing int, "
+    "filled bigint, v_sum double, values array<double>"
+)
+
+CHIP_STACK_SCHEMA = (
+    "chip_id string, t_index int, image_id string, datetime timestamp, "
+    "band int, filled bigint, values array<double>"
+)
+
+
+def reproject_nearest(
+    reader: mr.CachedReader,
+    band: int,
+    xmin: float,
+    ymax: float,
+    xres: float,
+    yres: float,
+    width: int,
+    height: int,
+) -> np.ndarray:
+    """Nearest-neighbour resample of one image band onto the target lon/lat
+    grid.  Returns float64 (height, width); NaN where the target pixel falls
+    outside the image or on nodata.  One windowed read covers exactly the
+    touched source region (tile-pruned by the reader)."""
+    meta = reader.meta
+    lons = xmin + (np.arange(width) + 0.5) * xres
+    lats = ymax - (np.arange(height) + 0.5) * yres
+    gx, gy = np.meshgrid(lons, lats)
+    xs, ys = crs.from_lonlat(meta.epsg, gx.ravel(), gy.ravel())
+    a, _, c, _, e, f = meta.transform
+    cols = np.floor((xs - c) / a).astype(np.int64)
+    rows = np.floor((ys - f) / e).astype(np.int64)
+    inb = (cols >= 0) & (cols < meta.width) & (rows >= 0) & (rows < meta.height)
+    out = np.full(width * height, np.nan)
+    if inb.any():
+        r0, r1 = int(rows[inb].min()), int(rows[inb].max())
+        c0, c1 = int(cols[inb].min()), int(cols[inb].max())
+        win = reader.window(c0, r0, c1 - c0 + 1, r1 - r0 + 1, band=band).astype(
+            np.float64
+        )
+        vals = win[rows[inb] - r0, cols[inb] - c0]
+        if meta.nodata is not None:
+            if np.isnan(meta.nodata):
+                vals = np.where(np.isnan(vals), np.nan, vals)
+            else:
+                vals = np.where(vals == meta.nodata, np.nan, vals)
+        out[inb] = vals
+    return out.reshape(height, width)
+
+
+def _sorted_group(pdf: pd.DataFrame, newest_first: bool) -> pd.DataFrame:
+    return pdf.sort_values(
+        ["datetime", "image_id"], ascending=[not newest_first, True]
+    ).reset_index(drop=True)
+
+
+def first_valid_mosaic_pixels(
+    pairs_with_blobs: DataFrame,
+    bands: tuple[int, ...] | list[int] = (0,),
+    newest_first: bool = True,
+) -> DataFrame:
+    """Per-pixel first-valid composite per chip.
+
+    ``pairs_with_blobs`` columns: CHIP_COLS + image_id, datetime, bytes (one
+    row per candidate chip x image pair, blobs already joined).  For each
+    chip and band, images are visited newest-first (deterministic tie-break
+    on image_id) and each still-empty pixel takes the first valid value —
+    the reference's first-valid precedence (`torchgeo.py:958-995`).
+    """
+    want_bands = tuple(bands)
+
+    def composite(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = _sorted_group(pdf, newest_first)
+        r0 = pdf.iloc[0]
+        w, h = int(r0["chip_w"]), int(r0["chip_h"])
+        grid = (float(r0["chip_xmin"]), float(r0["chip_ymax"]),
+                float(r0["chip_xres"]), float(r0["chip_yres"]), w, h)
+        out = []
+        for band in want_bands:
+            canvas = np.full((h, w), np.nan)
+            contributing = 0
+            for _, row in pdf.iterrows():
+                if not np.isnan(canvas).any():
+                    break  # chip fully composited — skip remaining decodes
+                reader = mr.CachedReader(bytes(row["bytes"]))
+                if band >= reader.meta.n_bands:
+                    continue
+                rep = reproject_nearest(reader, band, *grid)
+                need = np.isnan(canvas) & ~np.isnan(rep)
+                if need.any():
+                    canvas[need] = rep[need]
+                    contributing += 1
+            filled = int((~np.isnan(canvas)).sum())
+            out.append(
+                {
+                    "chip_id": r0["chip_id"],
+                    "band": band,
+                    "n_images": int(len(pdf)),
+                    "n_contributing": contributing,
+                    "filled": filled,
+                    "v_sum": float(np.nansum(canvas)) if filled else None,
+                    "values": [None if np.isnan(v) else float(v) for v in canvas.ravel()],
+                }
+            )
+        return pd.DataFrame(out)
+
+    return pairs_with_blobs.groupBy("chip_id").applyInPandas(
+        composite, schema=MOSAIC_SCHEMA
+    )
+
+
+def chip_stack_pixels(
+    pairs_with_blobs: DataFrame,
+    bands: tuple[int, ...] | list[int] = (0,),
+) -> DataFrame:
+    """[T, C, H, W] chip tensor, exploded as one row per (t, band).
+
+    Time steps are ordered oldest-first with image_id tie-break (stable
+    t_index regardless of input row order); every step is the image
+    reprojected onto the chip grid — the distributed layout of the
+    reference's stacked chip tensors (`torchgeo.py:997-1236`)."""
+    want_bands = tuple(bands)
+
+    def stack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = _sorted_group(pdf, newest_first=False)
+        r0 = pdf.iloc[0]
+        w, h = int(r0["chip_w"]), int(r0["chip_h"])
+        grid = (float(r0["chip_xmin"]), float(r0["chip_ymax"]),
+                float(r0["chip_xres"]), float(r0["chip_yres"]), w, h)
+        out = []
+        for t, (_, row) in enumerate(pdf.iterrows()):
+            reader = mr.CachedReader(bytes(row["bytes"]))
+            for band in want_bands:
+                if band >= reader.meta.n_bands:
+                    continue
+                rep = reproject_nearest(reader, band, *grid)
+                out.append(
+                    {
+                        "chip_id": r0["chip_id"],
+                        "t_index": t,
+                        "image_id": row["image_id"],
+                        "datetime": row["datetime"],
+                        "band": band,
+                        "filled": int((~np.isnan(rep)).sum()),
+                        "values": [
+                            None if np.isnan(v) else float(v) for v in rep.ravel()
+                        ],
+                    }
+                )
+        return pd.DataFrame(out)
+
+    return pairs_with_blobs.groupBy("chip_id").applyInPandas(
+        stack, schema=CHIP_STACK_SCHEMA
+    )
+
+
+def chip_candidates(
+    chips: DataFrame,
+    images_light: DataFrame,
+    images_payload: DataFrame,
+    res: int = 7,
+) -> DataFrame:
+    """chips x images candidate pairs via the native cell-cover join, then
+    payload join — CHIP_COLS + image_id + datetime + bytes, blobs through
+    exactly one shuffle.  ``chips`` needs CHIP_COLS; ``images_light`` needs
+    image_id + img_xmin/_ymin/_xmax/_ymax; ``images_payload`` needs
+    image_id, datetime, bytes."""
+    from rasteret_spark.operators.spatial_join import bbox_join
+
+    c = chips.withColumn(
+        "aoi_xmin", F.col("chip_xmin")
+    ).withColumn(
+        "aoi_xmax", F.col("chip_xmin") + F.col("chip_w") * F.col("chip_xres")
+    ).withColumn(
+        "aoi_ymax", F.col("chip_ymax")
+    ).withColumn(
+        "aoi_ymin", F.col("chip_ymax") - F.col("chip_h") * F.col("chip_yres")
+    )
+    cands = bbox_join(images_light, c, res=res).select(*CHIP_COLS, "image_id")
+    return cands.join(images_payload, "image_id")

@@ -60,6 +60,7 @@ IMAGES_SCHEMA = pa.schema(
         ("bytes", pa.binary()),
         ("w", pa.int32()),
         ("h", pa.int32()),
+        ("n_bands", pa.int32()),
         ("fmt", pa.string()),
         ("caption", pa.string()),
         ("phash", pa.int64()),
@@ -133,7 +134,10 @@ def make_image_row(i: int, seed: int = 42, dup_every: int = 17) -> dict:
     fmt, predictor, dtype = _FMT_MATRIX[src_i % len(_FMT_MATRIX)]
     w = int(rng.integers(96, 288))
     h = int(rng.integers(96, 288))
-    arr = _pixels(rng, h, w, dtype)
+    # planar multi-band (1..3 bands, like the reference's per-band asset
+    # model): band 0 drawn first, extra bands from subsequent rng draws
+    n_bands = 1 + (src_i % 3)
+    arr = np.stack([_pixels(rng, h, w, dtype) for _ in range(n_bands)])
 
     nodata: float | None = None
     if src_i % 5 == 2:  # plant a nodata block (ring-fallback test surface)
@@ -141,7 +145,7 @@ def make_image_row(i: int, seed: int = 42, dup_every: int = 17) -> dict:
         bh, bw = max(4, h // 6), max(4, w // 6)
         r0 = int(rng.integers(0, h - bh))
         c0 = int(rng.integers(0, w - bw))
-        arr[r0 : r0 + bh, c0 : c0 + bw] = nodata
+        arr[:, r0 : r0 + bh, c0 : c0 + bw] = nodata
 
     epsg = EPSG_CHOICES[src_i % len(EPSG_CHOICES)]
     lon_c, lat_c = _centroid(rng)
@@ -200,9 +204,10 @@ def make_image_row(i: int, seed: int = 42, dup_every: int = 17) -> dict:
         "bytes": blob,
         "w": w,
         "h": h,
+        "n_bands": n_bands,
         "fmt": fmt,
         "caption": caption,
-        "phash": phash64(arr),
+        "phash": phash64(arr[0]),
         "datetime": epoch,
         "epsg": epsg,
         "transform": list(transform),
@@ -366,6 +371,7 @@ def _spark_images_schema():
             T.StructField("bytes", T.BinaryType()),
             T.StructField("w", T.IntegerType()),
             T.StructField("h", T.IntegerType()),
+            T.StructField("n_bands", T.IntegerType()),
             T.StructField("fmt", T.StringType()),
             T.StructField("caption", T.StringType()),
             T.StructField("phash", T.LongType()),

@@ -117,6 +117,29 @@ def test_coalesce_respects_gap():
     assert len(mr.coalesce_ranges(offsets, sizes, gap=1024)) == 2
 
 
+def test_multiband_roundtrip_planar():
+    cube = np.stack([_img("uint16"), _img("uint16"), _img("uint16")])
+    blob = mr.encode_image(cube, tile_w=48, tile_h=32, compression=codecs.COMP_DEFLATE)
+    meta = mr.parse_header(blob[: mr.header_len_from_prefix(blob[:8])])
+    assert meta.n_bands == 3
+    assert len(meta.tile_offsets) == meta.tiles_per_band * 3
+    # per-band full decode and stacked decode agree with the source cube
+    for b in range(3):
+        np.testing.assert_array_equal(mr.decode_full(blob, band=b), cube[b])
+    np.testing.assert_array_equal(mr.decode_full(blob), cube)
+    # banded window reads touch only that band's planar tile run
+    out = mr.read_window(blob, col_off=10, row_off=20, win_w=30, win_h=40, band=2)
+    np.testing.assert_array_equal(out, cube[2][20:60, 10:40])
+    r = mr.CachedReader(blob)
+    np.testing.assert_array_equal(r.window(10, 20, 30, 40, band=1), cube[1][20:60, 10:40])
+
+
+def test_singleband_decode_stays_2d():
+    arr = _img("uint8")
+    blob = mr.encode_image(arr)
+    assert mr.decode_full(blob).ndim == 2
+
+
 def test_packbits_edge_cases():
     for data in [b"", b"a", b"a" * 300, b"abc" * 50, bytes(range(256)) * 2, b"aabbbbbcdd"]:
         enc = codecs.packbits_encode(data)

@@ -1,0 +1,133 @@
+"""Pixel-level first-valid mosaic + chip stack: bit-exact single-process
+oracle, order invariance, cross-CRS compositing.
+
+The oracle reprojects with plain per-pixel numpy over FULL decodes (no
+windowed reads, no CachedReader) — an independent path from the operator's
+windowed kernel, the same differential strategy the reference uses against
+rasterio.merge (`/root/reference/src/rasteret/core/rio_semantics.py:51-313`).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rasteret_spark import crs
+from rasteret_spark.format import miniraster as mr
+from rasteret_spark.operators import raster_mosaic as rmo
+
+
+def _chips_pdf():
+    # chips over the densest hotspot (13.4, 52.5) — overlapping images with
+    # mixed EPSG (4326 + 32633) exercise the cross-CRS resample path
+    rows = []
+    for j in range(6):
+        rows.append(
+            {
+                "chip_id": f"chip-{j:03d}",
+                "chip_xmin": 13.36 + (j % 3) * 0.03,
+                "chip_ymax": 52.54 - (j // 3) * 0.03,
+                "chip_xres": 0.001,
+                "chip_yres": 0.001,
+                "chip_w": 32,
+                "chip_h": 32,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def _oracle_reproject(blob: bytes, band: int, chip: dict) -> np.ndarray:
+    """Independent reproject: full decode + per-pixel loop (no windows)."""
+    meta = mr.parse_header(blob[: mr.header_len_from_prefix(blob[:8])])
+    if band >= meta.n_bands:
+        return np.full((chip["chip_h"], chip["chip_w"]), np.nan)
+    arr = mr.decode_full(blob, band=band).astype(np.float64)
+    a, _, c, _, e, f = meta.transform
+    out = np.full((chip["chip_h"], chip["chip_w"]), np.nan)
+    for r in range(chip["chip_h"]):
+        for cc in range(chip["chip_w"]):
+            lon = chip["chip_xmin"] + (cc + 0.5) * chip["chip_xres"]
+            lat = chip["chip_ymax"] - (r + 0.5) * chip["chip_yres"]
+            xs, ys = crs.from_lonlat(meta.epsg, np.array([lon]), np.array([lat]))
+            col = int(np.floor((xs[0] - c) / a))
+            row = int(np.floor((ys[0] - f) / e))
+            if 0 <= col < meta.width and 0 <= row < meta.height:
+                v = arr[row, col]
+                if meta.nodata is None or (
+                    not np.isnan(v) if np.isnan(meta.nodata) else v != meta.nodata
+                ):
+                    out[r, cc] = v
+    return out
+
+
+def _oracle_mosaic(images_pdf, chip: dict, band: int) -> np.ndarray:
+    order = images_pdf.sort_values(
+        ["datetime", "image_id"], ascending=[False, True]
+    )
+    canvas = np.full((chip["chip_h"], chip["chip_w"]), np.nan)
+    for _, im in order.iterrows():
+        if not (
+            im["xmax"] >= chip["chip_xmin"]
+            and im["xmin"] <= chip["chip_xmin"] + chip["chip_w"] * chip["chip_xres"]
+            and im["ymax"] >= chip["chip_ymax"] - chip["chip_h"] * chip["chip_yres"]
+            and im["ymin"] <= chip["chip_ymax"]
+        ):
+            continue
+        rep = _oracle_reproject(bytes(im["bytes"]), band, chip)
+        need = np.isnan(canvas) & ~np.isnan(rep)
+        canvas[need] = rep[need]
+    return canvas
+
+
+@pytest.fixture(scope="module")
+def mosaic_inputs(spark, images_pdf):
+    chips = spark.createDataFrame(_chips_pdf())
+    img_light = spark.createDataFrame(
+        images_pdf[["image_id", "xmin", "ymin", "xmax", "ymax"]].rename(
+            columns={c: f"img_{c}" for c in ["xmin", "ymin", "xmax", "ymax"]}
+        )
+    )
+    payload = spark.createDataFrame(images_pdf[["image_id", "datetime", "bytes"]])
+    pairs = rmo.chip_candidates(chips, img_light, payload, res=7)
+    pairs.persist().count()
+    return pairs
+
+
+def test_mosaic_matches_oracle_bit_exact(mosaic_inputs, images_pdf):
+    got = rmo.first_valid_mosaic_pixels(mosaic_inputs, bands=(0, 1)).toPandas()
+    assert set(got["chip_id"]) == set(_chips_pdf()["chip_id"]), (
+        "every chip over the hotspot must find candidate images"
+    )
+    assert got["n_images"].max() > 1, "fixture must have overlapping images"
+    for _, chip in _chips_pdf().iterrows():
+        for band in (0, 1):
+            want = _oracle_mosaic(images_pdf, chip, band)
+            row = got[(got["chip_id"] == chip["chip_id"]) & (got["band"] == band)]
+            assert len(row) == 1
+            vals = np.array(
+                [np.nan if v is None else v for v in row.iloc[0]["values"]]
+            ).reshape(chip["chip_h"], chip["chip_w"])
+            assert int(row.iloc[0]["filled"]) == int((~np.isnan(want)).sum())
+            np.testing.assert_array_equal(
+                np.isnan(vals), np.isnan(want)
+            )
+            np.testing.assert_array_equal(vals[~np.isnan(want)], want[~np.isnan(want)])
+
+
+def test_mosaic_is_input_order_invariant(mosaic_inputs):
+    a = rmo.first_valid_mosaic_pixels(mosaic_inputs, bands=(0,)).toPandas()
+    shuffled = mosaic_inputs.orderBy("image_id", ascending=False)
+    b = rmo.first_valid_mosaic_pixels(shuffled, bands=(0,)).toPandas()
+    a = a.sort_values(["chip_id", "band"]).reset_index(drop=True)
+    b = b.sort_values(["chip_id", "band"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_chip_stack_is_time_ordered_and_complete(mosaic_inputs, images_pdf):
+    got = rmo.chip_stack_pixels(mosaic_inputs, bands=(0,)).toPandas()
+    dt_of = dict(zip(images_pdf["image_id"], images_pdf["datetime"]))
+    for chip_id, g in got.groupby("chip_id"):
+        g = g.sort_values("t_index")
+        dts = [dt_of[i] for i in g["image_id"]]
+        assert dts == sorted(dts), "t_index must follow datetime ascending"
+        assert list(g["t_index"]) == list(range(len(g)))
+        assert all(len(v) == 32 * 32 for v in g["values"])

@@ -55,6 +55,54 @@ def test_decode_image_stats_matches_oracle(images_df, images_pdf):
         assert g["caption"] == row["caption"]  # byte-equal pass-through
 
 
+def test_multiband_zonal_matches_per_band_oracle(spark, images_pdf, aois_pdf):
+    """bands=(0,1,2): one stats row per (pair, available band), each pinned
+    bit-exact against the full-decode oracle of THAT band."""
+    multi = images_pdf[images_pdf["n_bands"] > 1]
+    assert len(multi) > 0, "fixture must contain multi-band images"
+    img_light = spark.createDataFrame(
+        images_pdf[["image_id", "xmin", "ymin", "xmax", "ymax"]]
+        .rename(columns={c: f"img_{c}" for c in ["xmin", "ymin", "xmax", "ymax"]})
+    )
+    images = spark.createDataFrame(images_pdf[["image_id", "bytes", "caption"]])
+    aoi = spark.createDataFrame(
+        aois_pdf.rename(
+            columns={
+                **{c: f"aoi_{c}" for c in ["xmin", "ymin", "xmax", "ymax"]},
+                "geometry": "aoi_geometry",
+            }
+        )
+    )
+    refined = (
+        sj.refine_rect_polygon(sj.bbox_join(img_light, aoi, res=7))
+        .filter(F.col("intersects"))
+        .select("image_id", "aoi_id", "aoi_geometry",
+                "aoi_xmin", "aoi_ymin", "aoi_xmax", "aoi_ymax")
+    )
+    got = decode.zonal_stats(refined, images, bands=(0, 1, 2)).toPandas()
+    n_bands_of = dict(zip(images_pdf["image_id"], images_pdf["n_bands"]))
+    # row fan-out = number of AVAILABLE requested bands per image
+    pair_rows = got.groupby(["image_id", "aoi_id"]).size()
+    for (iid, _), cnt in pair_rows.items():
+        assert cnt == min(3, n_bands_of[iid])
+    by_img = {r["image_id"]: r for _, r in images_pdf.iterrows()}
+    by_aoi = {r["aoi_id"]: r for _, r in aois_pdf.iterrows()}
+    checked_multi = 0
+    for row in got.itertuples(index=False):
+        im, ao = by_img[row.image_id], by_aoi[row.aoi_id]
+        want = decode.zonal_oracle_row(
+            {"image_id": im["image_id"], "bytes": bytes(im["bytes"])},
+            {"aoi_id": ao["aoi_id"], "geometry": bytes(ao["geometry"])},
+            band=row.band,
+        )
+        assert int(row.px_count) == want["px_count"]
+        assert int(row.valid_count) == want["valid_count"]
+        if want["v_sum"] is not None:
+            np.testing.assert_allclose(row.v_sum, want["v_sum"], rtol=1e-9)
+        checked_multi += int(row.band > 0)
+    assert checked_multi > 0, "must exercise bands beyond band 0"
+
+
 def test_psnr_gate(images_df):
     got = decode.psnr_check(images_df).toPandas()
     lossless = got[got["lossless"]]

@@ -15,7 +15,7 @@ def _sampling_oracle(images_pdf, points_pdf, max_ring):
     for _, im in images_pdf.iterrows():
         blob = bytes(im["bytes"])
         meta = mr.parse_header(blob[: mr.header_len_from_prefix(blob[:8])])
-        arr = mr.decode_full(blob)
+        arr = mr.decode_full(blob, band=0)
         a, _, c, _, e, f = meta.transform
         for _, p in points_pdf.iterrows():
             if not (im["xmin"] <= p["x"] <= im["xmax"] and im["ymin"] <= p["y"] <= im["ymax"]):
@@ -50,7 +50,7 @@ def _nodata_probe_points(images_pdf, n=6):
         meta = mr.parse_header(blob[: mr.header_len_from_prefix(blob[:8])])
         if meta.nodata is None:
             continue
-        arr = mr.decode_full(blob)
+        arr = mr.decode_full(blob, band=0)
         bad = np.argwhere(arr.astype(float) == meta.nodata)
         if not len(bad):
             continue
@@ -92,6 +92,85 @@ def test_sample_points_matches_oracle(spark, images_pdf, points_pdf):
             assert row.value == wv
         n_ring += int(row.ring_steps > 0)
     assert n_ring > 0, "fixture must exercise the ring-fallback path"
+
+
+def test_sample_points_multiband_and_neighborhood(spark, images_pdf, points_pdf):
+    """bands=(0,1,2): one sample row per (pair, available band); each value
+    pinned against the full decode of that band.  neighborhood=3 appends the
+    3x3 edge-clamped window, row-major, pinned against the same decode."""
+    img_light = spark.createDataFrame(
+        images_pdf[["image_id", "xmin", "ymin", "xmax", "ymax"]]
+        .rename(columns={c: f"img_{c}" for c in ["xmin", "ymin", "xmax", "ymax"]})
+    )
+    images = spark.createDataFrame(images_pdf[["image_id", "bytes"]])
+    pts = spark.createDataFrame(points_pdf)
+    cands = sj.point_in_bbox_join(pts, img_light, res=8).select(
+        "point_index", "x", "y", "image_id"
+    )
+    got = sampling.sample_points(
+        cands, images, max_ring=0, bands=(0, 1, 2), neighborhood=3
+    ).toPandas()
+    n_bands_of = dict(zip(images_pdf["image_id"], images_pdf["n_bands"]))
+    by_img = {r["image_id"]: r for _, r in images_pdf.iterrows()}
+    for (iid, _), cnt in got.groupby(["image_id", "point_index"]).size().items():
+        assert cnt == min(3, n_bands_of[iid])
+    cubes: dict = {}
+    checked_nb = checked_band = 0
+    for row in got.itertuples(index=False):
+        blob = bytes(by_img[row.image_id]["bytes"])
+        if row.image_id not in cubes:
+            cubes[row.image_id] = mr.decode_full(blob)
+        arr = cubes[row.image_id]
+        band_arr = arr if arr.ndim == 2 else arr[row.band]
+        meta = mr.parse_header(blob[: mr.header_len_from_prefix(blob[:8])])
+        if not row.in_bounds:
+            assert row.neighborhood is None
+            continue
+        v = float(band_arr[row.px_row, row.px_col])
+        if row.valid:
+            assert row.value == v
+            checked_band += int(row.band > 0)
+        # 3x3 edge-clamped window, row-major
+        r0 = min(max(row.px_row - 1, 0), max(meta.height - 3, 0))
+        c0 = min(max(row.px_col - 1, 0), max(meta.width - 3, 0))
+        want_nb = band_arr[r0 : r0 + 3, c0 : c0 + 3].astype(float).ravel()
+        np.testing.assert_allclose(np.asarray(row.neighborhood, dtype=float), want_nb)
+        checked_nb += 1
+    assert checked_nb > 0 and checked_band > 0
+
+
+def test_latest_sample_equals_sample_then_filter(spark, images_pdf, points_pdf):
+    """Winner-dedup BEFORE decode (the reference's match='latest' phase
+    ordering) must equal the naive sample-everything-then-keep-winner plan —
+    while decoding only winner images."""
+    from rasteret_spark.operators.asof import latest_per_key
+
+    img_light = spark.createDataFrame(
+        images_pdf[["image_id", "datetime", "xmin", "ymin", "xmax", "ymax"]]
+        .rename(columns={c: f"img_{c}" for c in ["xmin", "ymin", "xmax", "ymax"]})
+    )
+    images = spark.createDataFrame(images_pdf[["image_id", "bytes"]])
+    pts = spark.createDataFrame(points_pdf)
+    cands = sj.point_in_bbox_join(pts, img_light, res=8).select(
+        "point_index", "x", "y", "image_id", "datetime"
+    )
+    winners = latest_per_key(
+        cands, ["point_index"], order_col="datetime", tie_break="image_id"
+    ).select("point_index", "x", "y", "image_id")
+    a = sampling.sample_points(winners, images, max_ring=3).toPandas()
+    # naive plan: sample ALL candidates, then keep the winner rows
+    all_s = sampling.sample_points(
+        cands.select("point_index", "x", "y", "image_id"), images, max_ring=3
+    ).toPandas()
+    wk = winners.toPandas()[["point_index", "image_id"]]
+    b = all_s.merge(wk, on=["point_index", "image_id"])
+    key = ["point_index", "image_id", "band"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )
+    # and it's a real dedup: fewer rows sampled than the naive plan
+    assert len(a) < len(all_s)
 
 
 # --- as-of --------------------------------------------------------------------

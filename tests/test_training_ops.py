@@ -206,7 +206,7 @@ def test_multimodal_decode_resize_and_frames(spark, images_df):
 
     pdf = sub.select("image_id", "bytes").toPandas()
     for _, r in pdf.iterrows():
-        arr = mr.decode_full(bytes(r["bytes"])).astype(np.float64)
+        arr = mr.decode_full(bytes(r["bytes"]), band=0).astype(np.float64)
         ys = (np.arange(16) * arr.shape[0] / 16).astype(int)
         xs = (np.arange(16) * arr.shape[1] / 16).astype(int)
         want = arr[np.ix_(ys, xs)].ravel()
