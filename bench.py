@@ -107,7 +107,7 @@ BENCH_QUERIES = [
     "q01_pricing_summary", "q04_latest_order_per_customer", "q11_cell_assign",
     "q12_pip_join", "q14_zonal_value_stats", "q17_token_stats",
     "q21_embed_knn", "q23_windowed_events", "q24_sessionize",
-    "q43_image_dedup_phash", "q46_minhash_lsh_pairs",
+    "q43_image_dedup_phash", "q46_minhash_lsh_pairs", "q48_image_mosaic",
 ]
 
 
@@ -137,19 +137,27 @@ def main() -> None:
     headline_pipeline(spark, warm_path).count()
     sample_pipeline(spark, warm_path).count()
 
-    t0 = time.time()
-    enrich_df.write.format("noop").mode("overwrite").save()
-    enrich_s = time.time() - t0
+    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+
+    def timed_min(action) -> tuple[float, object]:
+        """min wall over N repeats — damps cold-page-cache / GC noise so the
+        recorded number is steady-state throughput, not the first-touch IO."""
+        best, result = float("inf"), None
+        for _ in range(repeats):
+            t0 = time.time()
+            result = action()
+            best = min(best, time.time() - t0)
+        return best, result
+
+    enrich_s, _ = timed_min(
+        lambda: enrich_df.write.format("noop").mode("overwrite").save()
+    )
 
     # headline: images/sec through enrich+join+decode+zonal
-    t0 = time.time()
-    zonal_rows = zonal_df.count()
-    zonal_s = time.time() - t0
+    zonal_s, zonal_rows = timed_min(zonal_df.count)
     images_per_sec = N_IMAGES / zonal_s
 
-    t0 = time.time()
-    sample_rows = sample_df.count()
-    sample_s = time.time() - t0
+    sample_s, sample_rows = timed_min(sample_df.count)
 
     queries: dict[str, float] = {
         "image_zonal_pipeline": round(zonal_s, 3),
@@ -159,9 +167,11 @@ def main() -> None:
     if not PIPELINE_ONLY:
         qmap = E.queries()
         for name in BENCH_QUERIES:
-            t0 = time.time()
-            qmap[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            queries[name] = round(time.time() - t0, 3)
+            df = qmap[name](spark, SF_DIR)
+            sec, _ = timed_min(
+                lambda d=df: d.write.format("noop").mode("overwrite").save()
+            )
+            queries[name] = round(sec, 3)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     out = {

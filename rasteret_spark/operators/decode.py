@@ -147,26 +147,42 @@ BROADCAST_PAIRS_CONF = "spark.rasteret.broadcastPairsLimit"
 BROADCAST_PAIRS_DEFAULT = 5_000_000
 
 
-def choose_broadcast(pairs: DataFrame, explicit: bool | None) -> bool:
-    """Broadcast-vs-shuffle decision for the grouped probe side.
+def _pairs_limit(spark) -> int:
+    try:
+        return int(spark.conf.get(BROADCAST_PAIRS_CONF))
+    except Exception:
+        return BROADCAST_PAIRS_DEFAULT
 
-    The grouped side's broadcast payload is one struct per candidate pair, so
-    the guard bounds the PAIR count: at or below the limit (conf
-    ``spark.rasteret.broadcastPairsLimit``, default 5M pairs ~ a few hundred
-    MB) the grouped side broadcasts and blobs never shuffle; above it the
-    plan switches to a shuffle join on image_id, which scales to 10^9+ pairs
-    where an unconditional broadcast would blow the driver.  The probe count
-    uses ``limit(n+1).count()`` so the scan short-circuits at the bound
-    instead of counting the world.  ``explicit`` (True/False) overrides.
-    """
+
+def choose_broadcast(pairs: DataFrame, explicit: bool | None) -> bool:
+    """Standalone broadcast-vs-shuffle guard over a pair DataFrame: bounded
+    by conf ``spark.rasteret.broadcastPairsLimit`` (default 5M pairs).  Uses
+    ``limit(n+1).count()`` so the scan short-circuits at the bound.
+    ``explicit`` (True/False) overrides."""
     if explicit is not None:
         return explicit
-    spark = pairs.sparkSession
-    try:
-        limit = int(spark.conf.get(BROADCAST_PAIRS_CONF))
-    except Exception:
-        limit = BROADCAST_PAIRS_DEFAULT
+    limit = _pairs_limit(pairs.sparkSession)
     return pairs.limit(limit + 1).count() <= limit
+
+
+def grouped_side_choice(agg: DataFrame, explicit: bool | None, list_col: str):
+    """Broadcast-vs-shuffle decision for a grouped probe side WITHOUT
+    re-executing the upstream candidate join.
+
+    In auto mode the grouped side is persisted and the decision count is a
+    cheap sum of list sizes over the CACHE — the expensive candidate join
+    (cell join + exact refine) executes exactly once whichever path wins,
+    and the persisted agg is the very thing the winning join then consumes.
+    At or below the pair limit the grouped side broadcasts (blobs never
+    shuffle); above it the plan switches to a shuffle join on image_id,
+    which scales to 10^9+ pairs where an unconditional broadcast would blow
+    the driver.  Returns (agg, use_broadcast)."""
+    if explicit is not None:
+        return agg, explicit
+    limit = _pairs_limit(agg.sparkSession)
+    agg = agg.persist()
+    n_pairs = agg.select(F.sum(F.size(F.col(list_col)))).first()[0] or 0
+    return agg, int(n_pairs) <= limit
 
 
 def _decode_parallelism(df: DataFrame, parallelism: int | None) -> int:
@@ -209,11 +225,12 @@ def zonal_stats(
     )
     has_meta = "meta" in images.columns
     cols = ["image_id", "bytes", "caption"] + (["meta"] if has_meta else [])
-    if choose_broadcast(pairs, broadcast_pairs):
-        # the grouped AOI side is small next to the blobs (guarded by
-        # choose_broadcast): broadcast it so the decode fuses with the image
-        # scan — blobs NEVER shuffle.  Above the pair bound the plan
-        # switches to the shuffle join below automatically.
+    agg, use_broadcast = grouped_side_choice(agg, broadcast_pairs, "_aois")
+    if use_broadcast:
+        # the grouped AOI side is small next to the blobs (size-guarded):
+        # broadcast it so the decode fuses with the image scan — blobs NEVER
+        # shuffle.  Above the pair bound the plan switches to the shuffle
+        # join below automatically.
         src = images.select(*cols).join(F.broadcast(agg), "image_id")
     else:
         src = images.select(*cols).join(agg, "image_id")

@@ -44,22 +44,37 @@ META_FIELDS = [
 META_STRUCT = T.StructType(META_FIELDS)
 
 
+HEADER_PREFIX = 16384  # speculative first read, like the reference's 16 KiB
+
+
 @F.pandas_udf(returnType=META_STRUCT)
-def parse_header_udf(blobs: pd.Series) -> pd.DataFrame:
+def parse_header_udf(prefixes: pd.Series) -> pd.DataFrame:
     rows = []
-    for blob in blobs:
-        # progressive header read: fixed prefix, then exactly header_len bytes
-        prefix = blob[: mr.DEFAULT_PREFIX]
-        need = mr.header_len_from_prefix(prefix)
-        meta = mr.parse_header(blob[:need] if need > len(prefix) else prefix)
-        d = meta.to_row()
-        rows.append(d)
+    for prefix in prefixes:
+        need = mr.header_len_from_prefix(prefix[:8])
+        if need > len(prefix):
+            raise ValueError(
+                f"header needs {need} bytes but only {len(prefix)} were read — "
+                "raise enrich_headers(prefix=...)"
+            )
+        rows.append(mr.parse_header(prefix[:need]).to_row())
     return pd.DataFrame(rows)
 
 
-def enrich_headers(df: DataFrame, bytes_col: str = "bytes", out_col: str = "meta") -> DataFrame:
-    """Add the parsed-header ``meta`` struct column (one parse per row)."""
-    return df.withColumn(out_col, parse_header_udf(F.col(bytes_col)))
+def enrich_headers(
+    df: DataFrame, bytes_col: str = "bytes", out_col: str = "meta",
+    prefix: int = HEADER_PREFIX,
+) -> DataFrame:
+    """Add the parsed-header ``meta`` struct column (one parse per row).
+
+    Only the first ``prefix`` bytes cross the Arrow boundary: the substring
+    projection runs JVM-side, so the full blob column never ships to Python
+    — the distributed analogue of the reference's progressive ranged header
+    read (`src/rasteret/fetch/header_parser.py:276-300`), and the difference
+    between moving ~KBs and ~MBs per image through serialization."""
+    return df.withColumn(
+        out_col, parse_header_udf(F.substring(F.col(bytes_col), 1, prefix))
+    )
 
 
 def validate_contract(df: DataFrame, required: tuple[str, ...] = (

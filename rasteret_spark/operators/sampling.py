@@ -171,13 +171,14 @@ def sample_points(
     (bands missing from an image are skipped).  ``neighborhood=n`` (odd n)
     appends an n x n edge-clamped window per in-bounds sample as an
     ``array<double>`` column."""
-    from rasteret_spark.operators.decode import _decode_parallelism, choose_broadcast
+    from rasteret_spark.operators.decode import _decode_parallelism, grouped_side_choice
 
     want_bands = tuple(bands) if bands is not None else (0,)
     agg = candidates.groupBy("image_id").agg(
         F.collect_list(F.struct("point_index", "x", "y")).alias("_pts")
     )
-    if choose_broadcast(candidates, broadcast_points):
+    agg, use_broadcast = grouped_side_choice(agg, broadcast_points, "_pts")
+    if use_broadcast:
         # grouped probe side is small next to the blobs (size-guarded):
         # broadcast it so the sampling stage fuses with the image scan (no
         # blob shuffle); above the pair bound: shuffle join on image_id
