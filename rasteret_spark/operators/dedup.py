@@ -107,9 +107,13 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
+    # the exact-verify joins consume the shingle table TWICE (id_a and id_b
+    # sides); Spark does not dedupe common subplans, so persist it — shingle
+    # construction (regex + transform over every document) is the dominant
+    # verify cost and now runs once
     sh = df.select(
         F.col(id_col), F.array_distinct(_shingles(text_col, shingle_n)).alias("sh")
-    )
+    ).persist()
     pairs = (
         cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

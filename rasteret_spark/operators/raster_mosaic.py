@@ -95,6 +95,76 @@ def reproject_nearest(
     return out.reshape(height, width)
 
 
+def reproject_bilinear(
+    reader: mr.CachedReader,
+    band: int,
+    xmin: float,
+    ymax: float,
+    xres: float,
+    yres: float,
+    width: int,
+    height: int,
+) -> np.ndarray:
+    """Bilinear resample onto the target grid (the reference's
+    rasterio.warp non-nearest path, `src/rasteret/core/utils.py:215-344`).
+
+    Sample positions are target pixel centers in source fractional pixel
+    space; the 4 surrounding source pixels interpolate with edge-clamped
+    indices.  Strict nodata semantics: any invalid corner poisons the
+    output pixel (NaN) — no partial-weight renormalization, so results are
+    deterministic and maskable."""
+    meta = reader.meta
+    lons = xmin + (np.arange(width) + 0.5) * xres
+    lats = ymax - (np.arange(height) + 0.5) * yres
+    gx_, gy_ = np.meshgrid(lons, lats)
+    xs, ys = crs.from_lonlat(meta.epsg, gx_.ravel(), gy_.ravel())
+    a, _, c, _, e, f = meta.transform
+    fc = (xs - c) / a
+    fr = (ys - f) / e
+    # a target pixel participates iff its point lands inside the raster
+    inb = (fc >= 0) & (fc < meta.width) & (fr >= 0) & (fr < meta.height)
+    out = np.full(width * height, np.nan)
+    if not inb.any():
+        return out.reshape(height, width)
+    gx = fc[inb] - 0.5
+    gy = fr[inb] - 0.5
+    c0 = np.clip(np.floor(gx).astype(np.int64), 0, meta.width - 1)
+    r0 = np.clip(np.floor(gy).astype(np.int64), 0, meta.height - 1)
+    c1 = np.minimum(c0 + 1, meta.width - 1)
+    r1 = np.minimum(r0 + 1, meta.height - 1)
+    wx = np.clip(gx - np.floor(gx), 0.0, 1.0)
+    wy = np.clip(gy - np.floor(gy), 0.0, 1.0)
+    cmin, cmax = int(c0.min()), int(c1.max())
+    rmin, rmax = int(r0.min()), int(r1.max())
+    win = reader.window(cmin, rmin, cmax - cmin + 1, rmax - rmin + 1, band=band).astype(
+        np.float64
+    )
+    if meta.nodata is not None:
+        win = np.where(
+            np.isnan(win) if np.isnan(meta.nodata) else win == meta.nodata,
+            np.nan,
+            win,
+        )
+    v00 = win[r0 - rmin, c0 - cmin]
+    v01 = win[r0 - rmin, c1 - cmin]
+    v10 = win[r1 - rmin, c0 - cmin]
+    v11 = win[r1 - rmin, c1 - cmin]
+    top = (1.0 - wx) * v00 + wx * v01
+    bot = (1.0 - wx) * v10 + wx * v11
+    out[inb] = (1.0 - wy) * top + wy * bot  # NaN corners propagate
+    return out.reshape(height, width)
+
+
+def reproject_to_grid(
+    reader: mr.CachedReader, band: int, *grid, method: str = "nearest"
+) -> np.ndarray:
+    if method == "nearest":
+        return reproject_nearest(reader, band, *grid)
+    if method == "bilinear":
+        return reproject_bilinear(reader, band, *grid)
+    raise ValueError(f"unknown resample method {method!r}")
+
+
 def _sorted_group(pdf: pd.DataFrame, newest_first: bool) -> pd.DataFrame:
     return pdf.sort_values(
         ["datetime", "image_id"], ascending=[not newest_first, True]
@@ -105,6 +175,7 @@ def first_valid_mosaic_pixels(
     pairs_with_blobs: DataFrame,
     bands: tuple[int, ...] | list[int] = (0,),
     newest_first: bool = True,
+    method: str = "nearest",
 ) -> DataFrame:
     """Per-pixel first-valid composite per chip.
 
@@ -132,7 +203,7 @@ def first_valid_mosaic_pixels(
                 reader = mr.CachedReader(bytes(row["bytes"]))
                 if band >= reader.meta.n_bands:
                     continue
-                rep = reproject_nearest(reader, band, *grid)
+                rep = reproject_to_grid(reader, band, *grid, method=method)
                 need = np.isnan(canvas) & ~np.isnan(rep)
                 if need.any():
                     canvas[need] = rep[need]
@@ -199,6 +270,21 @@ def chip_stack_pixels(
     return pairs_with_blobs.groupBy("chip_id").applyInPandas(
         stack, schema=CHIP_STACK_SCHEMA
     )
+
+
+def most_common_epsg(images: DataFrame, epsg_col: str = "epsg") -> int:
+    """Auto target-CRS detection: the mode of the record CRSes with a
+    deterministic tie-break (the reference's most-common-CRS pick before
+    reprojection, `src/rasteret/core/execution.py:396-456`)."""
+    row = (
+        images.groupBy(epsg_col)
+        .count()
+        .orderBy(F.col("count").desc(), F.col(epsg_col).asc())
+        .first()
+    )
+    if row is None:
+        raise ValueError("empty image table — no CRS to detect")
+    return int(row[0])
 
 
 def chip_candidates(

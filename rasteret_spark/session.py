@@ -35,7 +35,12 @@ def get_spark(
         # blob tables are tiny in bytes but heavy in decode CPU: scan splits
         # sized for compute, not IO
         .config("spark.sql.files.maxPartitionBytes", "16m")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # wide binary columns: the default 4096-row columnar batch tries to
+        # reserve ~rowsize*4096 contiguous bytes PER TASK (multi-band blobs
+        # ~300KB -> >1GB/task at 32 tasks = guaranteed heap OOM); size the
+        # batch for blob rows — tiny-row tables lose nothing measurable
+        .config("spark.sql.parquet.columnarReaderBatchSize", "256")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.python.worker.faulthandler.enabled", "true")
         .config("spark.ui.enabled", "false")
     )

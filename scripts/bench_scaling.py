@@ -28,6 +28,9 @@ def run_once(cpus: int) -> dict:
         SPARK_GRAFT_CPUS=str(cpus),
         BENCH_N_IMAGES=str(N_IMAGES),
         BENCH_PIPELINE_ONLY="1",
+        # this harness already repeats per level (best_of); don't multiply by
+        # bench.py's own min-of-N
+        BENCH_REPEATS="1",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],

@@ -131,3 +131,52 @@ def test_chip_stack_is_time_ordered_and_complete(mosaic_inputs, images_pdf):
         assert dts == sorted(dts), "t_index must follow datetime ascending"
         assert list(g["t_index"]) == list(range(len(g)))
         assert all(len(v) == 32 * 32 for v in g["values"])
+
+
+def test_reproject_bilinear_matches_pointwise_oracle():
+    """Pure-kernel test (no Spark): bilinear resample vs an independent
+    per-pixel interpolation from the full decode."""
+    rng = np.random.default_rng(9)
+    arr = (rng.random((80, 100)) * 500).astype("float32")
+    tr = (0.001, 0.0, 10.0, 0.0, -0.001, 50.0)  # EPSG 4326, north-up
+    blob = mr.encode_image(arr, tile_w=32, tile_h=32, transform=tr, epsg=4326)
+    reader = mr.CachedReader(blob)
+    grid = dict(xmin=10.005, ymax=49.995, xres=0.00037, yres=0.00041, w=40, h=30)
+    got = rmo.reproject_bilinear(
+        reader, 0, grid["xmin"], grid["ymax"], grid["xres"], grid["yres"],
+        grid["w"], grid["h"],
+    )
+    full = mr.decode_full(blob).astype(np.float64)
+    for r in range(grid["h"]):
+        for c in range(grid["w"]):
+            lon = grid["xmin"] + (c + 0.5) * grid["xres"]
+            lat = grid["ymax"] - (r + 0.5) * grid["yres"]
+            fc = (lon - tr[2]) / tr[0]
+            fr = (lat - tr[5]) / tr[4]
+            if not (0 <= fc < 100 and 0 <= fr < 80):
+                assert np.isnan(got[r, c])
+                continue
+            gx, gy = fc - 0.5, fr - 0.5
+            c0 = min(max(int(np.floor(gx)), 0), 99)
+            r0 = min(max(int(np.floor(gy)), 0), 79)
+            c1, r1 = min(c0 + 1, 99), min(r0 + 1, 79)
+            wx = min(max(gx - np.floor(gx), 0.0), 1.0)
+            wy = min(max(gy - np.floor(gy), 0.0), 1.0)
+            want = (1 - wy) * ((1 - wx) * full[r0, c0] + wx * full[r0, c1]) + wy * (
+                (1 - wx) * full[r1, c0] + wx * full[r1, c1]
+            )
+            np.testing.assert_allclose(got[r, c], want, rtol=1e-12)
+
+
+def test_reproject_bilinear_nodata_poisons_strictly():
+    arr = np.full((40, 40), 7.0, dtype="float32")
+    arr[10:20, 10:20] = -9999.0
+    tr = (0.001, 0.0, 0.0, 0.0, -0.001, 0.0)
+    blob = mr.encode_image(arr, transform=tr, epsg=4326, nodata=-9999.0)
+    reader = mr.CachedReader(blob)
+    out = rmo.reproject_bilinear(reader, 0, 0.0, 0.0, 0.001, 0.001, 40, 40)
+    # pixels whose 4-corner stencil touches the nodata block are NaN,
+    # everything else keeps the constant value
+    assert np.isnan(out[15, 15])
+    assert out[5, 5] == 7.0
+    assert np.isnan(out).sum() >= 100

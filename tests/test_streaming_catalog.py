@@ -96,3 +96,41 @@ def test_catalog_roundtrip_partition_pruning(spark, tmp_path, images_pdf):
         spark, str(tmp_path / "foreign"), column_map={"scene_id": "image_id"}
     )
     assert "image_id" in ok.columns
+
+
+def test_geoparquet_export_stamps_geo_metadata(spark, images_pdf, tmp_path):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from rasteret_spark.sources import catalog as cat
+
+    p = str(tmp_path / "geo_out")
+    df = spark.createDataFrame(
+        images_pdf[["image_id", "geometry", "xmin", "ymin", "xmax", "ymax"]]
+    )
+    cat.write_images_geoparquet(df, p)
+    files = [f for f in os.listdir(p) if f.endswith(".parquet")]
+    assert files
+    total = 0
+    for f in files:
+        meta = pq.read_schema(os.path.join(p, f)).metadata
+        assert b"geo" in meta
+        geo = json.loads(meta[b"geo"])
+        assert geo["primary_column"] == "geometry"
+        assert geo["columns"]["geometry"]["encoding"] == "WKB"
+        assert geo["columns"]["geometry"]["bbox"][0] <= images_pdf["xmin"].min()
+        total += pq.read_metadata(os.path.join(p, f)).num_rows
+    assert total == len(images_pdf)
+    # still loadable by Spark as a plain parquet dataset
+    assert spark.read.parquet(p).count() == len(images_pdf)
+
+
+def test_most_common_epsg_mode_with_tiebreak(spark):
+    from rasteret_spark.operators.raster_mosaic import most_common_epsg
+
+    df = spark.createDataFrame(
+        [(4326,), (4326,), (32633,), (32633,), (32610,)], ["epsg"]
+    )
+    # tie 4326 vs 32633 -> deterministic smallest wins
+    assert most_common_epsg(df) == 4326
