@@ -389,6 +389,31 @@ def q24_sessionize(spark, sf_dir):
     return marked.groupBy("user_id").agg(F.sum("new_sess").alias("n_sessions"))
 
 
+def q27_asof_forward(spark, sf_dir):
+    """Forward as-of via the union-merge operator: for each sampled order,
+    the EARLIEST event at or after the order date (same shifted clock as
+    q05); ties on ets_adj break to the smallest event_id."""
+    from rasteret_spark.operators.asof import asof_join
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    o = o.select("o_orderkey", (F.col("o_custkey") % 150).alias("k"),
+                 F.col("o_orderdate").alias("ots"))
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        (F.col("ts") - F.expr("INTERVAL 26 YEARS")).alias("ets_adj"),
+        "event_id",
+    )
+    out = asof_join(
+        o, ev, key="k", left_ts="ots", right_ts="ets_adj",
+        direction="forward", right_cols=["event_id"], tie_break="event_id",
+    )
+    # matched rows only: NULL event_ids force int->float64 in pandas on
+    # both engines and NaN != NaN breaks exact value-hash comparison
+    return out.filter(F.col("event_id").isNotNull()).select(
+        "o_orderkey", F.col("event_id").cast("bigint").alias("event_id")
+    )
+
+
 def q25_first_valid_mosaic(spark, sf_dir):
     """First-valid-precedence reduce (A7): per user, newest event with
     value > 250 wins (explicit deterministic ordering)."""
@@ -703,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_sessionize": q24_sessionize,
         "q25_first_valid_mosaic": q25_first_valid_mosaic,
         "q26_chip_stack": q26_chip_stack,
+        "q27_asof_forward": q27_asof_forward,
         "q40_image_enrich": q40_image_enrich,
         "q41_image_zonal": q41_image_zonal,
         "q42_image_point_sample": q42_image_point_sample,
@@ -949,6 +975,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, series[1] AS first_v, series[-1] AS last_v,
                    len(series) AS n_obs
             FROM s
+        """,
+        "q27_asof_forward": """
+            WITH o AS (SELECT o_orderkey, o_custkey % 150 AS k, o_orderdate AS ots
+                       FROM orders WHERE o_orderkey % 100 = 0),
+                 e AS (SELECT user_id AS k, event_id,
+                              ts - INTERVAL 26 YEAR AS ets_adj FROM events)
+            SELECT o_orderkey, CAST(event_id AS BIGINT) AS event_id FROM (
+                SELECT o.o_orderkey, e.event_id,
+                       ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
+                                          ORDER BY e.ets_adj ASC, e.event_id ASC) AS rn
+                FROM o LEFT JOIN e ON o.k = e.k AND e.ets_adj >= o.ots)
+            WHERE rn = 1 AND event_id IS NOT NULL
         """,
         "q24_sessionize": """
             WITH g AS (

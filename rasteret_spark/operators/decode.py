@@ -144,7 +144,14 @@ def pixel_axes_lonlat(
 
 
 BROADCAST_PAIRS_CONF = "spark.rasteret.broadcastPairsLimit"
-BROADCAST_PAIRS_DEFAULT = 5_000_000
+# pair structs are ~32-60 bytes (point probes) to ~400 bytes (AOI+WKB), so
+# 20M pairs is roughly 0.6-8 GB of broadcast — fine for the default 24g
+# driver, and two orders of magnitude below the 10^9-pair regime where the
+# shuffle join is the only sane plan.  Crossing to the shuffle path too
+# early is its own scale bug: it puts the BLOBS through a shuffle that the
+# broadcast plan avoids entirely (measured 2-3x wall on the 32k sample
+# pipeline).  Tune per-deployment via the conf.
+BROADCAST_PAIRS_DEFAULT = 20_000_000
 
 
 def _pairs_limit(spark) -> int:

@@ -22,6 +22,11 @@ LOW = int(os.environ.get("BENCH_CPUS_LOW", "2"))
 HIGH = int(os.environ.get("BENCH_CPUS_HIGH", "8"))
 
 
+def _loadavg() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
 def run_once(cpus: int) -> dict:
     env = dict(
         os.environ,
@@ -32,6 +37,7 @@ def run_once(cpus: int) -> dict:
         # bench.py's own min-of-N
         BENCH_REPEATS="1",
     )
+    load0 = _loadavg()
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=3600,
@@ -42,29 +48,47 @@ def run_once(cpus: int) -> dict:
             f"bench.py produced no JSON at cpus={cpus}; stderr tail:\n"
             + "\n".join(out.stderr.strip().splitlines()[-15:])
         )
-    return json.loads(lines[-1])
+    r = json.loads(lines[-1])
+    # co-tenant contention disclosure: loadavg before/after, minus our own
+    # expected load — reps that ran dirty are visible in the history
+    r["loadavg_before"], r["loadavg_after"] = load0, _loadavg()
+    return r
 
 
 REPS = int(os.environ.get("BENCH_REPS", "2"))
 
 
-def best_of(cpus: int) -> dict:
-    """min-of-N walls: the host VM shows sporadic contention; min is the
-    standard noise-robust estimator for throughput benchmarks."""
-    runs = [run_once(cpus) for _ in range(REPS)]
-    best = min(runs, key=lambda r: r["zonal_wall_s"])
+def best_of(runs: list[dict]) -> dict:
+    """min-of-N walls: the host VM shows sporadic co-tenant contention
+    bursts; min over interleaved reps is the noise-robust estimator."""
+    best = dict(min(runs, key=lambda r: r["zonal_wall_s"]))
+    best["queries"] = dict(best["queries"])
     best["queries"]["image_sample_pipeline"] = min(
         r["queries"]["image_sample_pipeline"] for r in runs
     )
+    best["rep_walls"] = [
+        (r["zonal_wall_s"], r["queries"]["image_sample_pipeline"],
+         r["loadavg_before"], r["loadavg_after"])
+        for r in runs
+    ]
     return best
 
 
 def main() -> None:
     # warm the shared input cache once (generation excluded from timing anyway)
     run_once(HIGH)
-    low = best_of(LOW)
-    high = best_of(HIGH)
-    allcores = best_of(int(os.environ.get("BENCH_CPUS_MAX", str(os.cpu_count() or 32))))
+    # INTERLEAVE the levels so a contention burst cannot poison every rep of
+    # one level while leaving the other clean (which would skew the ratio)
+    low_runs, high_runs = [], []
+    for _ in range(REPS):
+        low_runs.append(run_once(LOW))
+        high_runs.append(run_once(HIGH))
+    low = best_of(low_runs)
+    high = best_of(high_runs)
+    allcores = best_of(
+        [run_once(int(os.environ.get("BENCH_CPUS_MAX", str(os.cpu_count() or 32))))
+         for _ in range(REPS)]
+    )
     t_low = low["zonal_wall_s"]
     t_high = high["zonal_wall_s"]
     factor = HIGH / LOW
@@ -86,6 +110,9 @@ def main() -> None:
         "scaling_efficiency_sample": round(eff_sample, 3),
         "images_per_sec_allcores": round(N_IMAGES / allcores["zonal_wall_s"], 2),
         "allcores": int(os.environ.get("BENCH_CPUS_MAX", str(os.cpu_count() or 32))),
+        "rep_walls_low": low["rep_walls"],
+        "rep_walls_high": high["rep_walls"],
+        "rep_walls_allcores": allcores["rep_walls"],
         "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
     print(json.dumps(report))

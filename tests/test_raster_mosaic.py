@@ -180,3 +180,16 @@ def test_reproject_bilinear_nodata_poisons_strictly():
     assert np.isnan(out[15, 15])
     assert out[5, 5] == 7.0
     assert np.isnan(out).sum() >= 100
+
+
+def test_mosaic_fixture_exercises_south_up_and_cross_crs(images_pdf):
+    """The chips sit over the hotspot, whose candidate images include
+    south-up transforms (row-increasing y) and UTM CRSes — the composite
+    parity test above therefore covers warp normalization for real."""
+    hot = images_pdf[
+        (images_pdf["xmax"] >= 13.35) & (images_pdf["xmin"] <= 13.47)
+        & (images_pdf["ymax"] >= 52.44) & (images_pdf["ymin"] <= 52.55)
+    ]
+    transforms = [tuple(t) for t in hot["transform"]]
+    assert any(t[4] > 0 for t in transforms), "need a south-up image in range"
+    assert hot["epsg"].nunique() > 1, "need mixed CRSes in range"
