@@ -414,6 +414,27 @@ def q27_asof_forward(spark, sf_dir):
     )
 
 
+def q28_interval_join(spark, sf_dir):
+    """Interval join (W2 analogue as a join): per sampled order, how many
+    events land in [order_date, order_date + 7 days) on the shifted clock."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    o = o.select("o_orderkey", (F.col("o_custkey") % 150).alias("k"),
+                 F.col("o_orderdate").alias("ots"))
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("ek"),
+        (F.col("ts") - F.expr("INTERVAL 29 YEARS")).alias("ets_adj"),
+        F.col("event_id").alias("eid"),
+    )
+    j = o.join(
+        ev,
+        (F.col("k") == F.col("ek"))
+        & (F.col("ets_adj") >= F.col("ots"))
+        & (F.col("ets_adj") < F.col("ots") + F.expr("INTERVAL 7 DAYS")),
+        "left",
+    )
+    return j.groupBy("o_orderkey").agg(F.count("eid").alias("n_events"))
+
+
 def q25_first_valid_mosaic(spark, sf_dir):
     """First-valid-precedence reduce (A7): per user, newest event with
     value > 250 wins (explicit deterministic ordering)."""
@@ -652,6 +673,21 @@ def q50_image_zonal_bands(spark, sf_dir):
     )
 
 
+def q52_ivf_ann(spark, sf_dir):
+    """IVF ANN: deterministic spherical-kmeans coarse quantizer (bounded
+    driver-side sample), single-list target assignment, nprobe-list probe
+    visits, exact cosine rerank.  Recall vs brute force gated in pytest."""
+    from rasteret_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    cent = sim.train_ivf_centroids(emb, n_clusters=16)
+    out = sim.ivf_topk(emb, probes, k=3, centroids=cent, nprobe=6)
+    return out.select("probe_id", F.col("vec_id").alias("neighbor_id"), "rank")
+
+
 def q51_image_chip_stack(spark, sf_dir):
     """[T, C, H, W] chip tensors exploded as one row per (chip, t, band) —
     the reference's stacked chip serving (`torchgeo.py:997-1236`)."""
@@ -729,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_first_valid_mosaic": q25_first_valid_mosaic,
         "q26_chip_stack": q26_chip_stack,
         "q27_asof_forward": q27_asof_forward,
+        "q28_interval_join": q28_interval_join,
         "q40_image_enrich": q40_image_enrich,
         "q41_image_zonal": q41_image_zonal,
         "q42_image_point_sample": q42_image_point_sample,
@@ -741,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_image_latest_sample": q49_image_latest_sample,
         "q50_image_zonal_bands": q50_image_zonal_bands,
         "q51_image_chip_stack": q51_image_chip_stack,
+        "q52_ivf_ann": q52_ivf_ann,
     }
 
 
@@ -987,6 +1025,17 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY e.ets_adj ASC, e.event_id ASC) AS rn
                 FROM o LEFT JOIN e ON o.k = e.k AND e.ets_adj >= o.ots)
             WHERE rn = 1 AND event_id IS NOT NULL
+        """,
+        "q28_interval_join": """
+            WITH o AS (SELECT o_orderkey, o_custkey % 150 AS k, o_orderdate AS ots
+                       FROM orders WHERE o_orderkey % 50 = 0),
+                 e AS (SELECT user_id AS ek, event_id AS eid,
+                              ts - INTERVAL 29 YEAR AS ets_adj FROM events)
+            SELECT o_orderkey, COUNT(eid) AS n_events
+            FROM o LEFT JOIN e
+              ON o.k = e.ek AND e.ets_adj >= o.ots
+             AND e.ets_adj < o.ots + INTERVAL 7 DAY
+            GROUP BY o_orderkey
         """,
         "q24_sessionize": """
             WITH g AS (

@@ -121,6 +121,98 @@ def lsh_topk(
     )
 
 
+# --- IVF (inverted-file) ANN --------------------------------------------------
+def train_ivf_centroids(
+    df: DataFrame,
+    n_clusters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = 11,
+) -> np.ndarray:
+    """Train the IVF coarse quantizer: spherical k-means on a bounded,
+    DETERMINISTIC sample (hash-ordered limit — reproducible regardless of
+    partitioning), Lloyd iterations in numpy on the driver.
+
+    The sample bound keeps driver work O(sample x dim) no matter how big the
+    table is — at 100 TB the quantizer still trains on the same few thousand
+    rows; everything per-row stays distributed (``ivf_assign``)."""
+    pdf = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        .limit(sample)
+        .toPandas()
+    )
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    m /= np.linalg.norm(m, axis=1, keepdims=True) + 1e-12
+    rng = np.random.default_rng(seed)
+    cent = m[rng.choice(len(m), size=min(n_clusters, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(len(cent)):
+            sel = m[assign == c]
+            if len(sel):
+                v = sel.sum(axis=0)
+                cent[c] = v / (np.linalg.norm(v) + 1e-12)
+    return cent
+
+
+def ivf_cluster_udf(centroids: np.ndarray, nprobe: int = 1):
+    """array of the ``nprobe`` nearest centroid ids per vector (numpy
+    matmul across the whole Arrow batch)."""
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("array<int>")
+    def _clusters(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        m /= np.linalg.norm(m, axis=1, keepdims=True) + 1e-12
+        sims = m @ cent.T
+        top = np.argsort(-sims, axis=1)[:, :nprobe]
+        return pd.Series([row.astype(np.int32).tolist() for row in top])
+
+    return _clusters
+
+
+def ivf_topk(
+    targets: DataFrame,
+    probes: DataFrame,
+    k: int,
+    centroids: np.ndarray,
+    nprobe: int = 4,
+    target_id: str = "vec_id",
+    probe_id: str = "probe_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: targets live in exactly ONE inverted list (their
+    nearest centroid); probes visit their ``nprobe`` nearest lists; exact
+    cosine rerank inside the visited lists.
+
+    Scale shape: the cluster equi-join shuffles on the cluster id (bounded
+    key cardinality = n_clusters, sizes balanced by k-means), candidates per
+    probe ~ nprobe/n_clusters of the table — never all-pairs.  Recall is
+    tuned by nprobe, cost by n_clusters; both are runtime knobs, no index
+    rebuild needed for nprobe."""
+    t = (
+        targets.select(target_id, vec_col)
+        .withColumn("_cl", ivf_cluster_udf(centroids, 1)(F.col(vec_col))[0])
+    )
+    p = (
+        probes.select(F.col(probe_id).alias("_pid"), F.col(vec_col).alias("_pvec"))
+        .withColumn("_cl", F.explode(ivf_cluster_udf(centroids, nprobe)(F.col("_pvec"))))
+    )
+    j = t.join(p, "_cl").filter(F.col(target_id) != F.col("_pid"))
+    j = j.dropDuplicates([target_id, "_pid"]).withColumn(
+        "cosine", cosine_expr(F.col(vec_col), F.col("_pvec"))
+    )
+    w = Window.partitionBy("_pid").orderBy(F.col("cosine").desc(), F.col(target_id).asc())
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_pid").alias(probe_id), target_id, "cosine", "rank")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float,

@@ -221,3 +221,23 @@ def test_multimodal_decode_resize_and_frames(spark, images_df):
     )
     with pytest.raises(Exception, match="image codec library"):
         multimodal.decode_resize(stub, 8, 8).collect()
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    cent1 = similarity.train_ivf_centroids(emb, n_clusters=16)
+    cent2 = similarity.train_ivf_centroids(emb, n_clusters=16)
+    np.testing.assert_array_equal(cent1, cent2)  # deterministic quantizer
+    exact = similarity.cosine_topk(emb, probes, k=5).toPandas()
+    approx = similarity.ivf_topk(emb, probes, k=5, centroids=cent1, nprobe=6).toPandas()
+    e = {(r.probe_id, r.vec_id) for r in exact.itertuples(index=False)}
+    a = {(r.probe_id, r.vec_id) for r in approx.itertuples(index=False)}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+    # nprobe=ALL lists == exact (the rerank is exact cosine)
+    full = similarity.ivf_topk(emb, probes, k=5, centroids=cent1, nprobe=16).toPandas()
+    f = {(r.probe_id, r.vec_id) for r in full.itertuples(index=False)}
+    assert f == e
