@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "q12_pip_join", "q14_zonal_value_stats", "q17_token_stats",
     "q21_embed_knn", "q23_windowed_events", "q24_sessionize",
     "q43_image_dedup_phash", "q46_minhash_lsh_pairs", "q48_image_mosaic",
+    "q49_image_latest_sample", "q50_image_zonal_bands", "q52_ivf_ann",
 ]
 
 

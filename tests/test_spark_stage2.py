@@ -271,6 +271,48 @@ def test_asof_join_forward_matches_merge_asof(spark):
     assert np.allclose(g[both], w[both])
 
 
+def test_asof_join_hot_key_no_pair_explosion(spark):
+    """One hot key with 20k left x 20k right rows: the old range-join plan
+    materializes 4x10^8 intermediate pairs; the union-merge plan is
+    |L|+|R| = 40k rows and completes in seconds.  Values pinned against
+    pandas merge_asof on the same data."""
+    n = 20_000
+    rng = np.random.default_rng(13)
+    left = pd.DataFrame(
+        {"key": 0, "lts": np.sort(rng.integers(0, 10_000_000, n)),
+         "lid": np.arange(n)}
+    )
+    right = pd.DataFrame(
+        {"key": 0, "rts": np.sort(rng.integers(0, 10_000_000, n)),
+         "payload": rng.random(n)}
+    )
+    # unique ts per side keeps merge_asof's tie rule out of the comparison
+    left = left.drop_duplicates("lts")
+    right = right.drop_duplicates("rts")
+    import time
+
+    t0 = time.time()
+    got = (
+        asof.asof_join(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            key="key", left_ts="lts", right_ts="rts", right_cols=["payload"],
+        )
+        .select("lid", "payload").toPandas()
+        .sort_values("lid").reset_index(drop=True)
+    )
+    wall = time.time() - t0
+    want = pd.merge_asof(
+        left.sort_values("lts"),
+        right.sort_values("rts").rename(columns={"rts": "lts"}),
+        on="lts", by="key",
+    ).sort_values("lid").reset_index(drop=True)
+    g, w = got["payload"].to_numpy(), want["payload"].to_numpy()
+    both = ~(np.isnan(g) | np.isnan(w))
+    assert (np.isnan(g) == np.isnan(w)).all()
+    np.testing.assert_allclose(g[both], w[both])
+    assert wall < 60, f"hot-key as-of took {wall:.1f}s — pair explosion?"
+
+
 def test_asof_join_rejects_colliding_right_cols(spark):
     left = spark.createDataFrame(pd.DataFrame({"k": [1], "ts": [1], "v": [1.0]}))
     right = spark.createDataFrame(pd.DataFrame({"k": [1], "rts": [0], "v": [2.0]}))
