@@ -67,8 +67,11 @@ def stream_sample_points(
         cands = sj.point_in_bbox_join(points, img_light, res=8).select(
             "point_index", "x", "y", "image_id"
         )
+        # explicit broadcast: micro-batches are small by construction, and
+        # the auto guard would persist a new grouped side every epoch
         out = sampling.sample_points(
-            cands, batch_df.select("image_id", "bytes"), max_ring=max_ring
+            cands, batch_df.select("image_id", "bytes"), max_ring=max_ring,
+            broadcast_points=True,
         )
         spark = batch_df.sparkSession
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
