@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F  # noqa: N812
 
 from rasteret_spark import crs
@@ -176,6 +176,7 @@ def first_valid_mosaic_pixels(
     bands: tuple[int, ...] | list[int] = (0,),
     newest_first: bool = True,
     method: str = "nearest",
+    max_images_per_chip: int | None = None,
 ) -> DataFrame:
     """Per-pixel first-valid composite per chip.
 
@@ -184,8 +185,27 @@ def first_valid_mosaic_pixels(
     chip and band, images are visited newest-first (deterministic tie-break
     on image_id) and each still-empty pixel takes the first valid value —
     the reference's first-valid precedence (`torchgeo.py:958-995`).
+
+    ``max_images_per_chip`` caps the temporal depth BEFORE blobs group: a
+    window over (chip_id) in composite order keeps only the first N
+    candidates, so a chip sitting under a 10,000-scene archive does not
+    drag 10,000 blobs into one group when the newest handful fill it.  The
+    cap trades completeness for boundedness — pick N >= the worst-case
+    cloud/nodata depth (the same knob the reference's query-limited chip
+    reads expose).
     """
     want_bands = tuple(bands)
+    if max_images_per_chip is not None:
+        order = [
+            F.col("datetime").desc() if newest_first else F.col("datetime").asc(),
+            F.col("image_id").asc(),
+        ]
+        w = Window.partitionBy("chip_id").orderBy(*order)
+        pairs_with_blobs = (
+            pairs_with_blobs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_images_per_chip)
+            .drop("_rn")
+        )
 
     def composite(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = _sorted_group(pdf, newest_first)

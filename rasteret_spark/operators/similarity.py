@@ -202,9 +202,9 @@ def ivf_topk(
         .withColumn("_cl", F.explode(ivf_cluster_udf(centroids, nprobe)(F.col("_pvec"))))
     )
     j = t.join(p, "_cl").filter(F.col(target_id) != F.col("_pid"))
-    j = j.dropDuplicates([target_id, "_pid"]).withColumn(
-        "cosine", cosine_expr(F.col(vec_col), F.col("_pvec"))
-    )
+    # no dedup shuffle needed: a target lives in exactly ONE inverted list,
+    # so a (target, probe) pair can only arise once even with nprobe > 1
+    j = j.withColumn("cosine", cosine_expr(F.col(vec_col), F.col("_pvec")))
     w = Window.partitionBy("_pid").orderBy(F.col("cosine").desc(), F.col(target_id).asc())
     return (
         j.withColumn("rank", F.row_number().over(w))

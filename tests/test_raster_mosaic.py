@@ -193,3 +193,36 @@ def test_mosaic_fixture_exercises_south_up_and_cross_crs(images_pdf):
     transforms = [tuple(t) for t in hot["transform"]]
     assert any(t[4] > 0 for t in transforms), "need a south-up image in range"
     assert hot["epsg"].nunique() > 1, "need mixed CRSes in range"
+
+
+def test_mosaic_max_images_cap_bounds_group_depth(mosaic_inputs, images_pdf):
+    """cap=1: only the newest candidate contributes per chip — equals the
+    oracle run over just that image; n_images reflects the cap."""
+    capped = rmo.first_valid_mosaic_pixels(
+        mosaic_inputs, bands=(0,), max_images_per_chip=1
+    ).toPandas()
+    assert (capped["n_images"] == 1).all()
+    for _, chip in _chips_pdf().iterrows():
+        row = capped[capped["chip_id"] == chip["chip_id"]]
+        if not len(row):
+            continue
+        # newest candidate for this chip per the composite order
+        cands = []
+        for _, im in images_pdf.iterrows():
+            if (
+                im["xmax"] >= chip["chip_xmin"]
+                and im["xmin"] <= chip["chip_xmin"] + chip["chip_w"] * chip["chip_xres"]
+                and im["ymax"] >= chip["chip_ymax"] - chip["chip_h"] * chip["chip_yres"]
+                and im["ymin"] <= chip["chip_ymax"]
+            ):
+                cands.append(im)
+        # deterministic tie-break: max datetime, then min image_id
+        best_dt = max(r["datetime"] for r in cands)
+        ties = [r for r in cands if r["datetime"] == best_dt]
+        newest = min(ties, key=lambda r: r["image_id"])
+        want = _oracle_reproject(bytes(newest["bytes"]), 0, chip)
+        vals = np.array(
+            [np.nan if v is None else v for v in row.iloc[0]["values"]]
+        ).reshape(chip["chip_h"], chip["chip_w"])
+        np.testing.assert_array_equal(np.isnan(vals), np.isnan(want))
+        np.testing.assert_array_equal(vals[~np.isnan(want)], want[~np.isnan(want)])
