@@ -54,6 +54,7 @@ from rasteret_spark.format import codecs
 
 MAGIC = b"MRST"
 HEADER_FIXED = 99
+HEADER_FIXED_V1 = 97  # v1 had no n_bands field (nodata_flag at 24, 2 bytes earlier)
 VERSION = 2
 DEFAULT_PREFIX = 4096  # first speculative header read, like a COG 16 KiB prefix
 
@@ -198,24 +199,34 @@ def header_len_from_prefix(prefix: bytes) -> int:
 
 
 def parse_header(buf: bytes) -> MiniRasterMeta:
-    """Parse a header from a prefix of the blob (>= header_len bytes)."""
+    """Parse a header from a prefix of the blob (>= header_len bytes).
+
+    Reads both layout versions: v2 (multi-band, n_bands u16 at offset 24)
+    and the legacy v1 (single-band; no n_bands field, every later field 2
+    bytes earlier, fixed header 97 bytes) — blobs/catalogs persisted by
+    earlier builds stay readable (no format break on upgrade).
+    """
     header_len = header_len_from_prefix(buf)
     if len(buf) < header_len:
         raise ValueError(f"need {header_len} header bytes, got {len(buf)}")
     version, dtype_code, compression, predictor = buf[8], buf[9], buf[10], buf[11]
-    if version != VERSION:
+    if version not in (1, VERSION):
         raise ValueError(f"unsupported version {version}")
     w, h = np.frombuffer(buf[12:20], dtype=np.uint32)
     tile_w, tile_h = np.frombuffer(buf[20:24], dtype=np.uint16)
-    n_bands = int(np.frombuffer(buf[24:26], dtype=np.uint16)[0])
-    nodata_flag = buf[26]
-    nodata = float(np.frombuffer(buf[27:35], dtype=np.float64)[0])
-    qstep = float(np.frombuffer(buf[35:43], dtype=np.float64)[0])
-    transform = tuple(np.frombuffer(buf[43:91], dtype=np.float64))
-    epsg = int(np.frombuffer(buf[91:95], dtype=np.uint32)[0])
-    n_tiles = int(np.frombuffer(buf[95:99], dtype=np.uint32)[0])
-    off_end = HEADER_FIXED + 8 * n_tiles
-    offsets = np.frombuffer(buf[HEADER_FIXED:off_end], dtype=np.uint64).copy()
+    if version == 1:
+        n_bands, p, fixed = 1, 24, HEADER_FIXED_V1
+    else:
+        n_bands = int(np.frombuffer(buf[24:26], dtype=np.uint16)[0])
+        p, fixed = 26, HEADER_FIXED
+    nodata_flag = buf[p]
+    nodata = float(np.frombuffer(buf[p + 1 : p + 9], dtype=np.float64)[0])
+    qstep = float(np.frombuffer(buf[p + 9 : p + 17], dtype=np.float64)[0])
+    transform = tuple(np.frombuffer(buf[p + 17 : p + 65], dtype=np.float64))
+    epsg = int(np.frombuffer(buf[p + 65 : p + 69], dtype=np.uint32)[0])
+    n_tiles = int(np.frombuffer(buf[p + 69 : p + 73], dtype=np.uint32)[0])
+    off_end = fixed + 8 * n_tiles
+    offsets = np.frombuffer(buf[fixed:off_end], dtype=np.uint64).copy()
     counts = np.frombuffer(buf[off_end : off_end + 8 * n_tiles], dtype=np.uint64).copy()
     return MiniRasterMeta(
         width=int(w),

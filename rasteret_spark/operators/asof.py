@@ -60,6 +60,13 @@ def asof_join(
     <=/>=); among right rows at the same ts the one with the greatest
     ``tie_break`` wins for backward (smallest for forward) — deterministic
     when ``tie_break`` is a right-side unique column.
+
+    NULL timestamps never participate in a match (the range-predicate
+    semantics ``right_ts <= left_ts`` is NULL-excluding on both sides):
+    right rows with NULL ``right_ts`` are filtered before the union — they
+    would otherwise sort first under Spark's NULLS FIRST and leak their
+    payload into left rows with no genuine match — and left rows with NULL
+    ``left_ts`` are kept but explicitly unmatched in both directions.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward, got {direction}")
@@ -73,7 +80,7 @@ def asof_join(
         raise ValueError(
             f"right_cols {clash} collide with left columns — alias them first"
         )
-    rsel = right.select(
+    rsel = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(key).alias(key),
         F.col(right_ts).cast(left.schema[left_ts].dataType).alias("_ts"),
         F.struct(*[F.col(c) for c in payload_cols]).alias("_payload"),
@@ -104,7 +111,13 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = lsel.unionByName(rsel).withColumn(
-        "_match", F.last(F.col("_payload"), ignorenulls=True).over(w)
+        "_match",
+        # NULL left_ts rows are explicitly unmatched (forward's desc order
+        # would otherwise sort them AFTER all right rows and hand them the
+        # window's last payload)
+        F.when(
+            F.col("_ts").isNull(), F.lit(None).cast(rsel.schema["_payload"].dataType)
+        ).otherwise(F.last(F.col("_payload"), ignorenulls=True).over(w)),
     )
     out = merged.filter(F.col("_side") == 1)
     for c in payload_cols:

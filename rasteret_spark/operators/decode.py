@@ -163,13 +163,30 @@ def _pairs_limit(spark) -> int:
 
 def choose_broadcast(pairs: DataFrame, explicit: bool | None) -> bool:
     """Standalone broadcast-vs-shuffle guard over a pair DataFrame: bounded
-    by conf ``spark.rasteret.broadcastPairsLimit`` (default 5M pairs).  Uses
-    ``limit(n+1).count()`` so the scan short-circuits at the bound.
-    ``explicit`` (True/False) overrides."""
+    by conf ``spark.rasteret.broadcastPairsLimit`` (default 20M pairs,
+    ``BROADCAST_PAIRS_DEFAULT``).  Uses ``limit(n+1).count()`` so the scan
+    short-circuits at the bound.  ``explicit`` (True/False) overrides."""
     if explicit is not None:
         return explicit
     limit = _pairs_limit(pairs.sparkSession)
     return pairs.limit(limit + 1).count() <= limit
+
+
+# persisted grouped sides from auto-mode decisions, released on the next
+# auto-mode call (by then the previous plan has been consumed in any
+# straight-line pipeline) or explicitly via release_grouped_caches()
+_GROUPED_CACHES: list[DataFrame] = []
+
+
+def release_grouped_caches() -> None:
+    """Unpersist every grouped side cached by auto-mode decisions.  Call
+    after the consuming action when the session is long-lived (bench loops,
+    services); idempotent."""
+    while _GROUPED_CACHES:
+        try:
+            _GROUPED_CACHES.pop().unpersist()
+        except Exception:
+            pass  # session already stopped
 
 
 def grouped_side_choice(agg: DataFrame, explicit: bool | None, list_col: str):
@@ -180,14 +197,23 @@ def grouped_side_choice(agg: DataFrame, explicit: bool | None, list_col: str):
     cheap sum of list sizes over the CACHE — the expensive candidate join
     (cell join + exact refine) executes exactly once whichever path wins,
     and the persisted agg is the very thing the winning join then consumes.
-    At or below the pair limit the grouped side broadcasts (blobs never
-    shuffle); above it the plan switches to a shuffle join on image_id,
-    which scales to 10^9+ pairs where an unconditional broadcast would blow
-    the driver.  Returns (agg, use_broadcast)."""
+    At or below the pair limit (conf ``spark.rasteret.broadcastPairsLimit``,
+    default 20M) the grouped side broadcasts (blobs never shuffle); above it
+    the plan switches to a shuffle join on image_id, which scales to 10^9+
+    pairs where an unconditional broadcast would blow the driver.
+
+    Cache lifecycle: the persisted side is registered and released on the
+    NEXT auto-mode call (or explicitly via ``release_grouped_caches``), so a
+    session never accumulates more than one live grouped cache.  Building
+    two auto-mode plans before collecting either is still correct — the
+    first just recomputes its grouped side if its cache was released.
+    Returns (agg, use_broadcast)."""
     if explicit is not None:
         return agg, explicit
     limit = _pairs_limit(agg.sparkSession)
+    release_grouped_caches()
     agg = agg.persist()
+    _GROUPED_CACHES.append(agg)
     n_pairs = agg.select(F.sum(F.size(F.col(list_col)))).first()[0] or 0
     return agg, int(n_pairs) <= limit
 

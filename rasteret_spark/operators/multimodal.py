@@ -23,12 +23,17 @@ MEDIA_META_SCHEMA = "mime string, n_bytes bigint, kind string"
 
 
 def classify_media(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
-    """Cheap magic-byte sniffing -> media metadata struct (native exprs)."""
-    head = F.substring(F.col(bytes_col).cast("string"), 1, 4)
+    """Cheap magic-byte sniffing -> media metadata struct (native exprs).
+
+    Prefixes are compared on the BINARY column directly — casting the blob
+    to string first would let invalid-UTF8 payload bytes mangle the prefix
+    before ``substring`` sees it."""
     return df.withColumn(
         "media_kind",
-        F.when(head == "MRST", F.lit("miniraster"))
-        .when(F.substring(F.col(bytes_col).cast("string"), 1, 3) == "ID3", F.lit("audio"))
+        F.when(
+            F.substring(F.col(bytes_col), 1, 4) == F.lit(b"MRST"), F.lit("miniraster")
+        )
+        .when(F.substring(F.col(bytes_col), 1, 3) == F.lit(b"ID3"), F.lit("audio"))
         .otherwise(F.lit("unknown")),
     ).withColumn("media_bytes", F.length(F.col(bytes_col)))
 

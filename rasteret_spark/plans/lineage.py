@@ -9,10 +9,11 @@ with a Spark-native protocol:
   * rows are bucketed by a deterministic ``part_id`` (hash of a stable key);
   * stage output is written as parquet partitioned by ``part_id``, dynamic
     partition overwrite ON, so re-processing a partition is idempotent;
-  * per-partition metrics (rows_out, wall_s) are emitted FROM THE STAGE
-    ITSELF: a pass-through instrumentation stage counts rows per bucket and
-    measures task wall time into a Spark accumulator — no post-hoc re-read
-    of the output;
+  * per-partition metrics: ``rows_out`` is read from the WRITTEN parquet
+    footers (metadata-only, no data re-read) — exact under task retries /
+    speculative execution, where a transformation-side accumulator would
+    double-count; ``wall_s`` comes from a pass-through instrumentation
+    stage's accumulator and is best-effort timing (may over-count on retry);
   * the checkpoint LOG (one row per completed partition: stage, part_id,
     rows_out, wall_s, completed_at) is itself a small json table; a
     partition counts as done only when its log row exists — the log row is
@@ -36,6 +37,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: N812
 
 LOG_SCHEMA = "stage string, part_id int, rows_out bigint, wall_s double, completed_at string"
+
+
+def partition_row_counts(data_dir: str, part_ids) -> dict[int, int]:
+    """Exact per-partition output row counts from parquet FOOTERS only —
+    retry-safe (reflects what is durably on disk, however many task attempts
+    wrote it) and cheap (metadata reads, bounded by n_parts)."""
+    import pyarrow.parquet as pq
+
+    counts: dict[int, int] = {}
+    for pid in part_ids:
+        pdir = os.path.join(data_dir, f"part_id={pid}")
+        n = 0
+        if os.path.isdir(pdir):
+            for fn in os.listdir(pdir):
+                if fn.endswith(".parquet"):
+                    n += pq.ParquetFile(os.path.join(pdir, fn)).metadata.num_rows
+        counts[int(pid)] = n
+    return counts
 
 
 class _PartMetricsParam(AccumulatorParam):
@@ -124,17 +143,20 @@ def checkpointed_run(
             instrumented.write.partitionBy("part_id").mode("overwrite").parquet(data_dir)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", with_dyn)
-        # log rows AFTER data is durably written (kill-safe ordering)
+        # log rows AFTER data is durably written (kill-safe ordering);
+        # rows_out comes from the written files' footers (retry-exact) —
+        # the accumulator keeps only the best-effort wall timings
         metrics = dict(acc.value)
+        exact_rows = partition_row_counts(data_dir, todo_ids)
         now = time.strftime("%Y-%m-%dT%H:%M:%S")
         rows = []
         for pid in todo_ids:
-            rows_out, wall = metrics.get(pid, (0, 0.0))
+            _, wall = metrics.get(pid, (0, 0.0))
             rows.append(
                 {
                     "stage": stage,
                     "part_id": pid,
-                    "rows_out": int(rows_out),
+                    "rows_out": exact_rows.get(pid, 0),
                     "wall_s": round(float(wall), 3),
                     "completed_at": now,
                 }

@@ -77,11 +77,14 @@ def item_to_record(item: dict) -> dict:
     `properties['eo:cloud_cover']`."""
     props = item.get("properties", {})
     ts = props.get("datetime")
-    when = (
-        dt.datetime.fromisoformat(ts.replace("Z", "+00:00")).replace(tzinfo=None)
-        if ts
-        else None
-    )
+    when = None
+    if ts:
+        # RFC 3339 permits any offset: normalize to UTC first, THEN drop
+        # tzinfo — a bare .replace(tzinfo=None) would keep local wall-clock
+        # time for non-Z offsets and shift as-of/mosaic ordering
+        when = dt.datetime.fromisoformat(ts.replace("Z", "+00:00"))
+        if when.tzinfo is not None:
+            when = when.astimezone(dt.timezone.utc).replace(tzinfo=None)
     wkb = _geojson_to_wkb(item["geometry"])
     if item.get("bbox") and len(item["bbox"]) >= 4:
         xmin, ymin, xmax, ymax = (float(v) for v in item["bbox"][:4])
