@@ -72,10 +72,17 @@ def pixel_centers_lonlat(
     return lon.reshape(win_h, win_w), lat.reshape(win_h, win_w)
 
 
+def _err_status(e: BaseException) -> str:
+    """Compact per-row error label for quarantine rows (bounded length so a
+    pathological message can't bloat the output)."""
+    return f"{type(e).__name__}: {e}"[:200]
+
+
 # --- per-image full decode stats (flagship decode benchmark stage) ------------
 IMAGE_STATS_SCHEMA = (
     "image_id string, fmt string, caption string, width int, height int, "
-    "px_count bigint, valid_count bigint, v_mean double, v_min double, v_max double"
+    "px_count bigint, valid_count bigint, v_mean double, v_min double, v_max double, "
+    "status string"
 )
 
 
@@ -91,31 +98,49 @@ def decode_image_stats(df: DataFrame, parallelism: int | None = None) -> DataFra
             for image_id, blob, fmt, caption in zip(
                 pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["caption"]
             ):
-                blob = bytes(blob)
-                need = mr.header_len_from_prefix(blob[:8])
-                meta = mr.parse_header(blob[:need])
-                arr = mr.decode_full(blob)  # all bands: (h,w) or (bands,h,w)
-                vals = arr.astype(np.float64)
-                valid = np.ones(arr.shape, dtype=bool)
-                if meta.nodata is not None:
-                    valid = vals != meta.nodata
-                    if np.isnan(meta.nodata):
-                        valid = ~np.isnan(vals)
-                v = vals[valid]
-                out.append(
-                    {
-                        "image_id": image_id,
-                        "fmt": fmt,
-                        "caption": caption,
-                        "width": meta.width,
-                        "height": meta.height,
-                        "px_count": int(arr.size),
-                        "valid_count": int(valid.sum()),
-                        "v_mean": float(v.mean()) if v.size else None,
-                        "v_min": float(v.min()) if v.size else None,
-                        "v_max": float(v.max()) if v.size else None,
-                    }
-                )
+                try:
+                    blob = bytes(blob)
+                    need = mr.header_len_from_prefix(blob[:8])
+                    meta = mr.parse_header(blob[:need])
+                    arr = mr.decode_full(blob)  # all bands: (h,w) or (bands,h,w)
+                    vals = arr.astype(np.float64)
+                    valid = np.ones(arr.shape, dtype=bool)
+                    if meta.nodata is not None:
+                        valid = vals != meta.nodata
+                        if np.isnan(meta.nodata):
+                            valid = ~np.isnan(vals)
+                    v = vals[valid]
+                    out.append(
+                        {
+                            "image_id": image_id,
+                            "fmt": fmt,
+                            "caption": caption,
+                            "width": meta.width,
+                            "height": meta.height,
+                            "px_count": int(arr.size),
+                            "valid_count": int(valid.sum()),
+                            "v_mean": float(v.mean()) if v.size else None,
+                            "v_min": float(v.min()) if v.size else None,
+                            "v_max": float(v.max()) if v.size else None,
+                            "status": "ok",
+                        }
+                    )
+                except Exception as e:  # quarantine row, not a task failure
+                    out.append(
+                        {
+                            "image_id": image_id,
+                            "fmt": fmt,
+                            "caption": caption,
+                            "width": None,
+                            "height": None,
+                            "px_count": 0,
+                            "valid_count": 0,
+                            "v_mean": None,
+                            "v_min": None,
+                            "v_max": None,
+                            "status": _err_status(e),
+                        }
+                    )
             yield pd.DataFrame(out)
 
     return df.select(*cols).mapInPandas(run, schema=IMAGE_STATS_SCHEMA)
@@ -126,7 +151,7 @@ ZONAL_SCHEMA = (
     "image_id string, aoi_id string, band int, caption string, "
     "win_col int, win_row int, win_w int, win_h int, "
     "px_count bigint, valid_count bigint, "
-    "v_sum double, v_mean double, v_min double, v_max double"
+    "v_sum double, v_mean double, v_min double, v_max double, status string"
 )
 
 
@@ -271,6 +296,24 @@ def zonal_stats(
 
     want_bands = tuple(bands) if bands is not None else (0,)
 
+    def _quarantine(image_id, caption, aois, bands, e) -> list[dict]:
+        """One status row per planned (aoi, requested band) work unit — a
+        corrupt blob yields data rows, never a task failure (the reference's
+        per-record failure collection, `src/rasteret/core/execution.py:274-297`)."""
+        msg = _err_status(e)
+        return [
+            {
+                "image_id": image_id, "aoi_id": aoi["aoi_id"], "band": band,
+                "caption": caption,
+                "win_col": None, "win_row": None, "win_w": None, "win_h": None,
+                "px_count": 0, "valid_count": 0,
+                "v_sum": None, "v_mean": None, "v_min": None, "v_max": None,
+                "status": msg,
+            }
+            for aoi in aois
+            for band in bands
+        ]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
@@ -278,59 +321,67 @@ def zonal_stats(
             for image_id, blob, caption, aois, meta_row in zip(
                 pdf["image_id"], pdf["bytes"], pdf["caption"], pdf["_aois"], metas
             ):
-                meta = mr.MiniRasterMeta.from_row(meta_row) if meta_row is not None else None
-                reader = mr.CachedReader(bytes(blob), meta)
-                meta = reader.meta
-                img_bands = [b for b in want_bands if b < meta.n_bands]
+                try:
+                    meta = mr.MiniRasterMeta.from_row(meta_row) if meta_row is not None else None
+                    reader = mr.CachedReader(bytes(blob), meta)
+                    meta = reader.meta
+                    img_bands = [b for b in want_bands if b < meta.n_bands]
+                except Exception as e:  # header/blob-level failure
+                    out.extend(_quarantine(image_id, caption, aois, want_bands, e))
+                    continue
                 for aoi in aois:
-                    bx, by = crs.from_lonlat(
-                        meta.epsg,
-                        np.array([aoi["aoi_xmin"], aoi["aoi_xmax"]]),
-                        np.array([aoi["aoi_ymin"], aoi["aoi_ymax"]]),
-                    )
-                    c0, r0, ww, wh = window_from_bbox(
-                        meta.transform, meta.width, meta.height,
-                        float(bx.min()), float(by.min()), float(bx.max()), float(by.max()),
-                    )
-                    inside = None
-                    if ww > 0 and wh > 0:
-                        lon, lat = pixel_axes_lonlat(meta.transform, meta.epsg, c0, r0, ww, wh)
-                        inside = geom.points_in_polygon_grid(
-                            lon, lat, bytes(aoi["aoi_geometry"])
+                    try:
+                        bx, by = crs.from_lonlat(
+                            meta.epsg,
+                            np.array([aoi["aoi_xmin"], aoi["aoi_xmax"]]),
+                            np.array([aoi["aoi_ymin"], aoi["aoi_ymax"]]),
                         )
-                    for band in img_bands:
-                        rec = {
-                            "image_id": image_id,
-                            "aoi_id": aoi["aoi_id"],
-                            "band": band,
-                            "caption": caption,
-                            "win_col": c0, "win_row": r0, "win_w": ww, "win_h": wh,
-                            "px_count": 0, "valid_count": 0,
-                            "v_sum": None, "v_mean": None, "v_min": None, "v_max": None,
-                        }
-                        if inside is not None:
-                            arr = reader.window(c0, r0, ww, wh, band=band)
-                            valid = inside
-                            if meta.nodata is not None:
-                                # exact equality — nodata masking parity with
-                                # the reference (mask = arr == nodata);
-                                # NaN nodata needs isnan (NaN != NaN keeps all)
-                                if np.isnan(meta.nodata):
-                                    valid = valid & ~np.isnan(arr.astype(np.float64))
-                                else:
-                                    valid = valid & (
-                                        arr != np.asarray(meta.nodata).astype(arr.dtype)
-                                    )
-                            v = arr[valid].astype(np.float64)
-                            rec.update(
-                                px_count=int(inside.sum()),
-                                valid_count=int(v.size),
-                                v_sum=float(v.sum()) if v.size else None,
-                                v_mean=float(v.mean()) if v.size else None,
-                                v_min=float(v.min()) if v.size else None,
-                                v_max=float(v.max()) if v.size else None,
+                        c0, r0, ww, wh = window_from_bbox(
+                            meta.transform, meta.width, meta.height,
+                            float(bx.min()), float(by.min()), float(bx.max()), float(by.max()),
+                        )
+                        inside = None
+                        if ww > 0 and wh > 0:
+                            lon, lat = pixel_axes_lonlat(meta.transform, meta.epsg, c0, r0, ww, wh)
+                            inside = geom.points_in_polygon_grid(
+                                lon, lat, bytes(aoi["aoi_geometry"])
                             )
-                        out.append(rec)
+                        for band in img_bands:
+                            rec = {
+                                "image_id": image_id,
+                                "aoi_id": aoi["aoi_id"],
+                                "band": band,
+                                "caption": caption,
+                                "win_col": c0, "win_row": r0, "win_w": ww, "win_h": wh,
+                                "px_count": 0, "valid_count": 0,
+                                "v_sum": None, "v_mean": None, "v_min": None, "v_max": None,
+                                "status": "ok",
+                            }
+                            if inside is not None:
+                                arr = reader.window(c0, r0, ww, wh, band=band)
+                                valid = inside
+                                if meta.nodata is not None:
+                                    # exact equality — nodata masking parity with
+                                    # the reference (mask = arr == nodata);
+                                    # NaN nodata needs isnan (NaN != NaN keeps all)
+                                    if np.isnan(meta.nodata):
+                                        valid = valid & ~np.isnan(arr.astype(np.float64))
+                                    else:
+                                        valid = valid & (
+                                            arr != np.asarray(meta.nodata).astype(arr.dtype)
+                                        )
+                                v = arr[valid].astype(np.float64)
+                                rec.update(
+                                    px_count=int(inside.sum()),
+                                    valid_count=int(v.size),
+                                    v_sum=float(v.sum()) if v.size else None,
+                                    v_mean=float(v.mean()) if v.size else None,
+                                    v_min=float(v.min()) if v.size else None,
+                                    v_max=float(v.max()) if v.size else None,
+                                )
+                            out.append(rec)
+                    except Exception as e:  # tile/window-level failure: this AOI only
+                        out.extend(_quarantine(image_id, caption, [aoi], img_bands, e))
             yield pd.DataFrame(out) if out else pd.DataFrame(
                 {f.split(" ")[0]: [] for f in ZONAL_SCHEMA.split(", ")}
             )

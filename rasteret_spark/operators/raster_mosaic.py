@@ -44,15 +44,34 @@ from rasteret_spark.format import miniraster as mr
 CHIP_COLS = ("chip_id", "chip_xmin", "chip_ymax", "chip_xres", "chip_yres",
              "chip_w", "chip_h")
 
+# outputs are self-describing (R10): every row carries its grid georeferencing
+# (origin/res/size + grid CRS) so pixel coords reconstruct from the row alone —
+# the distributed analogue of the reference's CF/spatial_ref attrs
+# (`src/rasteret/core/raster_accessor.py:1328-1477`)
+GRID_COLS_SCHEMA = (
+    "chip_xmin double, chip_ymax double, chip_xres double, chip_yres double, "
+    "chip_w int, chip_h int, grid_epsg int"
+)
+
 MOSAIC_SCHEMA = (
     "chip_id string, band int, n_images int, n_contributing int, "
-    "filled bigint, v_sum double, values array<double>"
+    "filled bigint, v_sum double, values array<double>, "
+    + GRID_COLS_SCHEMA
+    + ", n_failed int, status string"
 )
 
 CHIP_STACK_SCHEMA = (
     "chip_id string, t_index int, image_id string, datetime timestamp, "
-    "band int, filled bigint, values array<double>"
+    "band int, filled bigint, values array<double>, "
+    + GRID_COLS_SCHEMA
+    + ", status string"
 )
+
+# default temporal-depth bound: a chip under a 10,000-scene archive must not
+# drag every blob into one applyInPandas group.  32 newest scenes cover any
+# realistic cloud/nodata fill depth (synthetic fixture plants nodata in ~20%
+# of images -> P(32 straight misses) ~ 0.2^32); override per query.
+DEFAULT_MAX_IMAGES_PER_CHIP = 32
 
 
 def reproject_nearest(
@@ -155,14 +174,153 @@ def reproject_bilinear(
     return out.reshape(height, width)
 
 
+def _cubic_weights(t: np.ndarray) -> np.ndarray:
+    """Keys bicubic kernel weights (a = -0.5, the Catmull-Rom spline GDAL's
+    ``Resampling.cubic`` uses) for taps at offsets (-1, 0, 1, 2) given the
+    fractional position t in [0, 1).  Shape (p, 4); rows sum to 1."""
+    a = -0.5
+    d0, d1, d2, d3 = 1.0 + t, t, 1.0 - t, 2.0 - t
+    w0 = a * (d0**3 - 5 * d0**2 + 8 * d0 - 4)
+    w1 = (a + 2) * d1**3 - (a + 3) * d1**2 + 1
+    w2 = (a + 2) * d2**3 - (a + 3) * d2**2 + 1
+    w3 = a * (d3**3 - 5 * d3**2 + 8 * d3 - 4)
+    return np.stack([w0, w1, w2, w3], axis=1)
+
+
+def reproject_cubic(
+    reader: mr.CachedReader,
+    band: int,
+    xmin: float,
+    ymax: float,
+    xres: float,
+    yres: float,
+    width: int,
+    height: int,
+) -> np.ndarray:
+    """Bicubic (Keys, a=-0.5) resample onto the target grid — the reference's
+    rasterio ``Resampling.cubic`` surface (`src/rasteret/core/utils.py:215-344`).
+
+    4x4 edge-clamped neighborhood per target pixel; strict nodata semantics:
+    any invalid tap poisons the output pixel (NaN), same rule as bilinear."""
+    meta = reader.meta
+    lons = xmin + (np.arange(width) + 0.5) * xres
+    lats = ymax - (np.arange(height) + 0.5) * yres
+    gx_, gy_ = np.meshgrid(lons, lats)
+    xs, ys = crs.from_lonlat(meta.epsg, gx_.ravel(), gy_.ravel())
+    a, _, c, _, e, f = meta.transform
+    fc = (xs - c) / a
+    fr = (ys - f) / e
+    inb = (fc >= 0) & (fc < meta.width) & (fr >= 0) & (fr < meta.height)
+    out = np.full(width * height, np.nan)
+    if not inb.any():
+        return out.reshape(height, width)
+    gx = fc[inb] - 0.5
+    gy = fr[inb] - 0.5
+    c0 = np.floor(gx).astype(np.int64)
+    r0 = np.floor(gy).astype(np.int64)
+    tx = np.clip(gx - c0, 0.0, 1.0)
+    ty = np.clip(gy - r0, 0.0, 1.0)
+    cols4 = np.clip(c0[:, None] + np.arange(-1, 3), 0, meta.width - 1)
+    rows4 = np.clip(r0[:, None] + np.arange(-1, 3), 0, meta.height - 1)
+    cmin, cmax = int(cols4.min()), int(cols4.max())
+    rmin, rmax = int(rows4.min()), int(rows4.max())
+    win = reader.window(cmin, rmin, cmax - cmin + 1, rmax - rmin + 1, band=band).astype(
+        np.float64
+    )
+    if meta.nodata is not None:
+        win = np.where(
+            np.isnan(win) if np.isnan(meta.nodata) else win == meta.nodata,
+            np.nan,
+            win,
+        )
+    taps = win[rows4[:, :, None] - rmin, cols4[:, None, :] - cmin]  # (p, 4, 4)
+    wx = _cubic_weights(tx)  # (p, 4)
+    wy = _cubic_weights(ty)
+    out[inb] = np.einsum("pr,pc,prc->p", wy, wx, taps)  # NaN taps propagate
+    return out.reshape(height, width)
+
+
+def reproject_average(
+    reader: mr.CachedReader,
+    band: int,
+    xmin: float,
+    ymax: float,
+    xres: float,
+    yres: float,
+    width: int,
+    height: int,
+) -> np.ndarray:
+    """Average resample onto the target grid — the reference's rasterio
+    ``Resampling.average`` surface (`src/rasteret/core/utils.py:215-344`).
+
+    Semantics (documented, oracle-pinned): each target pixel takes the mean
+    of all VALID source pixels whose centers fall inside it; target pixels
+    with no contributing center (upsampling regime) fall back to the nearest
+    sample, so average == nearest when the target is finer than the source.
+    Valid-only averaging means nodata never dilutes a mean (no poisoning) —
+    downsampling is where this method earns its keep."""
+    meta = reader.meta
+    a, _, c, _, e, f = meta.transform
+    # source window touched by the target extent (corner-mapped, clamped)
+    tx = np.array([xmin, xmin + width * xres])
+    ty = np.array([ymax - height * yres, ymax])
+    sx, sy = crs.from_lonlat(meta.epsg, tx, ty)
+    fcs = (sx - c) / a
+    frs = (sy - f) / e
+    c0 = max(int(np.floor(fcs.min())), 0)
+    c1 = min(int(np.ceil(fcs.max())), meta.width)
+    r0 = max(int(np.floor(frs.min())), 0)
+    r1 = min(int(np.ceil(frs.max())), meta.height)
+    out = np.full(width * height, np.nan)
+    if c1 <= c0 or r1 <= r0:
+        return out.reshape(height, width)
+    win = reader.window(c0, r0, c1 - c0, r1 - r0, band=band).astype(np.float64)
+    if meta.nodata is not None:
+        win = np.where(
+            np.isnan(win) if np.isnan(meta.nodata) else win == meta.nodata,
+            np.nan,
+            win,
+        )
+    # source pixel centers -> target cell indices (separable linear CRS)
+    src_x = a * (c0 + np.arange(c1 - c0) + 0.5) + c
+    src_y = e * (r0 + np.arange(r1 - r0) + 0.5) + f
+    lon, _ = crs.to_lonlat(meta.epsg, src_x, np.zeros_like(src_x))
+    _, lat = crs.to_lonlat(meta.epsg, np.zeros_like(src_y), src_y)
+    tcol = np.floor((lon - xmin) / xres).astype(np.int64)
+    trow = np.floor((ymax - lat) / yres).astype(np.int64)
+    gc, gr = np.meshgrid(tcol, trow)
+    keep = (gc >= 0) & (gc < width) & (gr >= 0) & (gr < height) & ~np.isnan(win)
+    if keep.any():
+        flat = (gr[keep] * width + gc[keep]).astype(np.int64)
+        sums = np.zeros(width * height)
+        cnts = np.zeros(width * height)
+        np.add.at(sums, flat, win[keep])
+        np.add.at(cnts, flat, 1.0)
+        got = cnts > 0
+        out[got] = sums[got] / cnts[got]
+    # cells without a contributing source center: nearest fallback
+    empty = np.isnan(out)
+    if empty.any():
+        near = reproject_nearest(reader, band, xmin, ymax, xres, yres, width, height)
+        out[empty] = near.ravel()[empty]
+    return out.reshape(height, width)
+
+
+RESAMPLERS = {
+    "nearest": reproject_nearest,
+    "bilinear": reproject_bilinear,
+    "cubic": reproject_cubic,
+    "average": reproject_average,
+}
+
+
 def reproject_to_grid(
     reader: mr.CachedReader, band: int, *grid, method: str = "nearest"
 ) -> np.ndarray:
-    if method == "nearest":
-        return reproject_nearest(reader, band, *grid)
-    if method == "bilinear":
-        return reproject_bilinear(reader, band, *grid)
-    raise ValueError(f"unknown resample method {method!r}")
+    fn = RESAMPLERS.get(method)
+    if fn is None:
+        raise ValueError(f"unknown resample method {method!r} (have {sorted(RESAMPLERS)})")
+    return fn(reader, band, *grid)
 
 
 def _sorted_group(pdf: pd.DataFrame, newest_first: bool) -> pd.DataFrame:
@@ -171,12 +329,44 @@ def _sorted_group(pdf: pd.DataFrame, newest_first: bool) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def _depth_cap(
+    pairs: DataFrame, max_images_per_chip: int, newest_first: bool
+) -> DataFrame:
+    """Cap the temporal depth BEFORE blobs group: a window over (chip_id) in
+    composite order keeps only the first N candidates, so a chip sitting
+    under a 10,000-scene archive does not drag 10,000 blobs into one group
+    when the newest handful fill it (the knob the reference's query-limited
+    chip reads expose)."""
+    order = [
+        F.col("datetime").desc() if newest_first else F.col("datetime").asc(),
+        F.col("image_id").asc(),
+    ]
+    w = Window.partitionBy("chip_id").orderBy(*order)
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_images_per_chip)
+        .drop("_rn")
+    )
+
+
+def _grid_cols(r0: pd.Series) -> dict:
+    return {
+        "chip_xmin": float(r0["chip_xmin"]),
+        "chip_ymax": float(r0["chip_ymax"]),
+        "chip_xres": float(r0["chip_xres"]),
+        "chip_yres": float(r0["chip_yres"]),
+        "chip_w": int(r0["chip_w"]),
+        "chip_h": int(r0["chip_h"]),
+        "grid_epsg": 4326,
+    }
+
+
 def first_valid_mosaic_pixels(
     pairs_with_blobs: DataFrame,
     bands: tuple[int, ...] | list[int] = (0,),
     newest_first: bool = True,
     method: str = "nearest",
-    max_images_per_chip: int | None = None,
+    max_images_per_chip: int | None = DEFAULT_MAX_IMAGES_PER_CHIP,
 ) -> DataFrame:
     """Per-pixel first-valid composite per chip.
 
@@ -186,26 +376,19 @@ def first_valid_mosaic_pixels(
     on image_id) and each still-empty pixel takes the first valid value —
     the reference's first-valid precedence (`torchgeo.py:958-995`).
 
-    ``max_images_per_chip`` caps the temporal depth BEFORE blobs group: a
-    window over (chip_id) in composite order keeps only the first N
-    candidates, so a chip sitting under a 10,000-scene archive does not
-    drag 10,000 blobs into one group when the newest handful fill it.  The
+    ``max_images_per_chip`` (default ``DEFAULT_MAX_IMAGES_PER_CHIP``) bounds
+    the blobs shuffled into each chip group; pass ``None`` to disable.  The
     cap trades completeness for boundedness — pick N >= the worst-case
-    cloud/nodata depth (the same knob the reference's query-limited chip
-    reads expose).
+    cloud/nodata depth.
+
+    A corrupt blob is skipped (counted in ``n_failed``; ``status`` carries
+    the first error) instead of failing the stage — per-record failure
+    containment parity (`src/rasteret/core/execution.py:274-297`).  Output
+    rows are self-describing: GRID_COLS_SCHEMA georeferencing rides along.
     """
     want_bands = tuple(bands)
     if max_images_per_chip is not None:
-        order = [
-            F.col("datetime").desc() if newest_first else F.col("datetime").asc(),
-            F.col("image_id").asc(),
-        ]
-        w = Window.partitionBy("chip_id").orderBy(*order)
-        pairs_with_blobs = (
-            pairs_with_blobs.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= max_images_per_chip)
-            .drop("_rn")
-        )
+        pairs_with_blobs = _depth_cap(pairs_with_blobs, max_images_per_chip, newest_first)
 
     def composite(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = _sorted_group(pdf, newest_first)
@@ -213,17 +396,24 @@ def first_valid_mosaic_pixels(
         w, h = int(r0["chip_w"]), int(r0["chip_h"])
         grid = (float(r0["chip_xmin"]), float(r0["chip_ymax"]),
                 float(r0["chip_xres"]), float(r0["chip_yres"]), w, h)
+        gcols = _grid_cols(r0)
         out = []
         for band in want_bands:
             canvas = np.full((h, w), np.nan)
-            contributing = 0
+            contributing, n_failed, first_err = 0, 0, None
             for _, row in pdf.iterrows():
                 if not np.isnan(canvas).any():
                     break  # chip fully composited — skip remaining decodes
-                reader = mr.CachedReader(bytes(row["bytes"]))
-                if band >= reader.meta.n_bands:
+                try:
+                    reader = mr.CachedReader(bytes(row["bytes"]))
+                    if band >= reader.meta.n_bands:
+                        continue
+                    rep = reproject_to_grid(reader, band, *grid, method=method)
+                except Exception as e:  # quarantine the image, keep the chip
+                    n_failed += 1
+                    if first_err is None:
+                        first_err = f"{type(e).__name__}: {e}"[:200]
                     continue
-                rep = reproject_to_grid(reader, band, *grid, method=method)
                 need = np.isnan(canvas) & ~np.isnan(rep)
                 if need.any():
                     canvas[need] = rep[need]
@@ -238,6 +428,9 @@ def first_valid_mosaic_pixels(
                     "filled": filled,
                     "v_sum": float(np.nansum(canvas)) if filled else None,
                     "values": [None if np.isnan(v) else float(v) for v in canvas.ravel()],
+                    **gcols,
+                    "n_failed": n_failed,
+                    "status": "ok" if n_failed == 0 else f"partial: {first_err}",
                 }
             )
         return pd.DataFrame(out)
@@ -250,14 +443,26 @@ def first_valid_mosaic_pixels(
 def chip_stack_pixels(
     pairs_with_blobs: DataFrame,
     bands: tuple[int, ...] | list[int] = (0,),
+    method: str = "nearest",
+    max_images_per_chip: int | None = DEFAULT_MAX_IMAGES_PER_CHIP,
 ) -> DataFrame:
     """[T, C, H, W] chip tensor, exploded as one row per (t, band).
 
     Time steps are ordered oldest-first with image_id tie-break (stable
     t_index regardless of input row order); every step is the image
     reprojected onto the chip grid — the distributed layout of the
-    reference's stacked chip tensors (`torchgeo.py:997-1236`)."""
+    reference's stacked chip tensors (`torchgeo.py:997-1236`).
+
+    ``max_images_per_chip`` bounds the T depth (the NEWEST N scenes are
+    kept, then ordered oldest-first — the most training-relevant window);
+    ``None`` disables.  A corrupt blob keeps its t slot (time axis stays
+    stable) but emits quarantine rows with filled=0, values=null and the
+    error in ``status``.  GRID_COLS_SCHEMA georeferencing rides along."""
     want_bands = tuple(bands)
+    if max_images_per_chip is not None:
+        pairs_with_blobs = _depth_cap(
+            pairs_with_blobs, max_images_per_chip, newest_first=True
+        )
 
     def stack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = _sorted_group(pdf, newest_first=False)
@@ -265,24 +470,41 @@ def chip_stack_pixels(
         w, h = int(r0["chip_w"]), int(r0["chip_h"])
         grid = (float(r0["chip_xmin"]), float(r0["chip_ymax"]),
                 float(r0["chip_xres"]), float(r0["chip_yres"]), w, h)
+        gcols = _grid_cols(r0)
         out = []
         for t, (_, row) in enumerate(pdf.iterrows()):
-            reader = mr.CachedReader(bytes(row["bytes"]))
-            for band in want_bands:
-                if band >= reader.meta.n_bands:
-                    continue
-                rep = reproject_nearest(reader, band, *grid)
+            base = {
+                "chip_id": r0["chip_id"],
+                "t_index": t,
+                "image_id": row["image_id"],
+                "datetime": row["datetime"],
+                **gcols,
+            }
+            try:
+                reader = mr.CachedReader(bytes(row["bytes"]))
+                for band in want_bands:
+                    if band >= reader.meta.n_bands:
+                        continue
+                    rep = reproject_to_grid(reader, band, *grid, method=method)
+                    out.append(
+                        {
+                            **base,
+                            "band": band,
+                            "filled": int((~np.isnan(rep)).sum()),
+                            "values": [
+                                None if np.isnan(v) else float(v) for v in rep.ravel()
+                            ],
+                            "status": "ok",
+                        }
+                    )
+            except Exception as e:  # quarantine the time step, keep the chip
                 out.append(
                     {
-                        "chip_id": r0["chip_id"],
-                        "t_index": t,
-                        "image_id": row["image_id"],
-                        "datetime": row["datetime"],
-                        "band": band,
-                        "filled": int((~np.isnan(rep)).sum()),
-                        "values": [
-                            None if np.isnan(v) else float(v) for v in rep.ravel()
-                        ],
+                        **base,
+                        "band": -1,
+                        "filled": 0,
+                        "values": None,
+                        "status": f"{type(e).__name__}: {e}"[:200],
                     }
                 )
         return pd.DataFrame(out)

@@ -16,7 +16,15 @@ Spark re-expression of rasteret's 4-phase point sampler
   phase 4 (ring)   — nodata points fall back to an expanding Chebyshev ring
                      search for the nearest valid pixel (exact center-distance
                      scoring, deterministic (d², row, col) tie-break), bounded
-                     by ``max_ring`` — the J5 kNN-flavoured ring search.
+                     by ``max_ring`` — the J5 kNN-flavoured ring search.  The
+                     ring scan is VECTORIZED across points: per radius k, ALL
+                     still-unresolved points gather their ring pixels at once
+                     through the shared tile cache (no per-point window loop).
+
+Error containment (R12): a corrupt blob yields per-point quarantine rows with
+a ``status`` column instead of failing the task — mirroring the reference's
+per-record failure collection (`src/rasteret/core/execution.py:274-297`,
+`core/raster_accessor.py:1183-1313`).  Healthy rows carry ``status='ok'``.
 """
 
 from __future__ import annotations
@@ -34,9 +42,141 @@ from rasteret_spark.format import miniraster as mr
 SAMPLES_SCHEMA = (
     "point_index bigint, image_id string, band int, px_col int, px_row int, "
     "in_bounds boolean, value double, valid boolean, ring_steps int, "
-    "sample_col int, sample_row int"
+    "sample_col int, sample_row int, status string"
 )
 NEIGHBORHOOD_COL = ", neighborhood array<double>"
+
+
+def _gather_pixels(
+    reader: mr.CachedReader, band: int, rr: np.ndarray, cc: np.ndarray
+) -> np.ndarray:
+    """Vectorized pixel gather: decode each touched tile once (shared cache),
+    fancy-index all requested (row, col) pairs.  Coords must be in-raster."""
+    meta = reader.meta
+    out = np.empty(rr.shape, dtype=np.float64)
+    tids = (rr // meta.tile_h) * meta.tiles_x + (cc // meta.tile_w)
+    for tid in np.unique(tids):
+        sel = tids == tid
+        ty, tx = divmod(int(tid), meta.tiles_x)
+        tile = reader._tile(meta.tile_index(band, ty, tx))
+        out[sel] = tile[rr[sel] % meta.tile_h, cc[sel] % meta.tile_w]
+    return out
+
+
+def _ring_offsets(k: int) -> np.ndarray:
+    """(m, 2) row/col offsets of the Chebyshev ring at radius k (8k pixels)."""
+    side = np.arange(-k, k + 1)
+    top = np.stack([np.full(2 * k + 1, -k), side], axis=1)
+    bot = np.stack([np.full(2 * k + 1, k), side], axis=1)
+    mid = side[1:-1]
+    lef = np.stack([mid, np.full(2 * k - 1, -k)], axis=1)
+    rig = np.stack([mid, np.full(2 * k - 1, k)], axis=1)
+    return np.concatenate([top, bot, lef, rig]).astype(np.int64)
+
+
+def _ring_fallback(
+    reader: mr.CachedReader,
+    band: int,
+    max_ring: int,
+    need: np.ndarray,  # bool mask over points: in-bounds AND nodata-invalid
+    rows: np.ndarray,
+    cols: np.ndarray,
+    frows: np.ndarray,
+    fcols: np.ndarray,
+):
+    """Vectorized expanding-ring nearest-valid-pixel search.
+
+    Per radius k all active points gather their 8k ring pixels in ONE pass
+    (tile-deduped), the per-point (d², row, col)-lexicographic best is kept
+    as a running candidate, and a point retires once its best is certified
+    (d² <= (k-0.5)² — a strictly closer pixel can still appear one ring out).
+    Returns (best_r, best_c, best_v) arrays (-1 / NaN where unresolved) —
+    bit-identical to the per-point scan it replaces.
+    """
+    meta = reader.meta
+    n = len(rows)
+    best_d2 = np.full(n, np.inf)
+    best_r = np.full(n, -1, dtype=np.int64)
+    best_c = np.full(n, -1, dtype=np.int64)
+    best_v = np.full(n, np.nan)
+    active = need.copy()
+    nod = meta.nodata
+    for k in range(1, max_ring + 1):
+        idx = np.nonzero(active)[0]
+        if not len(idx):
+            break
+        offs = _ring_offsets(k)
+        rr = rows[idx][:, None] + offs[None, :, 0]  # (p, m)
+        cc = cols[idx][:, None] + offs[None, :, 1]
+        inside = (rr >= 0) & (rr < meta.height) & (cc >= 0) & (cc < meta.width)
+        vals = np.full(rr.shape, np.nan)
+        if inside.any():
+            vals[inside] = _gather_pixels(reader, band, rr[inside], cc[inside])
+        ok = inside & (
+            ~np.isnan(vals) if np.isnan(nod) else (vals != nod)
+        ) & ~np.isnan(vals)
+        d2 = (rr + 0.5 - frows[idx][:, None]) ** 2 + (cc + 0.5 - fcols[idx][:, None]) ** 2
+        d2 = np.where(ok, d2, np.inf)
+        # per-point lexicographic min over the ring by (d2, row, col):
+        # sort rows of each point by the tuple, take the first per point
+        p, m = d2.shape
+        pidx = np.repeat(np.arange(p), m)
+        order = np.lexsort((cc.ravel(), rr.ravel(), d2.ravel(), pidx))
+        first = order[np.searchsorted(pidx[order], np.arange(p))]
+        cand_d2, cand_r, cand_c, cand_v = (
+            d2.ravel()[first], rr.ravel()[first], cc.ravel()[first], vals.ravel()[first]
+        )
+        has = np.isfinite(cand_d2)
+        better = has & (
+            (cand_d2 < best_d2[idx])
+            | ((cand_d2 == best_d2[idx]) & (cand_r < best_r[idx]))
+            | ((cand_d2 == best_d2[idx]) & (cand_r == best_r[idx]) & (cand_c < best_c[idx]))
+        )
+        upd = idx[better]
+        best_d2[upd] = cand_d2[better]
+        best_r[upd] = cand_r[better]
+        best_c[upd] = cand_c[better]
+        best_v[upd] = cand_v[better]
+        # certification: retire points whose best cannot be beaten further out
+        active[idx[best_d2[idx] <= (k - 0.5) ** 2]] = False
+    return best_r, best_c, best_v
+
+
+def _neighborhood_windows(
+    reader: mr.CachedReader,
+    band: int,
+    neighborhood: int,
+    in_bounds: np.ndarray,
+    rows: np.ndarray,
+    cols: np.ndarray,
+) -> np.ndarray:
+    """Edge-clamped n x n windows for all in-bounds points, gathered in one
+    vectorized pass (the reference's neighbourhood_values,
+    `src/rasteret/types.py:36-40`; clamped offsets
+    `core/point_sample_helpers.py:158-229`), row-major flattened."""
+    meta = reader.meta
+    n = len(rows)
+    half = neighborhood // 2
+    wh = min(neighborhood, meta.height)
+    ww = min(neighborhood, meta.width)
+    nb_arr = np.empty(n, dtype=object)
+    idx = np.nonzero(in_bounds)[0]
+    if len(idx):
+        rr0 = np.clip(rows[idx] - half, 0, meta.height - 1)
+        cc0 = np.clip(cols[idx] - half, 0, meta.width - 1)
+        rr0 = np.minimum(rr0, max(meta.height - neighborhood, 0))
+        cc0 = np.minimum(cc0, max(meta.width - neighborhood, 0))
+        rr = (rr0[:, None] + np.arange(wh))[:, :, None]  # (p, wh, 1)
+        cc = (cc0[:, None] + np.arange(ww))[:, None, :]  # (p, 1, ww)
+        rr, cc = np.broadcast_arrays(rr, cc)
+        vals = _gather_pixels(reader, band, rr.reshape(-1), cc.reshape(-1)).reshape(
+            len(idx), wh * ww
+        )
+        for j, i in enumerate(idx):
+            nb_arr[i] = [float(v) for v in vals[j]]
+    for i in np.nonzero(~in_bounds)[0]:
+        nb_arr[i] = None
+    return nb_arr
 
 
 def _sample_image(
@@ -60,7 +200,7 @@ def _sample_image(
     img_bands = [b for b in bands if b < meta.n_bands]
     parts: dict[str, list] = {k: [] for k in (
         "point_index", "image_id", "band", "px_col", "px_row", "in_bounds",
-        "value", "valid", "ring_steps", "sample_col", "sample_row",
+        "value", "valid", "ring_steps", "sample_col", "sample_row", "status",
     )}
     if neighborhood > 0:
         parts["neighborhood"] = []
@@ -73,50 +213,30 @@ def _sample_image(
         s_col = np.where(in_bounds, cols, -1).astype(np.int64)
         s_row = np.where(in_bounds, rows, -1).astype(np.int64)
 
-        # phase 3 vectorized: group points by touched tile, decode each tile
-        # once, gather all its point values in one fancy-index (A9 tile dedup)
-        tile_ids = (rows // meta.tile_h) * meta.tiles_x + (cols // meta.tile_w)
-        for t in np.unique(tile_ids[in_bounds]):
-            sel = in_bounds & (tile_ids == t)
-            ty, tx = int(t) // meta.tiles_x, int(t) % meta.tiles_x
-            tile = reader._tile(meta.tile_index(band, ty, tx))
-            value[sel] = tile[rows[sel] % meta.tile_h, cols[sel] % meta.tile_w]
+        # phase 3 vectorized: gather all in-bounds point values in one pass
+        # (each touched tile decodes once — A9 tile dedup)
+        if in_bounds.any():
+            value[in_bounds] = _gather_pixels(
+                reader, band, rows[in_bounds], cols[in_bounds]
+            )
         if meta.nodata is None:
             valid[in_bounds] = True
         else:
             valid[in_bounds] = value[in_bounds] != meta.nodata
-        idxs = np.nonzero(in_bounds)[0]
 
         if max_ring > 0 and meta.nodata is not None:
-            for i in idxs:
-                if valid[i]:
-                    continue
-                r, cc = int(rows[i]), int(cols[i])
-                best = None  # (dist2, row, col, value)
-                for k in range(1, max_ring + 1):
-                    r0, r1 = max(r - k, 0), min(r + k, meta.height - 1)
-                    c0, c1 = max(cc - k, 0), min(cc + k, meta.width - 1)
-                    win = reader.window(c0, r0, c1 - c0 + 1, r1 - r0 + 1, band=band)
-                    rr, ccs = np.mgrid[r0 : r1 + 1, c0 : c1 + 1]
-                    on_ring = np.maximum(np.abs(rr - r), np.abs(ccs - cc)) == k
-                    ok = on_ring & (win.astype(np.float64) != meta.nodata)
-                    if ok.any():
-                        drr = rr[ok] + 0.5 - frows[i]
-                        dcc = ccs[ok] + 0.5 - fcols[i]
-                        d2 = drr * drr + dcc * dcc
-                        j = np.lexsort((ccs[ok], rr[ok], d2))[0]
-                        cand = (float(d2[j]), int(rr[ok][j]), int(ccs[ok][j]), float(win[ok][j]))
-                        if best is None or cand < best:
-                            best = cand
-                    # a strictly closer pixel can still appear one ring out;
-                    # continue until the best is certified (d <= (k-0.5) rule)
-                    if best is not None and best[0] <= (k - 0.5) ** 2:
-                        break
-                if best is not None:
-                    value[i] = best[3]
-                    valid[i] = True
-                    ring_steps[i] = int(max(abs(best[1] - r), abs(best[2] - cc)))
-                    s_row[i], s_col[i] = best[1], best[2]
+            need = in_bounds & ~valid
+            if need.any():
+                br, bc, bv = _ring_fallback(
+                    reader, band, max_ring, need, rows, cols, frows, fcols
+                )
+                hit = need & (br >= 0)
+                value[hit] = bv[hit]
+                valid[hit] = True
+                ring_steps[hit] = np.maximum(
+                    np.abs(br[hit] - rows[hit]), np.abs(bc[hit] - cols[hit])
+                ).astype(np.int32)
+                s_row[hit], s_col[hit] = br[hit], bc[hit]
 
         parts["point_index"].append(pidx)
         parts["image_id"].append(np.full(n, image_id, dtype=object))
@@ -129,31 +249,37 @@ def _sample_image(
         parts["ring_steps"].append(ring_steps)
         parts["sample_col"].append(s_col.astype(np.int32))
         parts["sample_row"].append(s_row.astype(np.int32))
+        parts["status"].append(np.full(n, "ok", dtype=object))
         if neighborhood > 0:
-            # n x n edge-clamped window per in-bounds point (the reference's
-            # neighbourhood_values, `src/rasteret/types.py:36-40`; clamped
-            # offsets `core/point_sample_helpers.py:158-229`), row-major
-            half = neighborhood // 2
-            nb: list = []
-            for i in range(n):
-                if not in_bounds[i]:
-                    nb.append(None)
-                    continue
-                rr0 = np.clip(int(rows[i]) - half, 0, meta.height - 1)
-                cc0 = np.clip(int(cols[i]) - half, 0, meta.width - 1)
-                rr0 = min(rr0, max(meta.height - neighborhood, 0))
-                cc0 = min(cc0, max(meta.width - neighborhood, 0))
-                wh = min(neighborhood, meta.height)
-                ww = min(neighborhood, meta.width)
-                win = reader.window(cc0, rr0, ww, wh, band=band)
-                nb.append([float(v) for v in win.astype(np.float64).ravel()])
-            # 1-D object array (equal-length lists must NOT collapse to 2-D)
-            nb_arr = np.empty(n, dtype=object)
-            for i, v in enumerate(nb):
-                nb_arr[i] = v
-            parts["neighborhood"].append(nb_arr)
+            parts["neighborhood"].append(
+                _neighborhood_windows(reader, band, neighborhood, in_bounds, rows, cols)
+            )
 
     return {k: np.concatenate(v) if v else np.array([]) for k, v in parts.items()}
+
+
+def _quarantine_rows(image_id, pts, msg: str, neighborhood: int) -> dict:
+    """Per-point status rows for an image whose blob failed to decode."""
+    n = len(pts)
+    out = {
+        "point_index": np.asarray([p["point_index"] for p in pts], dtype=np.int64),
+        "image_id": np.full(n, image_id, dtype=object),
+        "band": np.full(n, -1, dtype=np.int32),
+        "px_col": np.full(n, -1, dtype=np.int32),
+        "px_row": np.full(n, -1, dtype=np.int32),
+        "in_bounds": np.zeros(n, dtype=bool),
+        "value": np.full(n, np.nan),
+        "valid": np.zeros(n, dtype=bool),
+        "ring_steps": np.zeros(n, dtype=np.int32),
+        "sample_col": np.full(n, -1, dtype=np.int32),
+        "sample_row": np.full(n, -1, dtype=np.int32),
+        "status": np.full(n, msg, dtype=object),
+    }
+    if neighborhood > 0:
+        nb = np.empty(n, dtype=object)
+        nb[:] = None
+        out["neighborhood"] = nb
+    return out
 
 
 def sample_points(
@@ -170,8 +296,13 @@ def sample_points(
     Returns SAMPLES_SCHEMA rows, one per candidate pair per requested band
     (bands missing from an image are skipped).  ``neighborhood=n`` (odd n)
     appends an n x n edge-clamped window per in-bounds sample as an
-    ``array<double>`` column."""
-    from rasteret_spark.operators.decode import _decode_parallelism, grouped_side_choice
+    ``array<double>`` column.  A corrupt blob yields one quarantine row per
+    candidate point (status column) instead of failing the stage."""
+    from rasteret_spark.operators.decode import (
+        _decode_parallelism,
+        _err_status,
+        grouped_side_choice,
+    )
 
     want_bands = tuple(bands) if bands is not None else (0,)
     agg = candidates.groupBy("image_id").agg(
@@ -194,10 +325,15 @@ def sample_points(
         for pdf in batches:
             parts: list[dict] = []
             for image_id, blob, pts in zip(pdf["image_id"], pdf["bytes"], pdf["_pts"]):
-                reader = mr.CachedReader(bytes(blob))
-                parts.append(
-                    _sample_image(image_id, reader, pts, max_ring, want_bands, neighborhood)
-                )
+                try:
+                    reader = mr.CachedReader(bytes(blob))
+                    parts.append(
+                        _sample_image(image_id, reader, pts, max_ring, want_bands, neighborhood)
+                    )
+                except Exception as e:  # quarantine rows, not a task failure
+                    parts.append(
+                        _quarantine_rows(image_id, pts, _err_status(e), neighborhood)
+                    )
             parts = [p for p in parts if len(p["point_index"])]
             if parts:
                 out = pd.DataFrame(

@@ -195,6 +195,28 @@ def test_mosaic_fixture_exercises_south_up_and_cross_crs(images_pdf):
     assert hot["epsg"].nunique() > 1, "need mixed CRSes in range"
 
 
+def test_chip_stack_cap_keeps_newest_in_time_order(mosaic_inputs, images_pdf):
+    """T-depth bound on the stack: the NEWEST N scenes are kept, t_index
+    still runs oldest-first over the kept set."""
+    full = rmo.chip_stack_pixels(
+        mosaic_inputs, bands=(0,), max_images_per_chip=None
+    ).toPandas()
+    capped = rmo.chip_stack_pixels(
+        mosaic_inputs, bands=(0,), max_images_per_chip=2
+    ).toPandas()
+    dt_of = dict(zip(images_pdf["image_id"], images_pdf["datetime"]))
+    for chip_id, g in capped.groupby("chip_id"):
+        assert len(g) <= 2
+        cands = full[full["chip_id"] == chip_id]["image_id"].tolist()
+        # newest-2 selection order: datetime desc, image_id asc (stable sort)
+        ordered = sorted(sorted(cands), key=lambda i: dt_of[i], reverse=True)
+        assert set(g["image_id"]) == set(ordered[:2])
+        g = g.sort_values("t_index")
+        dts = [dt_of[i] for i in g["image_id"]]
+        assert dts == sorted(dts)
+        assert list(g["t_index"]) == list(range(len(g)))
+
+
 def test_mosaic_max_images_cap_bounds_group_depth(mosaic_inputs, images_pdf):
     """cap=1: only the newest candidate contributes per chip — equals the
     oracle run over just that image; n_images reflects the cap."""
