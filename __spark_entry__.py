@@ -572,23 +572,21 @@ def q47_lsh_ann(spark, sf_dir):
     return lsh_topk(emb, probes, k=3, dim=64, n_bits=4, n_tables=8)
 
 
-def _chips_df(spark, n=9):
-    """Deterministic chip grid over the densest image hotspot."""
-    import pandas as pd
+# the hotspot query: bbox + chip size/resolution/stride — the chip GRID is
+# derived from it by chips.chip_requests (TorchGeo GridGeoSampler semantics),
+# not hand-pinned (reference derives its grids from query bbox + res the same
+# way, `src/rasteret/integrations/torchgeo.py:1013-1025`)
+HOTSPOT_BBOX = (13.35, 52.448, 13.452, 52.55)
+CHIP_SIZE, CHIP_RES, CHIP_STRIDE = 32, 0.001, 35
 
-    rows = [
-        {
-            "chip_id": f"chip-{j:03d}",
-            "chip_xmin": 13.35 + (j % 3) * 0.035,
-            "chip_ymax": 52.55 - (j // 3) * 0.035,
-            "chip_xres": 0.001,
-            "chip_yres": 0.001,
-            "chip_w": 32,
-            "chip_h": 32,
-        }
-        for j in range(n)
-    ]
-    return spark.createDataFrame(pd.DataFrame(rows))
+
+def _chips_df(spark):
+    """Chip grid over the densest image hotspot, derived from the query."""
+    from rasteret_spark.operators import chips
+
+    return chips.chip_requests(
+        spark, HOTSPOT_BBOX, CHIP_SIZE, CHIP_RES, stride=CHIP_STRIDE
+    )
 
 
 def _chip_pairs(spark):
@@ -697,6 +695,57 @@ def q51_image_chip_stack(spark, sf_dir):
     return out.select("chip_id", "t_index", "image_id", "band", "filled")
 
 
+def q53_chip_serve(spark, sf_dir):
+    """Chip-server API end-to-end (TorchGeo-adapter parity): seeded RANDOM
+    chip requests over the query bbox + temporal interval + t-step slicing,
+    served as [T, C, H, W] stacks.  Grid math, slicing, and completeness are
+    pinned against a driver oracle in tests/test_chips.py."""
+    import datetime as dt
+
+    from rasteret_spark.operators import chips
+
+    images = _images_df(spark)
+    img_light = images.select(
+        "image_id", "datetime",
+        F.col("xmin").alias("img_xmin"), F.col("ymin").alias("img_ymin"),
+        F.col("xmax").alias("img_xmax"), F.col("ymax").alias("img_ymax"),
+    )
+    reqs = chips.chip_requests(
+        spark, HOTSPOT_BBOX, CHIP_SIZE, CHIP_RES, random_n=8, seed=42
+    )
+    out = chips.chip_serve(
+        reqs, img_light, images.select("image_id", "datetime", "bytes"),
+        t_start=dt.datetime(2023, 2, 1), t_end=dt.datetime(2023, 6, 1),
+        t_step=2, bands=(0,),
+    )
+    return out.select("chip_id", "t_index", "image_id", "band", "filled", "status")
+
+
+def q54_image_mosaic_average(spark, sf_dir):
+    """First-valid mosaic with AVERAGE resampling (the reference's
+    rasterio Resampling surface beyond nearest/bilinear,
+    `src/rasteret/core/utils.py:215-344`) — downsample regime: chip pixels
+    are 4x coarser than q48's, so each target pixel genuinely averages
+    multiple source centers.  Kernel pinned in tests/test_resampling.py."""
+    from rasteret_spark.operators import chips, raster_mosaic as rmo
+
+    images = _images_df(spark)
+    img_light = images.select(
+        "image_id",
+        F.col("xmin").alias("img_xmin"), F.col("ymin").alias("img_ymin"),
+        F.col("xmax").alias("img_xmax"), F.col("ymax").alias("img_ymax"),
+    )
+    coarse = chips.chip_requests(spark, HOTSPOT_BBOX, 16, 0.004, stride=16)
+    pairs = rmo.chip_candidates(
+        coarse, img_light, images.select("image_id", "datetime", "bytes"), res=7
+    )
+    out = rmo.first_valid_mosaic_pixels(pairs, bands=(0,), method="average")
+    return out.select(
+        "chip_id", "band", "n_images", "n_contributing", "filled",
+        F.round(F.col("v_sum"), 3).alias("v_sum_r3"), "status",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: point-sample pipeline end-to-end on sf0.001.
 
@@ -779,6 +828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_image_zonal_bands": q50_image_zonal_bands,
         "q51_image_chip_stack": q51_image_chip_stack,
         "q52_ivf_ann": q52_ivf_ann,
+        "q53_chip_serve": q53_chip_serve,
+        "q54_image_mosaic_average": q54_image_mosaic_average,
     }
 
 

@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "q21_embed_knn", "q23_windowed_events", "q24_sessionize",
     "q43_image_dedup_phash", "q46_minhash_lsh_pairs", "q48_image_mosaic",
     "q49_image_latest_sample", "q50_image_zonal_bands", "q52_ivf_ann",
+    "q53_chip_serve", "q54_image_mosaic_average",
 ]
 
 
