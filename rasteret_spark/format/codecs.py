@@ -3,10 +3,12 @@
 Re-implements, from public TIFF semantics, the compression/predictor matrix
 that the reference engine decodes (rasteret `src/rasteret/fetch/cog.py:843-966`
 dispatches raw/deflate/LZW/PackBits/LZMA/ZSTD with predictor 2 horizontal
-delta and predictor 3 float byte-shuffle).  This container has no imagecodecs
-/ zstd, so the lossless set here is raw / deflate(zlib) / lzma / bz2 /
-packbits, plus a deterministic quantizing "qlossy" codec standing in for
-JPEG-style lossy formats (exercises the PSNR>=40dB gate).
+delta and predictor 3 float byte-shuffle).  The lossless set here is raw /
+deflate(zlib) / lzma / bz2 / packbits / LZW (TIFF 6.0 semantics, pure
+Python), plus zstd gated behind the optional ``zstandard`` package (absent
+in this container -> clear ModuleNotFoundError) and a deterministic
+quantizing "qlossy" codec standing in for JPEG-style lossy formats
+(exercises the PSNR>=40dB gate).
 
 All functions operate on one tile: a 2-D numpy array in, bytes out (and back).
 They run inside Arrow-batched pandas UDFs on executors — never per-row Python
@@ -28,6 +30,8 @@ COMP_LZMA = 2
 COMP_BZ2 = 3
 COMP_PACKBITS = 4
 COMP_QLOSSY = 5  # deterministic lossy: quantize -> zigzag varint-ish -> deflate
+COMP_LZW = 6  # TIFF 6.0 LZW (pure-Python, spec semantics)
+COMP_ZSTD = 7  # gated: needs the zstandard package (absent here -> clear error)
 
 COMP_NAMES = {
     "raw": COMP_RAW,
@@ -36,9 +40,16 @@ COMP_NAMES = {
     "bz2": COMP_BZ2,
     "packbits": COMP_PACKBITS,
     "qlossy": COMP_QLOSSY,
+    "lzw": COMP_LZW,
+    "zstd": COMP_ZSTD,
 }
 COMP_CODES = {v: k for k, v in COMP_NAMES.items()}
 LOSSY_COMPS = {COMP_QLOSSY}
+
+try:  # optional dependency — the codec id exists either way
+    import zstandard as _zstd
+except ImportError:  # pragma: no cover - absent in this container
+    _zstd = None
 
 PRED_NONE = 1
 PRED_HORIZONTAL = 2  # TIFF predictor 2: per-row sample differencing
@@ -109,6 +120,108 @@ def packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out[:expected])
 
 
+# --- TIFF 6.0 LZW -------------------------------------------------------------
+# Public-spec semantics (TIFF 6.0 §13 + the well-known "early change" quirk
+# real-world writers use): MSB-first variable-width codes starting at 9 bits,
+# ClearCode=256, EOI=257, first table entry 258; the code width grows one
+# code EARLY (when next_code == 2**width - 1) and the table resets via a
+# ClearCode before reaching 4094 entries.  Pure Python per-symbol loops —
+# a declared slow path kept for format-matrix completeness (the reference
+# decodes LZW COGs through imagecodecs, `src/rasteret/fetch/cog.py:843-966`).
+_LZW_CLEAR, _LZW_EOI, _LZW_FIRST = 256, 257, 258
+_LZW_MAX = 4094  # reset threshold (early-change convention)
+
+
+def lzw_encode(data: bytes) -> bytes:
+    out = bytearray()
+    bitbuf = 0
+    bitcnt = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << width) | code
+        bitcnt += width
+        while bitcnt >= 8:
+            bitcnt -= 8
+            out.append((bitbuf >> bitcnt) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, width = _LZW_FIRST, 9
+    emit(_LZW_CLEAR, width)
+    w = b""
+    for byte in data:
+        wb = w + bytes([byte])
+        if wb in table:
+            w = wb
+            continue
+        emit(table[w], width)
+        table[wb] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:  # early change
+            width += 1
+        if next_code >= _LZW_MAX:
+            emit(_LZW_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = _LZW_FIRST, 9
+        w = bytes([byte])
+    if w:
+        emit(table[w], width)
+    emit(_LZW_EOI, width)
+    if bitcnt:
+        out.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(out)
+
+
+def lzw_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    table: list[bytes] = []
+    bitbuf = 0
+    bitcnt = 0
+    pos = 0
+    width = 9
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    n = len(data)
+    while len(out) < expected:
+        while bitcnt < width:
+            if pos >= n:
+                return bytes(out[:expected])
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            bitcnt += 8
+        bitcnt -= width
+        code = (bitbuf >> bitcnt) & ((1 << width) - 1)
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            reset()
+            continue
+        if code < len(table):
+            entry = table[code]
+            if prev is not None:
+                table.append(prev + entry[:1])
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK case
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} out of range")
+        out.extend(entry)
+        prev = entry
+        # the decoder's table lags the encoder's by one entry (it only
+        # completes entry e_{k-1} while processing code_k), so it must grow
+        # the width one entry EARLIER than the encoder's (1<<width)-1 rule
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    return bytes(out[:expected])
+
+
 # --- predictors --------------------------------------------------------------
 def apply_predictor(tile: np.ndarray, predictor: int) -> bytes:
     """tile (h, w) -> predictor-transformed bytes (row-major)."""
@@ -171,6 +284,14 @@ def encode_tile(
         return bz2.compress(raw, 5)
     if compression == COMP_PACKBITS:
         return packbits_encode(raw)
+    if compression == COMP_LZW:
+        return lzw_encode(raw)
+    if compression == COMP_ZSTD:
+        if _zstd is None:
+            raise ModuleNotFoundError(
+                "zstd tiles need the 'zstandard' package (not in this container)"
+            )
+        return _zstd.ZstdCompressor(level=3).compress(raw)
     raise ValueError(f"unknown compression {compression}")
 
 
@@ -203,6 +324,14 @@ def decode_tile(
         raw = bz2.decompress(payload)
     elif compression == COMP_PACKBITS:
         raw = packbits_decode(payload, expected)
+    elif compression == COMP_LZW:
+        raw = lzw_decode(payload, expected)
+    elif compression == COMP_ZSTD:
+        if _zstd is None:
+            raise ModuleNotFoundError(
+                "zstd tiles need the 'zstandard' package (not in this container)"
+            )
+        raw = _zstd.ZstdDecompressor().decompress(payload, max_output_size=expected)
     else:
         raise ValueError(f"unknown compression {compression}")
     return undo_predictor(raw, predictor, dtype, tile_h, tile_w)

@@ -20,7 +20,7 @@ def _img(dtype, h=130, w=97, lo=0, hi=200):
     return RNG.integers(lo, hi, size=(h, w)).astype(dtype)
 
 
-@pytest.mark.parametrize("comp", ["raw", "deflate", "lzma", "bz2", "packbits"])
+@pytest.mark.parametrize("comp", ["raw", "deflate", "lzma", "bz2", "packbits", "lzw"])
 @pytest.mark.parametrize("dtype", ["uint8", "uint16", "int32"])
 def test_lossless_roundtrip_int(comp, dtype):
     arr = _img(dtype)
@@ -29,7 +29,7 @@ def test_lossless_roundtrip_int(comp, dtype):
     np.testing.assert_array_equal(out, arr)
 
 
-@pytest.mark.parametrize("comp", ["deflate", "packbits"])
+@pytest.mark.parametrize("comp", ["deflate", "packbits", "lzw"])
 def test_predictor2_roundtrip(comp):
     arr = _img("uint16")
     blob = mr.encode_image(
