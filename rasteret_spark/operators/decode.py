@@ -331,21 +331,35 @@ def zonal_stats(
                     continue
                 for aoi in aois:
                     try:
-                        bx, by = crs.from_lonlat(
+                        bx0, by0, bx1, by1 = crs.bbox_from_lonlat(
                             meta.epsg,
-                            np.array([aoi["aoi_xmin"], aoi["aoi_xmax"]]),
-                            np.array([aoi["aoi_ymin"], aoi["aoi_ymax"]]),
+                            float(aoi["aoi_xmin"]), float(aoi["aoi_ymin"]),
+                            float(aoi["aoi_xmax"]), float(aoi["aoi_ymax"]),
                         )
                         c0, r0, ww, wh = window_from_bbox(
-                            meta.transform, meta.width, meta.height,
-                            float(bx.min()), float(by.min()), float(bx.max()), float(by.max()),
+                            meta.transform, meta.width, meta.height, bx0, by0, bx1, by1
                         )
                         inside = None
                         if ww > 0 and wh > 0:
-                            lon, lat = pixel_axes_lonlat(meta.transform, meta.epsg, c0, r0, ww, wh)
-                            inside = geom.points_in_polygon_grid(
-                                lon, lat, bytes(aoi["aoi_geometry"])
-                            )
+                            if crs.is_separable(meta.epsg):
+                                lon, lat = pixel_axes_lonlat(
+                                    meta.transform, meta.epsg, c0, r0, ww, wh
+                                )
+                                inside = geom.points_in_polygon_grid(
+                                    lon, lat, bytes(aoi["aoi_geometry"])
+                                )
+                            else:
+                                # non-separable CRS (real Transverse Mercator):
+                                # lat varies along a pixel row, so the scanline
+                                # grid PIP does not apply — full-grid centers +
+                                # the generic even-odd kernel
+                                glon, glat = pixel_centers_lonlat(
+                                    meta.transform, meta.epsg, c0, r0, ww, wh
+                                )
+                                inside = geom.points_in_polygon_wkb(
+                                    glon.ravel(), glat.ravel(),
+                                    bytes(aoi["aoi_geometry"]),
+                                ).reshape(wh, ww)
                         for band in img_bands:
                             rec = {
                                 "image_id": image_id,

@@ -261,12 +261,13 @@ def reproject_average(
     downsampling is where this method earns its keep."""
     meta = reader.meta
     a, _, c, _, e, f = meta.transform
-    # source window touched by the target extent (corner-mapped, clamped)
-    tx = np.array([xmin, xmin + width * xres])
-    ty = np.array([ymax - height * yres, ymax])
-    sx, sy = crs.from_lonlat(meta.epsg, tx, ty)
-    fcs = (sx - c) / a
-    frs = (sy - f) / e
+    # source window touched by the target extent (corner-mapped for separable
+    # CRS, densified-boundary for Transverse Mercator where edges curve)
+    sx0, sy0, sx1, sy1 = crs.bbox_from_lonlat(
+        meta.epsg, xmin, ymax - height * yres, xmin + width * xres, ymax
+    )
+    fcs = (np.array([sx0, sx1]) - c) / a
+    frs = (np.array([sy0, sy1]) - f) / e
     c0 = max(int(np.floor(fcs.min())), 0)
     c1 = min(int(np.ceil(fcs.max())), meta.width)
     r0 = max(int(np.floor(frs.min())), 0)
@@ -281,14 +282,20 @@ def reproject_average(
             np.nan,
             win,
         )
-    # source pixel centers -> target cell indices (separable linear CRS)
+    # source pixel centers -> target cell indices
     src_x = a * (c0 + np.arange(c1 - c0) + 0.5) + c
     src_y = e * (r0 + np.arange(r1 - r0) + 0.5) + f
-    lon, _ = crs.to_lonlat(meta.epsg, src_x, np.zeros_like(src_x))
-    _, lat = crs.to_lonlat(meta.epsg, np.zeros_like(src_y), src_y)
-    tcol = np.floor((lon - xmin) / xres).astype(np.int64)
-    trow = np.floor((ymax - lat) / yres).astype(np.int64)
-    gc, gr = np.meshgrid(tcol, trow)
+    if crs.is_separable(meta.epsg):
+        lon, _ = crs.to_lonlat(meta.epsg, src_x, np.zeros_like(src_x))
+        _, lat = crs.to_lonlat(meta.epsg, np.zeros_like(src_y), src_y)
+        tcol = np.floor((lon - xmin) / xres).astype(np.int64)
+        trow = np.floor((ymax - lat) / yres).astype(np.int64)
+        gc, gr = np.meshgrid(tcol, trow)
+    else:
+        gsx, gsy = np.meshgrid(src_x, src_y)
+        glon, glat = crs.to_lonlat(meta.epsg, gsx.ravel(), gsy.ravel())
+        gc = np.floor((glon - xmin) / xres).astype(np.int64).reshape(gsx.shape)
+        gr = np.floor((ymax - glat) / yres).astype(np.int64).reshape(gsx.shape)
     keep = (gc >= 0) & (gc < width) & (gr >= 0) & (gr < height) & ~np.isnan(win)
     if keep.any():
         flat = (gr[keep] * width + gc[keep]).astype(np.int64)
