@@ -91,6 +91,36 @@ def stack_to_tensor(rows) -> tuple[np.ndarray, dict]:
     return tensor, attrs
 
 
+def chip_batches(stack_df, batch_size: int = 8):
+    """DataLoader-style iterator over a CHIP_STACK_SCHEMA DataFrame: yields
+    lists of up to ``batch_size`` ``(tensor, attrs)`` pairs, one per chip —
+    the reference adapter's batched dataset surface
+    (`/root/reference/src/rasteret/integrations/torchgeo.py:292-299`) without
+    a torch dependency.
+
+    Streams through ``toLocalIterator`` after a chip_id/t_index/band sort, so
+    the driver holds at most one batch of assembled chips plus one partition
+    of exploded rows — never the full result."""
+    rows = stack_df.orderBy("chip_id", "t_index", "band").toLocalIterator()
+    batch: list = []
+    current: list = []
+    cur_id = None
+    for row in rows:
+        rid = row["chip_id"]
+        if cur_id is not None and rid != cur_id:
+            batch.append(stack_to_tensor(current))
+            current = []
+            if len(batch) >= batch_size:
+                yield batch
+                batch = []
+        cur_id = rid
+        current.append(row)
+    if current:
+        batch.append(stack_to_tensor(current))
+    if batch:
+        yield batch
+
+
 def to_xarray(tensor: np.ndarray, attrs: dict):
     """Optional upgrade to a labeled xarray.DataArray (if xarray is
     installed) with lon/lat coords and CF-ish attrs; raises ImportError

@@ -146,6 +146,25 @@ def test_chip_to_array_from_real_mosaic(spark, images_pdf):
     assert np.nansum(arr) == pytest.approx(row["v_sum"])
 
 
+def test_chip_batches_streams_assembled_chips(spark):
+    from rasteret_spark.operators import assemble
+
+    rows = []
+    for chip in ("c-a", "c-b", "c-c"):
+        for r in _stack_rows():
+            rows.append({**r, "chip_id": chip, "image_id": f"{chip}/{r['image_id']}"})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    batches = list(assemble.chip_batches(df, batch_size=2))
+    assert [len(b) for b in batches] == [2, 1]  # 3 chips in batches of 2
+    seen = []
+    for batch in batches:
+        for tensor, attrs in batch:
+            seen.append(attrs["chip_id"])
+            assert tensor.shape == (3, 2, 4, 4)
+            assert attrs["status"][1] == "ValueError: boom"
+    assert seen == ["c-a", "c-b", "c-c"]  # chip_id order, each chip once
+
+
 # --- pluggable fetch (S10) ------------------------------------------------------
 def test_fetch_blobs_file_and_custom_scheme(spark, tmp_path):
     from rasteret_spark.sources import fetch as fx
