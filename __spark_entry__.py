@@ -166,12 +166,11 @@ def q06_extent(spark, sf_dir):
 
 def q07_mode_event_type(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    w = Window.orderBy(F.col("n").desc(), F.col("event_type").asc())
     return (
         ev.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .orderBy(F.col("n").desc(), F.col("event_type").asc())
+        .limit(1)  # TakeOrdered over the tiny post-agg set — no global window
         .select("event_type", "n")
     )
 
@@ -433,6 +432,58 @@ def q28_interval_join(spark, sf_dir):
         "left",
     )
     return j.groupBy("o_orderkey").agg(F.count("eid").alias("n_events"))
+
+
+def q55_rollup_orders(spark, sf_dir):
+    """Hierarchical rollup (year -> status subtotals -> grand total) — the
+    multi-level aggregation surface (§2.5) as native grouping sets."""
+    o = _t(spark, sf_dir, "orders")
+    out = o.rollup(
+        F.year(F.col("o_orderdate")).cast("int").alias("yr"), F.col("o_orderstatus")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_cents(F.col("o_totalprice"))).alias("sum_cents"),
+    )
+    # sentinel the subtotal NULLs: NULL ints go float64/NaN in pandas on both
+    # engines and NaN != NaN breaks the driver's exact value-hash
+    return out.select(
+        F.coalesce(F.col("yr"), F.lit(-1)).alias("yr"),
+        F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("o_orderstatus"),
+        "n_orders", "sum_cents",
+    )
+
+
+def q56_group_median(spark, sf_dir):
+    """Exact lower-median per group via rank arithmetic (deterministic
+    integer order statistic — no interpolation, engine-portable)."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.round(F.col("value") * 1000).cast("bigint").alias("v1000")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("v1000").asc())
+    return (
+        v.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("bigint"))
+        .select("event_type", F.col("v1000").alias("median_v1000"))
+    )
+
+
+def q57_running_total(spark, sf_dir):
+    """Cumulative window frame per customer (rows unbounded-preceding ..
+    current) over a deterministic (date, key) order."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    order_w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(order_w).alias("rn"),
+        F.sum(_cents(F.col("o_totalprice")))
+        .over(order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("run_cents"),
+    )
 
 
 def q25_first_valid_mosaic(spark, sf_dir):
@@ -815,6 +866,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_chip_stack": q26_chip_stack,
         "q27_asof_forward": q27_asof_forward,
         "q28_interval_join": q28_interval_join,
+        "q55_rollup_orders": q55_rollup_orders,
+        "q56_group_median": q56_group_median,
+        "q57_running_total": q57_running_total,
         "q40_image_enrich": q40_image_enrich,
         "q41_image_zonal": q41_image_zonal,
         "q42_image_point_sample": q42_image_point_sample,
@@ -1097,5 +1151,44 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
             SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions FROM g GROUP BY user_id
+        """,
+        "q55_rollup_orders": """
+            WITH r AS (
+                SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr0,
+                       o_orderstatus AS st0,
+                       CAST(COUNT(*) AS BIGINT) AS n_orders,
+                       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                           AS sum_cents
+                FROM orders
+                GROUP BY ROLLUP(yr0, st0))
+            SELECT CAST(COALESCE(yr0, -1) AS INT) AS yr,
+                   COALESCE(st0, 'ALL') AS o_orderstatus,
+                   n_orders, sum_cents
+            FROM r
+        """,
+        "q56_group_median": """
+            WITH v AS (SELECT event_type,
+                              CAST(ROUND(value * 1000) AS BIGINT) AS v1000
+                       FROM events),
+                 r AS (SELECT event_type, v1000,
+                              ROW_NUMBER() OVER (PARTITION BY event_type
+                                                 ORDER BY v1000 ASC) AS rn,
+                              COUNT(*) OVER (PARTITION BY event_type) AS n
+                       FROM v)
+            SELECT event_type, v1000 AS median_v1000
+            FROM r WHERE rn = CAST(FLOOR((n + 1) / 2) AS BIGINT)
+        """,
+        "q57_running_total": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate ASC, o_orderkey ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS run_cents
+            FROM orders
+            WHERE o_orderkey % 20 = 0
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate ASC, o_orderkey ASC)
         """,
     }
