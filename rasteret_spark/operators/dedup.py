@@ -38,6 +38,16 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Explicit compute repartition before CPU-heavy shingle/hash stages: a
+    document table often arrives as a handful of byte-small parquet splits
+    (one, at bench scale), which would pin the whole tokenize+hash pipeline
+    to as many cores.  Same lesson as the decode path: size CPU stages by
+    compute, not by input bytes."""
+    n = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def _shingles(text_col: str, n: int = 3) -> F.Column:
     """Word n-gram shingles as an array column (native)."""
     toks = F.split(F.trim(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))), " ")
@@ -50,24 +60,27 @@ def _shingles(text_col: str, n: int = 3) -> F.Column:
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_perm: int = 16, shingle_n: int = 3
 ) -> DataFrame:
-    """(id, perm, minhash) -> grouped to (id, signature array<long>).
+    """(id, signature array<long>) — entirely JVM-native.
 
-    Signature = per-permutation min of xxhash64(perm_seed, shingle) — entirely
-    JVM-native: explode shingles x posexplode permutation seeds, groupBy min.
-    One shuffle on (id, perm)."""
-    ex = df.select(
+    Each shingle STRING is hashed once (``xxhash64``); the ``num_perm``
+    permutation hashes derive from that 8-byte base via a second
+    ``xxhash64(base, perm)`` over the int — so the plan explodes shingles
+    exactly once (no shingle x permutation row blow-up) and takes all
+    per-permutation mins in ONE ``groupBy(id)`` whose min aggregates
+    partial-combine map-side: the shuffle carries ~n_docs rows per
+    partition, not n_docs x n_shingles x num_perm."""
+    ex = _spread(df).select(
         F.col(id_col).alias("_id"), F.explode(_shingles(text_col, shingle_n)).alias("_sh")
-    ).withColumn("_perm", F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))))
-    mins = ex.groupBy("_id", "_perm").agg(
-        F.min(F.xxhash64(F.col("_perm"), F.col("_sh"))).alias("_mh")
+    ).withColumn("_h", F.xxhash64(F.col("_sh")))
+    mins = ex.groupBy("_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("_h"), F.lit(p))).alias(f"_mh{p}")
+            for p in range(num_perm)
+        ]
     )
-    return (
-        mins.groupBy("_id")
-        .agg(F.array_sort(F.collect_list(F.struct("_perm", "_mh"))).alias("_s"))
-        .select(
-            F.col("_id").alias(id_col),
-            F.transform(F.col("_s"), lambda s: s["_mh"]).alias("signature"),
-        )
+    return mins.select(
+        F.col("_id").alias(id_col),
+        F.array(*[F.col(f"_mh{p}") for p in range(num_perm)]).alias("signature"),
     )
 
 
@@ -106,12 +119,19 @@ def minhash_lsh_pairs(
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
+        .persist()  # consumed 3x below (need + two verify sides)
     )
-    # the exact-verify joins consume the shingle table TWICE (id_a and id_b
-    # sides); Spark does not dedupe common subplans, so persist it — shingle
-    # construction (regex + transform over every document) is the dominant
-    # verify cost and now runs once
-    sh = df.select(
+    # exact verify only touches documents that appear in a candidate pair —
+    # semi-join-filter the corpus BEFORE tokenizing, then persist: the
+    # shingle table is built once, for candidates only (the full-corpus
+    # shingle build dominated the verify cost otherwise), and both verify
+    # sides reuse it
+    need = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = _spread(df.join(need, id_col, "left_semi")).select(
         F.col(id_col), F.array_distinct(_shingles(text_col, shingle_n)).alias("sh")
     ).persist()
     pairs = (
@@ -214,7 +234,7 @@ def simhash_near_dups(
     Scale path: block on 4 x 16-bit bands (a pair within hamming<=3 must agree
     on at least one band — pigeonhole), equi-join per band, verify hamming via
     bit_count(xor).  Native join + bit ops; only the signature is a UDF."""
-    sh = df.select(F.col(id_col), simhash_udf()(F.col(text_col)).alias("sim"))
+    sh = _spread(df).select(F.col(id_col), simhash_udf()(F.col(text_col)).alias("sim"))
     bands = 64 // block_bits
     mask = (1 << block_bits) - 1
     banded = sh.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1)))).withColumn(
