@@ -25,6 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F  # noqa: N812
 
+from rasteret_spark.operators.util import spread_compute as _spread
+
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     """Keep the lowest-id row per exact content hash (deterministic winner)."""
@@ -36,16 +38,6 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_h", "_rn")
     )
-
-
-def _spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
-    """Explicit compute repartition before CPU-heavy shingle/hash stages: a
-    document table often arrives as a handful of byte-small parquet splits
-    (one, at bench scale), which would pin the whole tokenize+hash pipeline
-    to as many cores.  Same lesson as the decode path: size CPU stages by
-    compute, not by input bytes."""
-    n = parallelism or df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n)
 
 
 def _shingles(text_col: str, n: int = 3) -> F.Column:

@@ -20,6 +20,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F  # noqa: N812
 
+from rasteret_spark.operators.util import spread_compute
+
 
 def _dot(a, b) -> F.Column:
     return F.aggregate(
@@ -47,7 +49,10 @@ def cosine_topk(
     p = probes.select(
         F.col(probe_id).alias("_pid"), F.col(vec_col).alias("_pvec")
     )
-    j = targets.select(F.col(target_id), F.col(vec_col)).crossJoin(F.broadcast(p))
+    # scoring runs in the scan stage — spread it by compute, or a one-split
+    # embeddings parquet pins the whole probe x target sweep to one core
+    t = spread_compute(targets.select(F.col(target_id), F.col(vec_col)))
+    j = t.crossJoin(F.broadcast(p))
     j = j.filter(F.col(target_id) != F.col("_pid")).withColumn(
         "cosine", cosine_expr(F.col(vec_col), F.col("_pvec"))
     )
@@ -100,7 +105,7 @@ def lsh_topk(
     stay uniform by construction."""
     buckets = hyperplane_buckets_udf(dim, n_bits, n_tables)
     t = (
-        targets.select(target_id, vec_col)
+        spread_compute(targets.select(target_id, vec_col))
         .withColumn("_bks", buckets(F.col(vec_col)))
         .select(target_id, vec_col, F.posexplode("_bks").alias("table", "bucket"))
     )
@@ -194,7 +199,7 @@ def ivf_topk(
     tuned by nprobe, cost by n_clusters; both are runtime knobs, no index
     rebuild needed for nprobe."""
     t = (
-        targets.select(target_id, vec_col)
+        spread_compute(targets.select(target_id, vec_col))
         .withColumn("_cl", ivf_cluster_udf(centroids, 1)(F.col(vec_col))[0])
     )
     p = (
@@ -228,7 +233,7 @@ def cosine_near_dup_pairs(
     measured in tests."""
     buckets = hyperplane_buckets_udf(dim, n_bits, n_tables)
     b = (
-        df.select(id_col, vec_col)
+        spread_compute(df.select(id_col, vec_col))
         .withColumn("_bks", buckets(F.col(vec_col)))
         .select(id_col, vec_col, F.posexplode("_bks").alias("table", "bucket"))
     )

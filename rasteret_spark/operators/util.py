@@ -1,0 +1,24 @@
+"""Small shared plan helpers for operator modules."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread_compute(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Explicit compute repartition before a CPU-heavy stage — but ONLY when
+    the input is under-split.
+
+    Byte-based split sizing (and AQE coalescing) hands a byte-small input —
+    one parquet split of documents or embeddings — to one core, pinning the
+    whole tokenize/hash/score stage there; CPU stages should be sized by
+    compute (matches the decode path's policy, `operators/decode.py`).  The
+    repartition is CONDITIONAL: a big table already split across >= cores
+    partitions passes through untouched, so at real scale this never adds a
+    full-table shuffle just to rearrange work that is already parallel."""
+    n = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    try:  # planning-only peek at the scan's split count (no job runs)
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        cur = 1
+    return df.repartition(n) if cur < n else df
