@@ -1,0 +1,213 @@
+"""User-facing Collection facade — the reference's flagship API surface
+re-expressed over the Spark operators.
+
+Mirrors rasteret's ``Collection`` public methods (`/root/reference/src/
+rasteret/core/collection.py`: ``from_parquet`` 905, ``from_arrow`` 2094,
+``subset`` 1013, ``where`` 1408, ``head`` 1443, ``bands`` 2117, ``bounds``
+2129, ``epsg`` 2200, ``describe`` 2257, ``export`` 1552, ``get_gdf`` 2721,
+``get_xarray`` 2635, ``sample_points`` 2872, ``to_torchgeo_dataset`` 2479)
+as a thin veneer: every method delegates to the distributed operators, so a
+reference user keeps their workflow — build/load a collection, narrow it by
+bbox/date/filter, then extract zonal tables, point samples, mosaics, or
+DataLoader-ready chip batches — while the plans stay the engine's
+(cell-cover joins, one-blob-shuffle decode, lineage-checkpointable).
+
+Everything is lazy: the facade holds a records DataFrame; nothing executes
+until a Spark action runs (or a driver-side iterator like
+``chip_batches`` is consumed).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: N812
+
+
+def _light(records: DataFrame) -> DataFrame:
+    return records.select(
+        "image_id",
+        *(["datetime"] if "datetime" in records.columns else []),
+        F.col("xmin").alias("img_xmin"), F.col("ymin").alias("img_ymin"),
+        F.col("xmax").alias("img_xmax"), F.col("ymax").alias("img_ymax"),
+    )
+
+
+class Collection:
+    """A queryable image collection: records DataFrame + the operator suite."""
+
+    def __init__(self, spark: SparkSession, records: DataFrame):
+        self.spark = spark
+        self.records = records
+
+    # --- constructors ----------------------------------------------------------
+    @classmethod
+    def from_parquet(
+        cls, spark: SparkSession, path: str, column_map: dict | None = None
+    ) -> "Collection":
+        from rasteret_spark.sources import catalog
+
+        return cls(spark, catalog.load_images(spark, path, column_map=column_map))
+
+    @classmethod
+    def from_arrow(cls, spark: SparkSession, table) -> "Collection":
+        return cls(spark, spark.createDataFrame(table.to_pandas()))
+
+    @classmethod
+    def from_stac_items(cls, spark: SparkSession, items_df: DataFrame) -> "Collection":
+        """A records table already produced by ``sources.stac`` ingestion."""
+        return cls(spark, items_df)
+
+    # --- narrowing (all lazy, all pushdown-friendly) ---------------------------
+    def subset(
+        self,
+        bbox: tuple[float, float, float, float] | None = None,
+        date_range: tuple | None = None,
+    ) -> "Collection":
+        df = self.records
+        if bbox is not None:
+            xmin, ymin, xmax, ymax = bbox
+            df = df.filter(
+                (F.col("xmin") <= float(xmax)) & (F.col("xmax") >= float(xmin))
+                & (F.col("ymin") <= float(ymax)) & (F.col("ymax") >= float(ymin))
+            )
+        if date_range is not None:
+            t0, t1 = (
+                v if isinstance(v, dt.datetime) or v is None else dt.datetime.fromisoformat(str(v))
+                for v in date_range
+            )
+            if t0 is not None:
+                df = df.filter(F.col("datetime") >= F.lit(t0))
+            if t1 is not None:
+                df = df.filter(F.col("datetime") <= F.lit(t1))
+        return Collection(self.spark, df)
+
+    def where(self, expr: str) -> "Collection":
+        return Collection(self.spark, self.records.filter(F.expr(expr)))
+
+    def head(self, n: int = 5, columns: list[str] | None = None):
+        df = self.records.select(*columns) if columns else self.records
+        return df.limit(n).toPandas()
+
+    def count(self) -> int:
+        return self.records.count()
+
+    # --- introspection ---------------------------------------------------------
+    def bands(self) -> int:
+        """Max band count across records (the synthetic analogue of the
+        reference's named-band list)."""
+        if "n_bands" not in self.records.columns:
+            return 1
+        return int(self.records.agg(F.max("n_bands")).first()[0] or 1)
+
+    def bounds(self) -> tuple[float, float, float, float]:
+        r = self.records.agg(
+            F.min("xmin"), F.min("ymin"), F.max("xmax"), F.max("ymax")
+        ).first()
+        return tuple(float(v) for v in r)
+
+    def epsg(self) -> list[int]:
+        return sorted(
+            int(r[0])
+            for r in self.records.select("epsg").distinct().collect()
+            if r[0] is not None
+        )
+
+    def describe(self) -> dict:
+        n = self.count()
+        return {
+            "records": n,
+            "bands": self.bands(),
+            "bounds": self.bounds() if n else None,
+            "epsg": self.epsg() if "epsg" in self.records.columns else [],
+        }
+
+    # --- sinks -----------------------------------------------------------------
+    def export(self, path: str, geoparquet: bool = False) -> None:
+        from rasteret_spark.sources import catalog
+
+        if geoparquet:
+            catalog.write_images_geoparquet(self.records, path)
+        else:
+            catalog.write_images(self.records, path)
+
+    # --- raster access (the get_gdf / get_xarray / sample_points analogues) ----
+    def zonal(
+        self, aois: DataFrame, bands=(0,), res: int = 7
+    ) -> DataFrame:
+        """Zonal statistics per (image, AOI, band) — the ``get_gdf`` analogue.
+        ``aois`` needs aoi_id, aoi_geometry (WKB), aoi_xmin/_ymin/_xmax/_ymax."""
+        from rasteret_spark.operators import decode, spatial_join as sj
+
+        cands = sj.bbox_join(_light(self.records), aois, res=res)
+        pairs = (
+            sj.refine_rect_polygon(cands)
+            .filter(F.col("intersects"))
+            .select("image_id", "aoi_id", "aoi_geometry",
+                    "aoi_xmin", "aoi_ymin", "aoi_xmax", "aoi_ymax")
+        )
+        return decode.zonal_stats(
+            pairs, self.records.select("image_id", "bytes", "caption"), bands=bands
+        )
+
+    def sample_points(
+        self, points: DataFrame, bands=(0,), max_ring: int = 0,
+        neighborhood: int = 0, res: int = 8,
+    ) -> DataFrame:
+        """Pixel values at points — ``Collection.sample_points`` analogue.
+        ``points`` needs point_index, x, y (lon/lat)."""
+        from rasteret_spark.operators import sampling, spatial_join as sj
+
+        cands = sj.point_in_bbox_join(points, _light(self.records), res=res).select(
+            "point_index", "x", "y", "image_id"
+        )
+        return sampling.sample_points(
+            cands, self.records.select("image_id", "bytes"),
+            max_ring=max_ring, bands=bands, neighborhood=neighborhood,
+        )
+
+    def mosaic(
+        self, bbox, size: int, xres: float, bands=(0,), method: str = "nearest",
+        date_range: tuple | None = None, max_images_per_chip: int | None = None,
+    ) -> DataFrame:
+        """First-valid pixel mosaic on a query-derived chip grid — the
+        ``get_xarray`` analogue (collect + ``operators.assemble`` upgrades
+        rows to georeferenced tensors / xarray)."""
+        from rasteret_spark.operators import chips, raster_mosaic as rmo
+
+        sub = self.subset(bbox=bbox, date_range=date_range)
+        grid = chips.chip_requests(self.spark, bbox, size, xres)
+        pairs = rmo.chip_candidates(
+            grid, _light(sub.records),
+            sub.records.select("image_id", "datetime", "bytes"),
+        )
+        kw = {} if max_images_per_chip is None else {
+            "max_images_per_chip": max_images_per_chip
+        }
+        return rmo.first_valid_mosaic_pixels(pairs, bands=bands, method=method, **kw)
+
+    def chips(
+        self, bbox, size: int, xres: float, stride: int | None = None,
+        random_n: int | None = None, seed: int = 0, bands=(0,),
+        t_start=None, t_end=None, t_step: int = 1, method: str = "nearest",
+    ) -> DataFrame:
+        """[T, C, H, W] chip stacks for a grid or random sampler over the
+        query bbox — the ``to_torchgeo_dataset`` analogue.  Pair with
+        ``operators.assemble.chip_batches`` for DataLoader-style batches."""
+        from rasteret_spark.operators import chips as chp
+
+        reqs = chp.chip_requests(
+            self.spark, bbox, size, xres, stride=stride, random_n=random_n, seed=seed
+        )
+        return chp.chip_serve(
+            reqs, _light(self.records),
+            self.records.select("image_id", "datetime", "bytes"),
+            t_start=t_start, t_end=t_end, t_step=t_step, bands=bands, method=method,
+        )
+
+    def chip_batches(self, batch_size: int = 8, **chip_kwargs):
+        """Stream assembled ([T, C, H, W], attrs) batches to the driver."""
+        from rasteret_spark.operators import assemble
+
+        return assemble.chip_batches(self.chips(**chip_kwargs), batch_size=batch_size)

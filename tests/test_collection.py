@@ -1,0 +1,106 @@
+"""Collection facade: the reference's flagship API surface end-to-end —
+each method must delegate to the distributed operators and agree with
+calling them directly."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F  # noqa: N812
+
+from rasteret_spark.collection import Collection
+
+
+@pytest.fixture(scope="module")
+def coll(spark, images_df):
+    return Collection(spark, images_df)
+
+
+def _aois_df(spark, aois_pdf):
+    return spark.createDataFrame(aois_pdf).select(
+        "aoi_id", F.col("geometry").alias("aoi_geometry"),
+        F.col("xmin").alias("aoi_xmin"), F.col("ymin").alias("aoi_ymin"),
+        F.col("xmax").alias("aoi_xmax"), F.col("ymax").alias("aoi_ymax"),
+    )
+
+
+def test_introspection_and_subset(coll, images_pdf):
+    d = coll.describe()
+    assert d["records"] == len(images_pdf)
+    assert d["bands"] == int(images_pdf["n_bands"].max())
+    xmin, ymin, xmax, ymax = d["bounds"]
+    assert xmin == images_pdf["xmin"].min() and ymax == images_pdf["ymax"].max()
+    assert set(d["epsg"]) == set(int(e) for e in images_pdf["epsg"].unique())
+    # bbox subset keeps exactly the overlapping records
+    im = images_pdf.iloc[0]
+    bbox = (im["xmin"], im["ymin"], im["xmax"], im["ymax"])
+    sub = coll.subset(bbox=bbox)
+    want = images_pdf[
+        (images_pdf["xmin"] <= bbox[2]) & (images_pdf["xmax"] >= bbox[0])
+        & (images_pdf["ymin"] <= bbox[3]) & (images_pdf["ymax"] >= bbox[1])
+    ]
+    assert sub.count() == len(want)
+    # date subset + where() compose
+    t0 = images_pdf["datetime"].quantile(0.5)
+    n_both = coll.subset(date_range=(None, t0)).where("n_bands >= 2").count()
+    want2 = images_pdf[(images_pdf["datetime"] <= t0) & (images_pdf["n_bands"] >= 2)]
+    assert n_both == len(want2)
+    assert len(coll.head(3)) == 3
+
+
+def test_zonal_matches_direct_operator(spark, coll, aois_pdf, images_df):
+    from rasteret_spark.operators import decode, spatial_join as sj
+
+    aois = _aois_df(spark, aois_pdf)
+    got = coll.zonal(aois, bands=(0,)).toPandas()
+    # direct composition (the facade must add nothing and lose nothing)
+    img_light = images_df.select(
+        "image_id",
+        F.col("xmin").alias("img_xmin"), F.col("ymin").alias("img_ymin"),
+        F.col("xmax").alias("img_xmax"), F.col("ymax").alias("img_ymax"),
+    )
+    pairs = (
+        sj.refine_rect_polygon(sj.bbox_join(img_light, aois))
+        .filter(F.col("intersects"))
+        .select("image_id", "aoi_id", "aoi_geometry",
+                "aoi_xmin", "aoi_ymin", "aoi_xmax", "aoi_ymax")
+    )
+    want = decode.zonal_stats(
+        pairs, images_df.select("image_id", "bytes", "caption"), bands=(0,)
+    ).toPandas()
+    key = ["image_id", "aoi_id", "band"]
+    got, want = got.sort_values(key).reset_index(drop=True), want.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want) and len(got) > 0
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_sample_points_runs_and_flags_validity(spark, coll, points_pdf):
+    pts = spark.createDataFrame(points_pdf)
+    got = coll.sample_points(pts, bands=(0,), max_ring=2).toPandas()
+    assert len(got) > 0
+    assert (got["status"] == "ok").all()
+    assert got["valid"].any()
+
+
+def test_mosaic_and_chip_batches(spark, coll, images_pdf):
+    im = images_pdf.iloc[0]
+    bbox = (
+        float(im["xmin"]), float(im["ymin"]),
+        float(im["xmin"]) + 0.02, float(im["ymin"]) + 0.02,
+    )
+    mos = coll.mosaic(bbox, size=16, xres=0.00125, bands=(0,)).toPandas()
+    assert len(mos) >= 1 and (mos["status"] == "ok").all()
+    assert (mos["filled"] > 0).any()
+    batches = list(
+        coll.chip_batches(batch_size=4, bbox=bbox, size=16, xres=0.00125, bands=(0,))
+    )
+    tensors = [t for b in batches for (t, _) in b]
+    assert tensors and all(t.ndim == 4 and t.shape[2:] == (16, 16) for t in tensors)
+    assert any(np.isfinite(t).any() for t in tensors)
+
+
+def test_export_roundtrip(tmp_path, spark, coll):
+    out = str(tmp_path / "cat")
+    coll.export(out)
+    back = Collection.from_parquet(spark, out)
+    assert back.count() == coll.count()
+    assert back.bounds() == coll.bounds()
