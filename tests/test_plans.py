@@ -136,3 +136,41 @@ def test_partition_pruning_on_catalog(spark, images_pdf, tmp_path_factory):
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters")[1][:200]
     assert "month" in seg
+
+
+def test_minhash_signature_plan_single_agg_shuffle(spark, tmp_path_factory):
+    """The signature stage must not explode shingles x permutations through a
+    shuffle: exactly one hash-aggregate exchange (the groupBy(id)), with all
+    num_perm mins computed as partial aggregates map-side, plus at most the
+    compute-spread round-robin exchange before it."""
+    from rasteret_spark.operators import dedup
+
+    p = str(tmp_path_factory.mktemp("mh") / "docs")
+    spark.createDataFrame(
+        [(f"d{i}", "alpha beta gamma delta " * 10) for i in range(50)],
+        "doc_id string, text string",
+    ).coalesce(1).write.parquet(p)
+    sig = dedup.minhash_signatures(spark.read.parquet(p), "text", "doc_id", num_perm=16)
+    plan = _plan(sig)
+    assert plan.count("Exchange hashpartitioning") == 1, (
+        "exactly ONE hash shuffle (the id groupBy) — no (id, perm) re-shuffle"
+    )
+    assert "partial_min" in plan, "mins must partial-aggregate map-side"
+    # only the shingle explode appears — one Generate node, not a second
+    # permutation explode
+    assert plan.count("Generate ") == 1
+
+
+def test_spread_compute_is_conditional(spark, tmp_path_factory):
+    from rasteret_spark.operators.util import spread_compute
+
+    p = str(tmp_path_factory.mktemp("sp") / "t")
+    spark.range(0, 1000).coalesce(1).write.parquet(p)
+    one = spark.read.parquet(p)
+    assert "RoundRobinPartitioning" in _plan(spread_compute(one)), (
+        "a single-split scan must spread"
+    )
+    many = spark.range(0, 1000, 1, 64)  # already >= cores partitions
+    assert "RoundRobinPartitioning" not in _plan(spread_compute(many)), (
+        "an already-parallel input must pass through with NO added shuffle"
+    )
