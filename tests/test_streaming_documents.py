@@ -1,0 +1,99 @@
+"""Streaming document ingest: cross-batch exact dedup parity vs the batch
+operator, durable seen-store resume, and stateless analysis parity."""
+
+import shutil
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F  # noqa: N812
+
+from rasteret_spark.operators import dedup
+from rasteret_spark.streaming import documents as sd
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_batches(spark, tmp_path_factory):
+    """The sf0.001 documents split into 3 arrival batches, with dups planted
+    ACROSS batches (same text, new doc_ids) so cross-batch state is exercised."""
+    src = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    base_max = int(src["doc_id"].max())
+    third = len(src) // 3
+    b0 = src.iloc[:third]
+    b1 = src.iloc[third : 2 * third].copy()
+    b2 = src.iloc[2 * third :].copy()
+    # batch 1 re-sends 5 batch-0 texts under new ids; batch 2 re-sends 3
+    for i, (bi, n_dup) in enumerate([(b1, 5), (b2, 3)], start=1):
+        dups = b0.iloc[: n_dup].copy()
+        dups["doc_id"] = [base_max + 100 * i + j for j in range(n_dup)]
+        bi_rows = pd.concat([bi, dups], ignore_index=True)
+        if i == 1:
+            b1 = bi_rows
+        else:
+            b2 = bi_rows
+    d = tmp_path_factory.mktemp("docs_stream")
+    full = pd.concat([b0, b1, b2], ignore_index=True)
+    for i, b in enumerate([b0, b1, b2]):
+        spark.createDataFrame(b).coalesce(1).write.mode("overwrite").parquet(
+            str(d / f"arrival={i}")
+        )
+    stream_dir = tmp_path_factory.mktemp("arrivals")
+    import os
+    import time
+
+    now = time.time()
+    for i in range(3):
+        src_part = next((d / f"arrival={i}").glob("*.parquet"))
+        dst = stream_dir / f"batch-{i}.parquet"
+        shutil.copy(src_part, dst)
+        # the file source processes oldest-modtime first — pin arrival order
+        os.utime(dst, (now + 10 * i, now + 10 * i))
+    return str(stream_dir), full
+
+
+def test_streaming_dedup_matches_batch_hash_set(spark, docs_batches, tmp_path):
+    stream_dir, full_pdf = docs_batches
+    out, seen, ck = (str(tmp_path / n) for n in ("out", "seen", "ck"))
+    s = sd.read_documents_stream(spark, stream_dir, max_files_per_trigger=1)
+    q = sd.streaming_exact_dedup(s, out, seen, ck)
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.read.parquet(out).toPandas()
+    # one survivor per distinct text, hash set identical to the batch operator
+    batch = dedup.exact_dedup(
+        spark.createDataFrame(full_pdf), "text", "doc_id"
+    ).withColumn("content_hash", F.xxhash64("text")).toPandas()
+    assert len(got) == got["content_hash"].nunique()
+    assert set(got["content_hash"]) == set(batch["content_hash"])
+    assert len(got) == len(batch)
+    # cross-batch dups (re-sent texts) must NOT survive twice: the planted
+    # duplicates all carry doc_id > base ids and identical text to batch 0
+    planted = full_pdf[full_pdf.duplicated("text", keep="first")]
+    assert len(planted) >= 8
+    surviving_planted = got[got["doc_id"].isin(planted["doc_id"])]
+    assert len(surviving_planted) == 0, "first arrival must win across batches"
+    # stateless analysis columns match the batch expressions
+    want_cols = {"content_hash", "n_tokens", "pred_lang", "quality"}
+    assert want_cols <= set(got.columns)
+
+
+def test_streaming_dedup_resumes_from_seen_store(spark, docs_batches, tmp_path):
+    """A second stream run over the SAME input with the seen store kept (new
+    checkpoint = full replay) emits nothing new — the durable store, not
+    Spark state, carries dedup across restarts."""
+    stream_dir, _ = docs_batches
+    out, seen = str(tmp_path / "out"), str(tmp_path / "seen")
+    q = sd.streaming_exact_dedup(
+        sd.read_documents_stream(spark, stream_dir), out, seen, str(tmp_path / "ck1")
+    )
+    q.processAllAvailable()
+    q.stop()
+    n_first = len(spark.read.parquet(out).toPandas())
+    q2 = sd.streaming_exact_dedup(
+        sd.read_documents_stream(spark, stream_dir), out, seen, str(tmp_path / "ck2")
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert len(spark.read.parquet(out).toPandas()) == n_first
