@@ -52,7 +52,20 @@ class Collection:
 
     @classmethod
     def from_arrow(cls, spark: SparkSession, table) -> "Collection":
-        return cls(spark, spark.createDataFrame(table.to_pandas()))
+        # Spark 4 ingests pyarrow Tables natively (Arrow IPC, no pandas hop)
+        return cls(spark, spark.createDataFrame(table))
+
+    @classmethod
+    def from_hrefs(
+        cls, spark: SparkSession, refs: DataFrame, url_col: str = "href"
+    ) -> "Collection":
+        """Records whose blobs live behind hrefs: resolve executor-side
+        through the pluggable fetch registry (``sources.fetch``), then
+        behave like any blob-carrying collection (rows whose fetch failed
+        carry ``fetch_status`` != 'ok' and a NULL bytes column)."""
+        from rasteret_spark.sources.fetch import fetch_blobs
+
+        return cls(spark, fetch_blobs(refs, url_col=url_col))
 
     @classmethod
     def from_stac_items(cls, spark: SparkSession, items_df: DataFrame) -> "Collection":

@@ -207,6 +207,42 @@ def from_lonlat(epsg: int, lon, lat):
     raise ValueError(f"unregistered CRS {epsg}")
 
 
+def transform_points(src_epsg: int, dst_epsg: int, x, y):
+    """Pointwise CRS-to-CRS transform via the lon/lat hub — the
+    ``transform_coords`` analogue (rasteret `core/geometry.py:186-247`)."""
+    lon, lat = to_lonlat(src_epsg, x, y)
+    return from_lonlat(dst_epsg, lon, lat)
+
+
+def transform_ring(src_epsg: int, dst_epsg: int, ring: np.ndarray) -> np.ndarray:
+    """(n, 2) polygon ring between CRSs (vertices map pointwise; densify
+    upstream if edge curvature matters for the use)."""
+    ring = np.asarray(ring, dtype=np.float64)
+    x, y = transform_points(src_epsg, dst_epsg, ring[:, 0], ring[:, 1])
+    return np.stack([x, y], axis=1)
+
+
+def transform_bbox(
+    src_epsg: int,
+    dst_epsg: int,
+    bbox: tuple[float, float, float, float],
+    density: int = 8,
+) -> tuple[float, float, float, float]:
+    """bbox between CRSs: densified boundary ring mapped pointwise, bounds
+    taken in the destination — exact for separable pairs, curvature-safe for
+    Transverse Mercator (the ``transform_bbox`` analogue)."""
+    xmin, ymin, xmax, ymax = (float(v) for v in bbox)
+    t = np.linspace(0.0, 1.0, max(density, 2))
+    xs = np.concatenate(
+        [xmin + (xmax - xmin) * t, np.full_like(t, xmax), xmax + (xmin - xmax) * t, np.full_like(t, xmin)]
+    )
+    ys = np.concatenate(
+        [np.full_like(t, ymin), ymin + (ymax - ymin) * t, np.full_like(t, ymax), ymax + (ymin - ymax) * t]
+    )
+    bx, by = transform_points(src_epsg, dst_epsg, xs, ys)
+    return float(bx.min()), float(by.min()), float(bx.max()), float(by.max())
+
+
 def bbox_from_lonlat(
     epsg: int,
     xmin: float,

@@ -2,15 +2,18 @@
 
 Images/audio/video travel as ``binary`` columns with a metadata struct; all
 transforms are ``mapInPandas`` stages with real Spark plumbing (schema,
-batching, partition behavior).  The mini-raster decode path is REAL; codecs
-that need external libraries (JPEG/PNG via PIL, audio/video) are STUBBED with
-a clearly marked NotImplementedError or a deterministic fake, per the
-environment constraints — swap the kernel, keep the plan.
+batching, partition behavior).  Decode kernels dispatch through a
+PLUGGABLE registry (``register_media_decoder``): mini-raster is builtin and
+REAL; JPEG/PNG register automatically when PIL is importable (absent in
+this container — declared stub), and any external codec can be injected
+the same way — swap the kernel, keep the plan.  Rows with no registered
+decoder become quarantine rows (status column), not task failures — the
+same R12 containment policy as the raster decode kernels.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import numpy as np
 import pandas as pd
@@ -18,8 +21,47 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
 from rasteret_spark.format import miniraster as mr
+from rasteret_spark.operators.decode import _err_status
 
 MEDIA_META_SCHEMA = "mime string, n_bytes bigint, kind string"
+
+# blob -> 2-D float array; keyed by sniffed media kind.  The registry
+# snapshot ships to executors by closure capture at plan-build time.
+_DECODERS: dict[str, Callable[[bytes], np.ndarray]] = {
+    "miniraster": lambda blob: mr.decode_full(blob, band=0)
+}
+
+
+def register_media_decoder(kind: str, fn: Callable[[bytes], np.ndarray]) -> None:
+    """Inject/override the decode kernel for a sniffed media kind (e.g.
+    "jpeg").  The callable must be picklable — it runs on executors."""
+    _DECODERS[kind] = fn
+
+
+def sniff_kind(blob: bytes) -> str:
+    if blob[:4] == mr.MAGIC:
+        return "miniraster"
+    if blob[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if blob[:3] == b"ID3":
+        return "audio"
+    return "unknown"
+
+
+try:  # pragma: no cover - PIL absent in this container (declared stub)
+    import io
+
+    from PIL import Image as _PILImage
+
+    def _pil_decode(blob: bytes) -> np.ndarray:
+        return np.asarray(_PILImage.open(io.BytesIO(blob)).convert("L"), dtype=np.float64)
+
+    _DECODERS.setdefault("jpeg", _pil_decode)
+    _DECODERS.setdefault("png", _pil_decode)
+except ImportError:
+    pass
 
 
 def classify_media(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
@@ -42,32 +84,47 @@ def decode_resize(
     df: DataFrame, out_h: int, out_w: int, bytes_col: str = "bytes", id_col: str = "image_id"
 ) -> DataFrame:
     """Decode + nearest-neighbour resize to (out_h, out_w); emits the resized
-    pixels as array<double> plus shape metadata.  Real for mini-raster blobs;
-    other formats raise the stub error."""
-    schema = f"{id_col} string, out_h int, out_w int, pixels array<double>"
+    pixels as array<double> plus shape metadata and a status column.  Decode
+    dispatches through the registry; a kind with no registered decoder (or a
+    kernel failure) yields a quarantine row — never a task failure."""
+    schema = (
+        f"{id_col} string, out_h int, out_w int, pixels array<double>, status string"
+    )
+    decoders = dict(_DECODERS)  # snapshot travels by closure
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for rid, blob in zip(pdf[id_col], pdf[bytes_col]):
-                blob = bytes(blob)
-                if blob[:4] != mr.MAGIC:
-                    # STUB: external-codec formats (JPEG/PNG/...) need PIL —
-                    # not available in this container
-                    raise NotImplementedError(
-                        "non-miniraster decode requires an image codec library"
+                try:
+                    blob = bytes(blob)
+                    kind = sniff_kind(blob)
+                    fn = decoders.get(kind)
+                    if fn is None:
+                        raise NotImplementedError(
+                            f"no decoder registered for {kind!r} — external "
+                            "formats need an image codec library (register "
+                            "one via register_media_decoder)"
+                        )
+                    arr = np.asarray(fn(blob), dtype=np.float64)
+                    ys = (np.arange(out_h) * arr.shape[0] / out_h).astype(int)
+                    xs = (np.arange(out_w) * arr.shape[1] / out_w).astype(int)
+                    out.append(
+                        {
+                            id_col: rid,
+                            "out_h": out_h,
+                            "out_w": out_w,
+                            "pixels": arr[np.ix_(ys, xs)].ravel().tolist(),
+                            "status": "ok",
+                        }
                     )
-                arr = mr.decode_full(blob, band=0).astype(np.float64)
-                ys = (np.arange(out_h) * arr.shape[0] / out_h).astype(int)
-                xs = (np.arange(out_w) * arr.shape[1] / out_w).astype(int)
-                out.append(
-                    {
-                        id_col: rid,
-                        "out_h": out_h,
-                        "out_w": out_w,
-                        "pixels": arr[np.ix_(ys, xs)].ravel().tolist(),
-                    }
-                )
+                except Exception as e:  # quarantine row, not a task failure
+                    out.append(
+                        {
+                            id_col: rid, "out_h": out_h, "out_w": out_w,
+                            "pixels": None, "status": _err_status(e),
+                        }
+                    )
             yield pd.DataFrame(out)
 
     return df.select(id_col, bytes_col).mapInPandas(run, schema=schema)

@@ -282,3 +282,29 @@ def test_mixed_crs_mosaic_smoke(spark, real_utm_image):
     got = rmo.first_valid_mosaic_pixels(pairs, bands=(0,)).toPandas()
     row = got.iloc[0]
     assert row["status"] == "ok" and row["filled"] == 256
+
+
+def test_transform_points_ring_bbox_cross_crs():
+    """CRS-to-CRS via the lon/lat hub: linear-zone -> real-UTM roundtrip and
+    curvature-safe bbox transform."""
+    rng = np.random.default_rng(21)
+    lon = 15.0 + rng.uniform(-2, 2, 50)
+    lat = rng.uniform(-40, -20, 50)
+    # 32633 (linear synthetic) -> 32733 (real UTM south) -> back
+    x33, y33 = crs.from_lonlat(32633, lon, lat)
+    x73, y73 = crs.transform_points(32633, 32733, x33, y33)
+    x33b, y33b = crs.transform_points(32733, 32633, x73, y73)
+    np.testing.assert_allclose(x33b, x33, atol=1e-6)
+    np.testing.assert_allclose(y33b, y33, atol=1e-6)
+    ring = np.stack([x33[:5], y33[:5]], axis=1)
+    ring2 = crs.transform_ring(32633, 32733, ring)
+    assert ring2.shape == (5, 2)
+    np.testing.assert_allclose(
+        crs.transform_ring(32733, 32633, ring2), ring, atol=1e-6
+    )
+    # bbox: densified transform must contain every mapped boundary point
+    bb33 = (float(x33.min()), float(y33.min()), float(x33.max()), float(y33.max()))
+    bb73 = crs.transform_bbox(32633, 32733, bb33, density=16)
+    px, py = crs.transform_points(32633, 32733, x33, y33)
+    assert bb73[0] <= px.min() and px.max() <= bb73[2]
+    assert bb73[1] <= py.min() and py.max() <= bb73[3]

@@ -216,11 +216,34 @@ def test_multimodal_decode_resize_and_frames(spark, images_df):
     frames = multimodal.frame_sample(sub, every_n=1).toPandas()
     assert (frames.groupby("image_id").size() >= 2).all()
 
+    # no decoder registered for jpeg in this container -> quarantine row,
+    # not a task failure (R12 policy)
     stub = spark.createDataFrame(
         pd.DataFrame([{"image_id": "jpeg-1", "bytes": b"\xff\xd8\xff" + b"\x00" * 50}])
     )
-    with pytest.raises(Exception, match="image codec library"):
-        multimodal.decode_resize(stub, 8, 8).collect()
+    q = multimodal.decode_resize(stub, 8, 8).toPandas()
+    assert len(q) == 1 and q.iloc[0]["pixels"] is None
+    assert "image codec library" in q.iloc[0]["status"]
+
+
+def test_multimodal_decoder_injection(spark):
+    """register_media_decoder: an injected kernel slots into the same plan —
+    the declared-stub formats are a registry entry away from real."""
+    from rasteret_spark.operators import multimodal
+
+    def fake_jpeg(blob: bytes) -> np.ndarray:
+        return np.full((32, 32), float(len(blob)))
+
+    multimodal.register_media_decoder("jpeg", fake_jpeg)
+    try:
+        stub = spark.createDataFrame(
+            pd.DataFrame([{"image_id": "jpeg-1", "bytes": b"\xff\xd8\xff" + b"\x00" * 50}])
+        )
+        got = multimodal.decode_resize(stub, 8, 8).toPandas().iloc[0]
+        assert got["status"] == "ok"
+        assert np.asarray(got["pixels"]).tolist() == [53.0] * 64
+    finally:
+        del multimodal._DECODERS["jpeg"]
 
 
 def test_ivf_topk_recall_and_determinism(spark):
