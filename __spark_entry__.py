@@ -797,6 +797,22 @@ def q54_image_mosaic_average(spark, sf_dir):
     )
 
 
+def q58_image_feature_pairs(spark, sf_dir):
+    """Multimodal -> similarity composition: decode every image through the
+    pluggable-kernel registry into a 24-dim descriptor, then hyperplane-LSH
+    near-dup pairs over the descriptors (the feature-extract stage of a
+    training-data pipeline).  Planted exact-duplicate images (the synthetic
+    generator's dup_every rule) surface at cosine ~1."""
+    from rasteret_spark.operators import multimodal, similarity
+
+    images = _images_df(spark)
+    feats = multimodal.extract_features(images).filter(F.col("status") == "ok")
+    return similarity.cosine_near_dup_pairs(
+        feats, threshold=0.999, dim=multimodal.FEATURE_DIM,
+        n_bits=6, n_tables=6, id_col="image_id", vec_col="features",
+    ).select("id_a", "id_b")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: point-sample pipeline end-to-end on sf0.001.
 
@@ -867,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_asof_forward": q27_asof_forward,
         "q28_interval_join": q28_interval_join,
         "q55_rollup_orders": q55_rollup_orders,
+        "q58_image_feature_pairs": q58_image_feature_pairs,
         "q56_group_median": q56_group_median,
         "q57_running_total": q57_running_total,
         "q40_image_enrich": q40_image_enrich,

@@ -130,6 +130,61 @@ def decode_resize(
     return df.select(id_col, bytes_col).mapInPandas(run, schema=schema)
 
 
+FEATURE_DIM = 22  # 6 z-space stats + 4x4 coarse z-mean grid
+
+
+def extract_features(
+    df: DataFrame, bytes_col: str = "bytes", id_col: str = "image_id"
+) -> DataFrame:
+    """Deterministic fixed-dim feature vector per media row — the
+    feature-extract stage of a training-data pipeline (decode -> descriptor
+    -> ANN/dedup over the descriptor).  Decode dispatches through the same
+    pluggable registry as ``decode_resize``; failures quarantine.
+
+    Descriptor (FEATURE_DIM=22): z-scored quantiles [p10,p25,p50,p75,p90],
+    gradient energy, and a 4x4 coarse grid of z-means — every component is
+    O(1) magnitude in z-space so no single term dominates the cosine, and
+    raw mean/std are deliberately excluded (they'd make unrelated images
+    near-parallel).  Rotation-variant by design: dedup wants exact layout
+    similarity, not invariance."""
+    schema = f"{id_col} string, features array<double>, status string"
+    decoders = dict(_DECODERS)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    blob = bytes(blob)
+                    fn = decoders.get(sniff_kind(blob))
+                    if fn is None:
+                        raise NotImplementedError(
+                            f"no decoder registered for {sniff_kind(blob)!r}"
+                        )
+                    arr = np.asarray(fn(blob), dtype=np.float64)
+                    mu = float(arr.mean())
+                    sd = float(arr.std()) or 1.0
+                    z = (arr - mu) / sd
+                    q = np.percentile(z, [10, 25, 50, 75, 90])
+                    grad = float(np.abs(np.diff(z, axis=0)).mean()
+                                 + np.abs(np.diff(z, axis=1)).mean())
+                    h, w = arr.shape
+                    ys = (np.arange(4 + 1) * h) // 4
+                    xs = (np.arange(4 + 1) * w) // 4
+                    cells = [
+                        float(z[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean())
+                        for i in range(4) for j in range(4)
+                    ]
+                    feats = [*q.tolist(), grad, *cells]
+                    out.append({id_col: rid, "features": feats, "status": "ok"})
+                except Exception as e:
+                    out.append({id_col: rid, "features": None,
+                                "status": _err_status(e)})
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, bytes_col).mapInPandas(run, schema=schema)
+
+
 def frame_sample(
     df: DataFrame, every_n: int = 10, bytes_col: str = "bytes", id_col: str = "image_id"
 ) -> DataFrame:

@@ -264,3 +264,33 @@ def test_ivf_topk_recall_and_determinism(spark):
     full = similarity.ivf_topk(emb, probes, k=5, centroids=cent1, nprobe=16).toPandas()
     f = {(r.probe_id, r.vec_id) for r in full.itertuples(index=False)}
     assert f == e
+
+
+def test_feature_extract_finds_planted_image_dups(spark, images_df, images_pdf):
+    """Identical planted images (equal phash) must collide at cosine ~1 in
+    the descriptor space; a corrupt blob quarantines."""
+    from rasteret_spark.operators import multimodal, similarity
+
+    feats = multimodal.extract_features(images_df).toPandas()
+    assert (feats["status"] == "ok").all()
+    assert all(len(f) == multimodal.FEATURE_DIM for f in feats["features"])
+    got = similarity.cosine_near_dup_pairs(
+        multimodal.extract_features(images_df),
+        threshold=0.9999, dim=multimodal.FEATURE_DIM,
+        n_bits=6, n_tables=6, id_col="image_id", vec_col="features",
+    ).toPandas()
+    pairs = set(map(tuple, got[["id_a", "id_b"]].itertuples(index=False)))
+    by_hash = images_pdf.groupby("phash")["image_id"].apply(list)
+    planted = {
+        (a, b)
+        for ids in by_hash if len(ids) > 1
+        for i, a in enumerate(sorted(ids)) for b in sorted(ids)[i + 1 :]
+    }
+    assert planted, "fixture must plant duplicate images"
+    assert planted <= pairs, "every exact duplicate pair must be found"
+    # corrupt blob -> quarantine row, not a task failure
+    bad = spark.createDataFrame(
+        pd.DataFrame([{"image_id": "bad", "bytes": b"MRST" + b"\x01" * 40}])
+    )
+    q = multimodal.extract_features(bad).toPandas().iloc[0]
+    assert q["features"] is None and q["status"] != "ok"
