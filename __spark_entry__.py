@@ -651,7 +651,7 @@ def _chip_pairs(spark):
     )
     return rmo.chip_candidates(
         _chips_df(spark), img_light, images.select("image_id", "datetime", "bytes"),
-        res=7,
+        res=7, max_images_per_chip=rmo.DEFAULT_MAX_IMAGES_PER_CHIP,
     )
 
 
@@ -662,7 +662,9 @@ def q48_image_mosaic(spark, sf_dir):
     oracle, including mosaic order-invariance."""
     from rasteret_spark.operators import raster_mosaic as rmo
 
-    out = rmo.first_valid_mosaic_pixels(_chip_pairs(spark), bands=(0, 1))
+    out = rmo.first_valid_mosaic_pixels(
+        _chip_pairs(spark), bands=(0, 1), max_images_per_chip=None  # capped in _chip_pairs
+    )
     return out.select(
         "chip_id", "band", "n_images", "n_contributing", "filled",
         F.round(F.col("v_sum"), 3).alias("v_sum_r3"),
@@ -742,7 +744,9 @@ def q51_image_chip_stack(spark, sf_dir):
     the reference's stacked chip serving (`torchgeo.py:997-1236`)."""
     from rasteret_spark.operators import raster_mosaic as rmo
 
-    out = rmo.chip_stack_pixels(_chip_pairs(spark), bands=(0, 1))
+    out = rmo.chip_stack_pixels(
+        _chip_pairs(spark), bands=(0, 1), max_images_per_chip=None  # capped upstream
+    )
     return out.select("chip_id", "t_index", "image_id", "band", "filled")
 
 
@@ -788,9 +792,12 @@ def q54_image_mosaic_average(spark, sf_dir):
     )
     coarse = chips.chip_requests(spark, HOTSPOT_BBOX, 16, 0.004, stride=16)
     pairs = rmo.chip_candidates(
-        coarse, img_light, images.select("image_id", "datetime", "bytes"), res=7
+        coarse, img_light, images.select("image_id", "datetime", "bytes"), res=7,
+        max_images_per_chip=rmo.DEFAULT_MAX_IMAGES_PER_CHIP,
     )
-    out = rmo.first_valid_mosaic_pixels(pairs, bands=(0,), method="average")
+    out = rmo.first_valid_mosaic_pixels(
+        pairs, bands=(0,), method="average", max_images_per_chip=None
+    )
     return out.select(
         "chip_id", "band", "n_images", "n_contributing", "filled",
         F.round(F.col("v_sum"), 3).alias("v_sum_r3"), "status",

@@ -114,10 +114,12 @@ class Collection:
             return 1
         return int(self.records.agg(F.max("n_bands")).first()[0] or 1)
 
-    def bounds(self) -> tuple[float, float, float, float]:
+    def bounds(self) -> tuple[float, float, float, float] | None:
         r = self.records.agg(
             F.min("xmin"), F.min("ymin"), F.max("xmax"), F.max("ymax")
         ).first()
+        if r[0] is None:  # empty collection: no extent, not a TypeError
+            return None
         return tuple(float(v) for v in r)
 
     def epsg(self) -> list[int]:
@@ -191,14 +193,20 @@ class Collection:
 
         sub = self.subset(bbox=bbox, date_range=date_range)
         grid = chips.chip_requests(self.spark, bbox, size, xres)
+        # depth cap applied in chip_candidates, on light columns pre-payload
+        cap = (
+            rmo.DEFAULT_MAX_IMAGES_PER_CHIP
+            if max_images_per_chip is None
+            else max_images_per_chip
+        )
         pairs = rmo.chip_candidates(
             grid, _light(sub.records),
             sub.records.select("image_id", "datetime", "bytes"),
+            max_images_per_chip=cap,
         )
-        kw = {} if max_images_per_chip is None else {
-            "max_images_per_chip": max_images_per_chip
-        }
-        return rmo.first_valid_mosaic_pixels(pairs, bands=bands, method=method, **kw)
+        return rmo.first_valid_mosaic_pixels(
+            pairs, bands=bands, method=method, max_images_per_chip=None
+        )
 
     def chips(
         self, bbox, size: int, xres: float, stride: int | None = None,

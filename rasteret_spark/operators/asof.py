@@ -80,12 +80,20 @@ def asof_join(
         raise ValueError(
             f"right_cols {clash} collide with left columns — alias them first"
         )
-    rsel = right.filter(F.col(right_ts).isNotNull()).select(
-        F.col(key).alias(key),
-        F.col(right_ts).cast(left.schema[left_ts].dataType).alias("_ts"),
-        F.struct(*[F.col(c) for c in payload_cols]).alias("_payload"),
-        F.lit(0).alias("_side"),  # right sorts before left at equal ts
-        (F.col(tie_break) if tie_break else F.lit(0)).alias("_tie"),
+    rsel = (
+        right.select(
+            F.col(key).alias(key),
+            # try_cast: malformed values become NULL (filtered below) in ANSI
+            # and non-ANSI mode alike, instead of failing the stage
+            F.col(right_ts).try_cast(left.schema[left_ts].dataType).alias("_ts"),
+            F.struct(*[F.col(c) for c in payload_cols]).alias("_payload"),
+            F.lit(0).alias("_side"),  # right sorts before left at equal ts
+            (F.col(tie_break) if tie_break else F.lit(0)).alias("_tie"),
+        )
+        # filter AFTER the cast: a right_ts that is non-NULL but casts to
+        # NULL (unparseable string -> timestamp) must also be excluded, or
+        # it sorts NULLS FIRST and leaks its payload into unmatched rows
+        .filter(F.col("_ts").isNotNull())
     )
     lsel = left.select(
         *[F.col(c) for c in left.columns],

@@ -151,16 +151,15 @@ def chip_serve(
     from rasteret_spark.operators import raster_mosaic as rmo
     from rasteret_spark.operators.spatial_join import bbox_join
 
-    c = chips.withColumn("aoi_xmin", F.col("chip_xmin")).withColumn(
-        "aoi_xmax", F.col("chip_xmin") + F.col("chip_w") * F.col("chip_xres")
-    ).withColumn("aoi_ymax", F.col("chip_ymax")).withColumn(
-        "aoi_ymin", F.col("chip_ymax") - F.col("chip_h") * F.col("chip_yres")
-    )
-    cands = bbox_join(images_light, c, res=res).select(
+    cands = bbox_join(images_light, rmo.chips_as_aois(chips), res=res).select(
         *CHIP_COLS, "image_id", "datetime"
     )
     cands = slice_time_steps(cands, t_start, t_end, t_step)
+    if max_images_per_chip is not None:
+        # depth cap on LIGHT columns, before the payload join — dropped time
+        # steps never shuffle their blobs (same rule as the t-step slice)
+        cands = rmo._depth_cap(cands, max_images_per_chip, newest_first=True)
     pairs = cands.drop("datetime").join(images_payload, "image_id")
     return rmo.chip_stack_pixels(
-        pairs, bands=bands, method=method, max_images_per_chip=max_images_per_chip
+        pairs, bands=bands, method=method, max_images_per_chip=None
     )

@@ -75,6 +75,14 @@ def classify_media(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
         F.when(
             F.substring(F.col(bytes_col), 1, 4) == F.lit(b"MRST"), F.lit("miniraster")
         )
+        .when(
+            F.substring(F.col(bytes_col), 1, 3) == F.lit(b"\xff\xd8\xff"),
+            F.lit("jpeg"),
+        )
+        .when(
+            F.substring(F.col(bytes_col), 1, 8) == F.lit(b"\x89PNG\r\n\x1a\n"),
+            F.lit("png"),
+        )
         .when(F.substring(F.col(bytes_col), 1, 3) == F.lit(b"ID3"), F.lit("audio"))
         .otherwise(F.lit("unknown")),
     ).withColumn("media_bytes", F.length(F.col(bytes_col)))
@@ -171,9 +179,14 @@ def extract_features(
                     h, w = arr.shape
                     ys = (np.arange(4 + 1) * h) // 4
                     xs = (np.arange(4 + 1) * w) // 4
+                    # images thinner than the 4x4 grid produce empty slices;
+                    # an empty mean is NaN, which would poison every cosine
+                    # downstream while still reading status='ok' — use 0.0
+                    # (the z-space global mean) for degenerate cells
                     cells = [
-                        float(z[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean())
+                        float(c.mean()) if c.size else 0.0
                         for i in range(4) for j in range(4)
+                        for c in [z[ys[i]:ys[i + 1], xs[j]:xs[j + 1]]]
                     ]
                     feats = [*q.tolist(), grad, *cells]
                     out.append({id_col: rid, "features": feats, "status": "ok"})

@@ -536,20 +536,11 @@ def most_common_epsg(images: DataFrame, epsg_col: str = "epsg") -> int:
     return int(row[0])
 
 
-def chip_candidates(
-    chips: DataFrame,
-    images_light: DataFrame,
-    images_payload: DataFrame,
-    res: int = 7,
-) -> DataFrame:
-    """chips x images candidate pairs via the native cell-cover join, then
-    payload join — CHIP_COLS + image_id + datetime + bytes, blobs through
-    exactly one shuffle.  ``chips`` needs CHIP_COLS; ``images_light`` needs
-    image_id + img_xmin/_ymin/_xmax/_ymax; ``images_payload`` needs
-    image_id, datetime, bytes."""
-    from rasteret_spark.operators.spatial_join import bbox_join
-
-    c = chips.withColumn(
+def chips_as_aois(chips: DataFrame) -> DataFrame:
+    """CHIP_COLS -> the aoi_* bbox columns the cell-cover join consumes.
+    SINGLE definition of the chip-extent convention (pixel-edge aligned) —
+    shared by the mosaic and chip-serving paths so they cannot diverge."""
+    return chips.withColumn(
         "aoi_xmin", F.col("chip_xmin")
     ).withColumn(
         "aoi_xmax", F.col("chip_xmin") + F.col("chip_w") * F.col("chip_xres")
@@ -558,5 +549,36 @@ def chip_candidates(
     ).withColumn(
         "aoi_ymin", F.col("chip_ymax") - F.col("chip_h") * F.col("chip_yres")
     )
-    cands = bbox_join(images_light, c, res=res).select(*CHIP_COLS, "image_id")
+
+
+def chip_candidates(
+    chips: DataFrame,
+    images_light: DataFrame,
+    images_payload: DataFrame,
+    res: int = 7,
+    max_images_per_chip: int | None = None,
+    newest_first: bool = True,
+) -> DataFrame:
+    """chips x images candidate pairs via the native cell-cover join, then
+    payload join — CHIP_COLS + image_id + datetime + bytes, blobs through
+    exactly one shuffle.  ``chips`` needs CHIP_COLS; ``images_light`` needs
+    image_id + img_xmin/_ymin/_xmax/_ymax; ``images_payload`` needs
+    image_id, datetime, bytes.
+
+    ``max_images_per_chip`` caps the temporal depth HERE, on light columns
+    (datetime joined without bytes), BEFORE any blob moves — under a
+    10,000-scene archive the dropped candidates never shuffle their
+    payloads.  Callers that cap here should pass ``max_images_per_chip=
+    None`` to the downstream pixel kernel (capping twice is correct but
+    windows the rows once more for nothing)."""
+    from rasteret_spark.operators.spatial_join import bbox_join
+
+    cands = bbox_join(images_light, chips_as_aois(chips), res=res).select(
+        *CHIP_COLS, "image_id"
+    )
+    if max_images_per_chip is not None:
+        light_dt = images_payload.select("image_id", "datetime")
+        cands = _depth_cap(
+            cands.join(light_dt, "image_id"), max_images_per_chip, newest_first
+        ).drop("datetime")
     return cands.join(images_payload, "image_id")

@@ -67,8 +67,16 @@ def fetch_blobs(
     upstream is a few big parquet row groups."""
     from rasteret_spark.operators.decode import _decode_parallelism, _err_status
 
+    from pyspark.sql import types as T  # noqa: N812
+
     fetchers = dict(_FETCHERS)  # snapshot: travels to executors via closure
-    schema = df.schema.add(out_col, "binary").add("fetch_status", "string")
+    # NEVER df.schema.add(...): StructType.add mutates in place and df.schema
+    # is cached on the DataFrame — it would permanently grow the CALLER's
+    # schema with phantom columns.  Build a fresh StructType instead.
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, T.BinaryType()), T.StructField("fetch_status", T.StringType())]
+    )
     df = df.repartition(_decode_parallelism(df, parallelism), url_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -69,11 +69,13 @@ def streaming_exact_dedup(
 
     Returns the started StreamingQuery.  Each batch: enrich -> in-batch
     dedup (lowest doc_id per hash) -> anti-join the durable seen store ->
-    append survivors to ``out_dir`` and their hashes to ``seen_dir``.
-    Restart-safe: the checkpoint replays an interrupted batch; re-appending
-    the same hashes only duplicates rows in the SEEN store (harmless for an
-    anti-join), and survivors are keyed by hash so re-emission is filtered
-    by the store from the crashed batch when present.
+    write survivors + their hashes.  Restart-safe because the OUTPUT write
+    is idempotent: survivors land in a ``_batch=<id>`` partition via dynamic
+    partition overwrite, so when the checkpoint replays a crashed batch the
+    partition is overwritten, not appended — a crash between the output
+    write and the seen-store append cannot duplicate documents.  The seen
+    store itself is append-only (duplicate hash rows there are harmless for
+    an anti-join; compact offline).
     """
     spark = docs.sparkSession
     enriched = with_text_analysis(docs)
@@ -92,9 +94,14 @@ def streaming_exact_dedup(
         ):
             seen = spark.read.parquet(seen_dir)
             first = first.join(seen, "content_hash", "left_anti")
-        first = first.persist()
+        first = first.withColumn("_batch", F.lit(int(batch_id))).persist()
         try:
-            first.write.mode("append").parquet(out_dir)
+            (
+                first.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch")
+                .parquet(out_dir)
+            )
             first.select("content_hash").write.mode("append").parquet(seen_dir)
         finally:
             first.unpersist()

@@ -114,7 +114,7 @@ def test_classify_media_handles_non_utf8_payloads(spark):
     df = spark.createDataFrame(rows, "id string, bytes binary")
     got = multimodal.classify_media(df).select("id", "media_kind").toPandas()
     kinds = dict(zip(got["id"], got["media_kind"]))
-    assert kinds == {"a": "miniraster", "b": "audio", "c": "unknown"}
+    assert kinds == {"a": "miniraster", "b": "audio", "c": "png"}
 
 
 # --- grouped-cache lifecycle -------------------------------------------------------
@@ -167,3 +167,114 @@ def test_lineage_rows_out_matches_written_partition_counts(spark, tmp_path):
     assert len(log) == 8 and int(log["rows_out"].sum()) == 1000
     for _, r in log.iterrows():
         assert int(r["rows_out"]) == int(actual.get(r["part_id"], 0))
+
+
+def test_asof_unparseable_right_ts_excluded(spark):
+    """A right_ts that is non-NULL but CASTS to NULL (bad string ->
+    timestamp) must not leak its payload via NULLS-FIRST ordering."""
+    import pandas as pd
+
+    left = spark.createDataFrame(
+        pd.DataFrame([{"k": 1, "ts": pd.Timestamp("2024-01-05")}])
+    )
+    right = spark.createDataFrame(
+        [(1, "not-a-date", "poison"), (1, "2024-01-01 00:00:00", "good")],
+        "k int, rts string, tag string",
+    )
+    out = asof.asof_join(
+        left, right, key="k", left_ts="ts", right_ts="rts", right_cols=["tag"]
+    ).toPandas()
+    assert list(out["tag"]) == ["good"]
+    # and when the ONLY right row is unparseable, the left row is unmatched
+    right2 = spark.createDataFrame([(1, "junk", "poison")], "k int, rts string, tag string")
+    out2 = asof.asof_join(
+        left, right2, key="k", left_ts="ts", right_ts="rts", right_cols=["tag"]
+    ).toPandas()
+    assert out2["tag"].isna().all()
+
+
+def test_fetch_blobs_does_not_mutate_caller_schema(spark):
+    import pandas as pd
+
+    from rasteret_spark.sources import fetch as fx
+
+    df = spark.createDataFrame(pd.DataFrame([{"rid": "a", "href": "mem://missing"}]))
+    cols_before = list(df.columns)
+    out = fx.fetch_blobs(df)
+    assert list(df.columns) == cols_before, "caller schema must not grow"
+    df.select(*df.columns).collect()  # would raise on phantom columns
+    assert set(out.columns) == set(cols_before) | {"bytes", "fetch_status"}
+
+
+def test_classify_media_labels_jpeg_png(spark):
+    import pandas as pd
+
+    rows = [
+        {"image_id": "j", "bytes": b"\xff\xd8\xff\xe0" + b"\x00" * 20},
+        {"image_id": "p", "bytes": b"\x89PNG\r\n\x1a\n" + b"\x00" * 20},
+    ]
+    got = (
+        multimodal.classify_media(spark.createDataFrame(pd.DataFrame(rows)))
+        .toPandas()
+        .set_index("image_id")
+    )
+    assert got.loc["j", "media_kind"] == "jpeg"
+    assert got.loc["p", "media_kind"] == "png"
+    # classifier and decode-registry sniffing agree
+    for r in rows:
+        assert multimodal.sniff_kind(bytes(r["bytes"])) == got.loc[r["image_id"], "media_kind"]
+
+
+def test_feature_extract_tiny_image_no_nan(spark):
+    """Images thinner than the 4x4 grid must not emit NaN components with
+    status 'ok' (empty-slice means)."""
+    import numpy as np
+    import pandas as pd
+
+    from rasteret_spark.format import miniraster as mr
+
+    blob = mr.encode_image(np.arange(6, dtype=np.int32).reshape(2, 3))
+    df = spark.createDataFrame(
+        pd.DataFrame([{"image_id": "tiny", "bytes": bytearray(blob)}])
+    )
+    got = multimodal.extract_features(df).toPandas().iloc[0]
+    assert got["status"] == "ok"
+    feats = np.asarray(got["features"], dtype=float)
+    assert len(feats) == multimodal.FEATURE_DIM
+    assert np.isfinite(feats).all(), "degenerate grid cells must not be NaN"
+
+
+def test_depth_cap_prejoin_equivalent_to_kernel_cap(spark, images_pdf):
+    """chip_candidates(max_images_per_chip=N) + kernel cap None must equal
+    kernel cap N on uncapped candidates — same rows, blobs just don't ride
+    the capping window in the new plan."""
+    import pandas as pd
+
+    from rasteret_spark.operators import raster_mosaic as rmo
+
+    images = spark.createDataFrame(images_pdf)
+    img_light = images.selectExpr(
+        "image_id", "xmin as img_xmin", "ymin as img_ymin",
+        "xmax as img_xmax", "ymax as img_ymax",
+    )
+    payload = images.select("image_id", "datetime", "bytes")
+    im = images_pdf.iloc[0]
+    chip = pd.DataFrame([{
+        "chip_id": "c0", "chip_xmin": float(im["xmin"]),
+        "chip_ymax": float(im["ymax"]), "chip_xres": 0.001, "chip_yres": 0.001,
+        "chip_w": 8, "chip_h": 8,
+    }])
+    chips_df = spark.createDataFrame(chip)
+    new = rmo.first_valid_mosaic_pixels(
+        rmo.chip_candidates(chips_df, img_light, payload, max_images_per_chip=2),
+        bands=(0,), max_images_per_chip=None,
+    ).toPandas()
+    old = rmo.first_valid_mosaic_pixels(
+        rmo.chip_candidates(chips_df, img_light, payload),
+        bands=(0,), max_images_per_chip=2,
+    ).toPandas()
+    key = ["chip_id", "band"]
+    pd.testing.assert_frame_equal(
+        new.sort_values(key).reset_index(drop=True),
+        old.sort_values(key).reset_index(drop=True),
+    )
