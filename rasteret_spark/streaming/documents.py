@@ -81,30 +81,7 @@ def streaming_exact_dedup(
     enriched = with_text_analysis(docs)
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("content_hash").orderBy(F.col("doc_id").asc())
-        first = (
-            batch.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        if os.path.isdir(seen_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(seen_dir)
-        ):
-            seen = spark.read.parquet(seen_dir)
-            first = first.join(seen, "content_hash", "left_anti")
-        first = first.withColumn("_batch", F.lit(int(batch_id))).persist()
-        try:
-            (
-                first.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("_batch")
-                .parquet(out_dir)
-            )
-            first.select("content_hash").write.mode("append").parquet(seen_dir)
-        finally:
-            first.unpersist()
+        process_batch(spark, batch, batch_id, out_dir, seen_dir)
 
     return (
         enriched.writeStream.foreachBatch(process)
@@ -112,3 +89,35 @@ def streaming_exact_dedup(
         .outputMode("update")
         .start()
     )
+
+
+def process_batch(
+    spark: SparkSession, batch: DataFrame, batch_id: int, out_dir: str, seen_dir: str
+) -> None:
+    """One micro-batch of the dedup sink (exposed for direct testing of the
+    replay semantics).  Idempotent in batch_id: re-running the same batch
+    overwrites its own output partition and only re-appends hashes."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("content_hash").orderBy(F.col("doc_id").asc())
+    first = (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if os.path.isdir(seen_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(seen_dir)
+    ):
+        seen = spark.read.parquet(seen_dir)
+        first = first.join(seen, "content_hash", "left_anti")
+    first = first.withColumn("_batch", F.lit(int(batch_id))).persist()
+    try:
+        (
+            first.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(out_dir)
+        )
+        first.select("content_hash").write.mode("append").parquet(seen_dir)
+    finally:
+        first.unpersist()

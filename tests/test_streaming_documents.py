@@ -97,3 +97,37 @@ def test_streaming_dedup_resumes_from_seen_store(spark, docs_batches, tmp_path):
     q2.processAllAvailable()
     q2.stop()
     assert len(spark.read.parquet(out).toPandas()) == n_first
+
+
+def test_process_batch_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay simulation: re-running the SAME micro-batch must not
+    duplicate output documents — the batch output partition overwrites, and
+    a batch whose hashes already reached the store emits nothing new."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    out, seen = str(tmp_path / "out"), str(tmp_path / "seen")
+    batch = sd.with_text_analysis(
+        spark.createDataFrame(
+            pd.DataFrame([
+                {"doc_id": 1, "text": "alpha beta", "lang": "en", "source": "s",
+                 "n_chars": 10},
+                {"doc_id": 2, "text": "alpha beta", "lang": "en", "source": "s",
+                 "n_chars": 10},
+                {"doc_id": 3, "text": "gamma delta", "lang": "en", "source": "s",
+                 "n_chars": 11},
+            ])
+        )
+    )
+    sd.process_batch(spark, batch, 0, out, seen)
+    first = spark.read.parquet(out).toPandas()
+    assert sorted(first["doc_id"]) == [1, 3]  # in-batch dedup, lowest id
+    # replay after crash-BEFORE-seen-append: same survivors recompute, the
+    # partition overwrites -> still exactly one row per hash
+    sd.process_batch(spark, batch, 0, out, seen)
+    again = spark.read.parquet(out).toPandas()
+    assert sorted(again["doc_id"]) == [1, 3]
+    assert len(again) == again["content_hash"].nunique()
+    # replay after crash-AFTER-seen-append: anti-join drops everything, the
+    # empty write touches no partitions, output unchanged
+    sd.process_batch(spark, batch, 0, out, seen)
+    assert sorted(spark.read.parquet(out).toPandas()["doc_id"]) == [1, 3]
