@@ -804,6 +804,18 @@ def q54_image_mosaic_average(spark, sf_dir):
     )
 
 
+def q59_bpe_token_stats(spark, sf_dir):
+    """BPE-ish regex tokenization (word/number/punct pieces) aggregated per
+    source — the second tokenizer surface next to q17's whitespace counts."""
+    from rasteret_spark.operators.text import word_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(F.size(word_tokens(F.col("text"))).cast("bigint")).alias("sum_pieces"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
 def q58_image_feature_pairs(spark, sf_dir):
     """Multimodal -> similarity composition: decode every image through the
     pluggable-kernel registry into a 24-dim descriptor, then hyperplane-LSH
@@ -891,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_interval_join": q28_interval_join,
         "q55_rollup_orders": q55_rollup_orders,
         "q58_image_feature_pairs": q58_image_feature_pairs,
+        "q59_bpe_token_stats": q59_bpe_token_stats,
         "q56_group_median": q56_group_median,
         "q57_running_total": q57_running_total,
         "q40_image_enrich": q40_image_enrich,
@@ -1201,6 +1214,15 @@ def oracle_sql() -> dict[str, str]:
                        FROM v)
             SELECT event_type, v1000 AS median_v1000
             FROM r WHERE rn = CAST(FLOOR((n + 1) / 2) AS BIGINT)
+        """,
+        "q59_bpe_token_stats": """
+            SELECT source,
+                   CAST(SUM(len(regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
+                       AS sum_pieces,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents
+            GROUP BY source
         """,
         "q57_running_total": """
             SELECT o_orderkey, o_custkey,
