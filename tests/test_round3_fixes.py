@@ -278,3 +278,26 @@ def test_depth_cap_prejoin_equivalent_to_kernel_cap(spark, images_pdf):
         new.sort_values(key).reset_index(drop=True),
         old.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_dedup_caches_released_between_calls(spark):
+    """minhash_lsh_pairs keeps at most ONE live cand/shingle cache pair: the
+    next call (or release_dedup_caches) unpersists the previous one."""
+    import pandas as pd
+
+    from rasteret_spark.operators import dedup
+
+    base = _n_cached(spark)
+    docs = spark.createDataFrame(pd.DataFrame([
+        {"doc_id": i, "text": f"alpha beta gamma {i % 7} delta epsilon"}
+        for i in range(40)
+    ]))
+    dedup.minhash_lsh_pairs(docs, "text", "doc_id", num_perm=8, bands=2,
+                            jaccard_threshold=0.5).count()
+    first = _n_cached(spark)
+    assert first > base  # cand + shingle caches live
+    dedup.minhash_lsh_pairs(docs.limit(20), "text", "doc_id", num_perm=8,
+                            bands=2, jaccard_threshold=0.5).count()
+    assert _n_cached(spark) <= first  # previous pair was released, not stacked
+    dedup.release_dedup_caches()
+    assert _n_cached(spark) == base
