@@ -1215,11 +1215,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, v1000 AS median_v1000
             FROM r WHERE rn = CAST(FLOOR((n + 1) / 2) AS BIGINT)
         """,
+        # the whitespace class is explicit (same bytes as word_tokens):
+        # Java \\s includes \\x0B, RE2's does not — \\s here would be a
+        # latent engine/oracle divergence on vertical-tab input
         "q59_bpe_token_stats": """
             SELECT source,
                    CAST(SUM(len(regexp_extract_all(
-                       text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
-                       AS sum_pieces,
+                       text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]'
+                   ))) AS BIGINT) AS sum_pieces,
                    CAST(COUNT(*) AS BIGINT) AS n_docs
             FROM documents
             GROUP BY source

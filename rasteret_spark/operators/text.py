@@ -21,8 +21,15 @@ def token_count(text: Column) -> Column:
 
 
 def word_tokens(text: Column) -> Column:
-    """BPE-ish word/number/punct tokens via regex extraction."""
-    return F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    """BPE-ish word/number/punct tokens via regex extraction.
+
+    The whitespace class is spelled out EXPLICITLY (not ``\\s``) because
+    Java regex counts ``\\x0B`` as whitespace and RE2 (DuckDB) does not —
+    the explicit class keeps the engine and the SQL oracle byte-identical
+    on any input."""
+    return F.regexp_extract_all(
+        text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"), 0
+    )
 
 
 def punct_ratio(text: Column) -> Column:

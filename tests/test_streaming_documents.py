@@ -118,14 +118,19 @@ def test_process_batch_replay_is_idempotent(spark, tmp_path):
             ])
         )
     )
+    import shutil as sh
+
     sd.process_batch(spark, batch, 0, out, seen)
     first = spark.read.parquet(out).toPandas()
     assert sorted(first["doc_id"]) == [1, 3]  # in-batch dedup, lowest id
-    # replay after crash-BEFORE-seen-append: same survivors recompute, the
-    # partition overwrites -> still exactly one row per hash
+    # replay after crash-BEFORE-seen-append: simulate by REMOVING the seen
+    # store (it did not exist when the batch first ran) — the same survivors
+    # recompute with non-empty data and the partition must OVERWRITE, not
+    # append (this is the dynamic-partition-overwrite path under test)
+    sh.rmtree(seen)
     sd.process_batch(spark, batch, 0, out, seen)
     again = spark.read.parquet(out).toPandas()
-    assert sorted(again["doc_id"]) == [1, 3]
+    assert sorted(again["doc_id"]) == [1, 3], "replay must overwrite, not append"
     assert len(again) == again["content_hash"].nunique()
     # replay after crash-AFTER-seen-append: anti-join drops everything, the
     # empty write touches no partitions, output unchanged

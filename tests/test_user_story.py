@@ -47,9 +47,23 @@ def _scene(i: int) -> tuple[dict, bytes]:
     return item, blob
 
 
-def test_full_reference_workflow(spark, tmp_path):
+@pytest.fixture()
+def mem_fetcher():
+    """Register the in-memory scheme for this test only — the registry is
+    module-global, so leak-free tests must unregister."""
     items, blobs = zip(*[_scene(i) for i in range(N_SCENES)])
-    fx.register_fetcher("mem", lambda url, _b={f"mem://story/{i}": b for i, b in enumerate(blobs)}: _b[url])
+    fx.register_fetcher(
+        "mem",
+        lambda url, _b={f"mem://story/{i}": b for i, b in enumerate(blobs)}: _b[url],
+    )
+    try:
+        yield list(items)
+    finally:
+        fx._FETCHERS.pop("mem", None)
+
+
+def test_full_reference_workflow(spark, tmp_path, mem_fetcher):
+    items = mem_fetcher
 
     # 1. STAC ingest -> records; 2. resolve blobs through the fetch registry
     records = stac.records_df(spark, list(items)).withColumn(
