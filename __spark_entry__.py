@@ -1056,14 +1056,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM c) WHERE rn = 1
         """,
         "q16_dedup_fingerprint": """
-            SELECT md5(substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 32)) AS fp,
+            SELECT md5(substr(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), 1, 32)) AS fp,
                    MIN(doc_id) AS survivor_id, COUNT(*) AS n_dups
             FROM documents GROUP BY 1
         """,
         "q17_token_stats": """
             SELECT lang,
                    CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
-                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS sum_tokens,
+                            ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END) AS BIGINT) AS sum_tokens,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars, COUNT(*) AS n_docs
             FROM documents GROUP BY lang
         """,
@@ -1093,17 +1093,17 @@ def oracle_sql() -> dict[str, str]:
                   + GREATEST(1.0 - (CASE WHEN length(text) = 0 THEN 0.0
                        ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) END) * 4.0, 0.0)
                   + (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
-                                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) = 0 THEN 0.5
-                          WHEN CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+                                ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END) = 0 THEN 0.5
+                          WHEN CAST(length(regexp_replace(trim(text), '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) AS DOUBLE)
                                / (CASE WHEN length(trim(text)) = 0 THEN 0
-                                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+                                  ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END)
                                BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
                 ) / 4.0, 6) AS q FROM documents)
             SELECT CAST(FLOOR(q * 10) AS BIGINT) AS bucket, COUNT(*) AS n FROM q GROUP BY 1
         """,
         "q20_minhash_groups": """
             WITH toks AS (
-                SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+                SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
                 FROM documents),
             mh AS (SELECT doc_id, MIN(md5(tok)) AS minhash FROM toks GROUP BY doc_id)
             SELECT minhash, MIN(doc_id) AS survivor_id, COUNT(*) AS n_docs

@@ -58,7 +58,12 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 
 def _shingles(text_col: str, n: int = 3) -> F.Column:
     """Word n-gram shingles as an array column (native)."""
-    toks = F.split(F.trim(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))), " ")
+    # explicit whitespace class: Java \s includes \x0B, RE2 (the DuckDB
+    # oracles) does not — keep both engines byte-identical on any input
+    toks = F.split(
+        F.trim(F.lower(F.regexp_replace(F.col(text_col), r"[ \t\n\x0B\f\r]+", " "))),
+        " ",
+    )
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))

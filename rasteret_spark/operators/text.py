@@ -16,7 +16,7 @@ def token_count(text: Column) -> Column:
     """Whitespace tokenization count (empty string -> 0)."""
     t = F.trim(text)
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(
-        F.size(F.split(t, r"\s+"))
+        F.size(F.split(t, r"[ \t\n\x0B\f\r]+"))
     )
 
 
@@ -56,7 +56,7 @@ def digit_ratio(text: Column) -> Column:
 
 def mean_word_len(text: Column) -> Column:
     t = F.trim(text)
-    nosp = F.regexp_replace(t, r"\s+", "")
+    nosp = F.regexp_replace(t, r"[ \t\n\x0B\f\r]+", "")
     return F.when(token_count(text) == 0, F.lit(0.0)).otherwise(
         F.length(nosp).cast("double") / token_count(text)
     )
@@ -98,5 +98,5 @@ def lang_id(text: Column) -> Column:
 def fingerprint(text: Column, prefix_len: int = 64) -> Column:
     """Document fingerprint: hash of the normalized text prefix (rolling-hash
     stand-in; md5 keeps it reproducible in the SQL oracle)."""
-    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"[ \t\n\x0B\f\r]+", " ")
     return F.md5(F.substring(norm, 1, prefix_len))
