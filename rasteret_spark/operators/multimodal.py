@@ -38,15 +38,31 @@ def register_media_decoder(kind: str, fn: Callable[[bytes], np.ndarray]) -> None
     _DECODERS[kind] = fn
 
 
+# SINGLE source of truth for magic-byte -> media kind: both the Python
+# ``sniff_kind`` (used by the decode kernels) and the native ``classify_media``
+# when-chain are generated from this table, so a new kind registered here is
+# seen consistently by both, and prefix edits cannot drift between them.
+# Order matters: first match wins (longer/rarer prefixes first).
+MEDIA_MAGIC: tuple[tuple[bytes, str], ...] = (
+    (b"\x89PNG\r\n\x1a\n", "png"),
+    (mr.MAGIC, "miniraster"),
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"ID3", "audio"),
+)
+
+
+def register_media_magic(prefix: bytes, kind: str) -> None:
+    """Register a magic-byte prefix for a media kind — extends BOTH
+    ``sniff_kind`` and future ``classify_media`` plans (existing built
+    plans captured the table at build time)."""
+    global MEDIA_MAGIC
+    MEDIA_MAGIC = ((bytes(prefix), kind), *MEDIA_MAGIC)
+
+
 def sniff_kind(blob: bytes) -> str:
-    if blob[:4] == mr.MAGIC:
-        return "miniraster"
-    if blob[:3] == b"\xff\xd8\xff":
-        return "jpeg"
-    if blob[:8] == b"\x89PNG\r\n\x1a\n":
-        return "png"
-    if blob[:3] == b"ID3":
-        return "audio"
+    for prefix, kind in MEDIA_MAGIC:
+        if blob[: len(prefix)] == prefix:
+            return kind
     return "unknown"
 
 
@@ -69,23 +85,17 @@ def classify_media(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
 
     Prefixes are compared on the BINARY column directly — casting the blob
     to string first would let invalid-UTF8 payload bytes mangle the prefix
-    before ``substring`` sees it."""
-    return df.withColumn(
-        "media_kind",
-        F.when(
-            F.substring(F.col(bytes_col), 1, 4) == F.lit(b"MRST"), F.lit("miniraster")
-        )
-        .when(
-            F.substring(F.col(bytes_col), 1, 3) == F.lit(b"\xff\xd8\xff"),
-            F.lit("jpeg"),
-        )
-        .when(
-            F.substring(F.col(bytes_col), 1, 8) == F.lit(b"\x89PNG\r\n\x1a\n"),
-            F.lit("png"),
-        )
-        .when(F.substring(F.col(bytes_col), 1, 3) == F.lit(b"ID3"), F.lit("audio"))
-        .otherwise(F.lit("unknown")),
-    ).withColumn("media_bytes", F.length(F.col(bytes_col)))
+    before ``substring`` sees it.  The when-chain is GENERATED from the same
+    ``MEDIA_MAGIC`` table ``sniff_kind`` consults, in the same order — the
+    two classifiers cannot drift."""
+    expr = None
+    for prefix, kind in MEDIA_MAGIC:
+        cond = F.substring(F.col(bytes_col), 1, len(prefix)) == F.lit(prefix)
+        expr = F.when(cond, F.lit(kind)) if expr is None else expr.when(cond, F.lit(kind))
+    expr = F.lit("unknown") if expr is None else expr.otherwise(F.lit("unknown"))
+    return df.withColumn("media_kind", expr).withColumn(
+        "media_bytes", F.length(F.col(bytes_col))
+    )
 
 
 def decode_resize(

@@ -172,8 +172,12 @@ def _neighborhood_windows(
         vals = _gather_pixels(reader, band, rr.reshape(-1), cc.reshape(-1)).reshape(
             len(idx), wh * ww
         )
+        # C-speed list materialization: ndarray.tolist() converts the whole
+        # row at once (vs a Python float() per pixel — this is the hot loop
+        # of every neighborhood query)
+        rows_as_lists = vals.astype(np.float64).tolist()
         for j, i in enumerate(idx):
-            nb_arr[i] = [float(v) for v in vals[j]]
+            nb_arr[i] = rows_as_lists[j]
     for i in np.nonzero(~in_bounds)[0]:
         nb_arr[i] = None
     return nb_arr

@@ -16,16 +16,55 @@ Scale + containment shape:
     retroactively change a built plan);
   * per-row try/except: a missing object yields a quarantine row
     (``fetch_status`` column) instead of a task failure — same R12 policy as
-    the decode kernels.
+    the decode kernels;
+  * TRANSIENT failures retry with bounded exponential backoff before
+    quarantining (the reference's transport resilience,
+    `src/rasteret/fetch/cog.py:63-74, 499-657`: x3/x5 retries with backoff on
+    range-read failures) — at 100 TB over real object storage a routine 503
+    burst must cost milliseconds of backoff, not thousands of permanently
+    quarantined rows.  Permanent errors (404, bad scheme, auth) fail fast on
+    the first attempt.
 """
 
 from __future__ import annotations
 
+import time
 from collections.abc import Callable, Iterator
 from urllib.parse import urlparse
 
 import pandas as pd
 from pyspark.sql import DataFrame
+
+
+class TransientFetchError(Exception):
+    """Raise from a registered fetcher to mark a failure as retryable (e.g.
+    an HTTP 503/429 surfaced by a backend whose exception types the engine
+    does not know)."""
+
+
+# exception classes the engine always treats as transient: network-ish
+# interruptions every storage backend can emit.  ConnectionError covers
+# ConnectionReset/Refused/Aborted + BrokenPipe; TimeoutError covers
+# socket.timeout (an alias since 3.10).  FileNotFoundError / PermissionError /
+# ValueError are NOT here — retrying a 404 or a bad scheme only adds latency.
+_TRANSIENT_TYPES: tuple[type[BaseException], ...] = (
+    TransientFetchError,
+    ConnectionError,
+    TimeoutError,
+    InterruptedError,
+)
+
+_TRANSIENT_HTTP_CODES = {429, 500, 502, 503, 504}
+
+
+def is_transient(exc: BaseException) -> bool:
+    """True when a fetch failure is worth retrying.  isinstance against the
+    transient classes, plus urllib HTTPError status codes in the retryable
+    set (408/429/5xx-style)."""
+    if isinstance(exc, _TRANSIENT_TYPES):
+        return True
+    code = getattr(exc, "code", None)  # urllib.error.HTTPError and friends
+    return isinstance(code, int) and code in _TRANSIENT_HTTP_CODES
 
 
 def _fetch_file(url: str) -> bytes:
@@ -53,18 +92,60 @@ def fetch(url: str, fetchers: dict[str, Callable[[str], bytes]] | None = None) -
     return fn(url)
 
 
+def _backoff_s(url: str, attempt: int, base_delay: float) -> float:
+    """Exponential backoff with DETERMINISTIC per-(url, attempt) jitter in
+    [0, 25%] — decorrelates a thundering herd of executors retrying the same
+    503 burst without making test runs nondeterministic.  (md5, not
+    ``hash()``: Python string hashing is salted per-process.)"""
+    import hashlib
+
+    digest = hashlib.md5(f"{url}|{attempt}".encode()).digest()
+    frac = int.from_bytes(digest[:2], "big") / 0xFFFF
+    return base_delay * (2.0**attempt) * (1.0 + 0.25 * frac)
+
+
+def fetch_with_retry(
+    url: str,
+    fetchers: dict[str, Callable[[str], bytes]],
+    attempts: int = 3,
+    base_delay: float = 0.2,
+    sleep: Callable[[float], None] = time.sleep,
+) -> tuple[bytes, int]:
+    """Fetch with bounded retry on TRANSIENT errors only: up to ``attempts``
+    tries, exponential backoff (base * 2^i + jitter) between them.  Returns
+    (blob, attempts_used).  Permanent errors raise immediately; a transient
+    error that survives all attempts raises the last exception."""
+    last: BaseException | None = None
+    for i in range(attempts):
+        try:
+            return fetch(url, fetchers), i + 1
+        except Exception as e:
+            last = e
+            if not is_transient(e) or i == attempts - 1:
+                raise
+            sleep(_backoff_s(url, i, base_delay))
+    raise last  # unreachable; keeps type-checkers honest
+
+
 def fetch_blobs(
     df: DataFrame,
     url_col: str = "href",
     out_col: str = "bytes",
     parallelism: int | None = None,
+    attempts: int = 3,
+    base_delay: float = 0.2,
 ) -> DataFrame:
     """Resolve ``url_col`` hrefs to a binary ``out_col`` executor-side.
 
     All input columns pass through; adds ``out_col`` (binary, null on
-    failure) and ``fetch_status`` (string, 'ok' or the error).  Repartitions
-    by the url column so fetch work spreads across executors even when the
-    upstream is a few big parquet row groups."""
+    failure), ``fetch_status`` (string, 'ok' or the error — quarantine
+    errors carry the attempt count) and ``fetch_attempts`` (int, how many
+    tries the row took; >1 flags rows that recovered through retry).
+    Transient failures retry up to ``attempts`` times with exponential
+    backoff (``base_delay`` seconds base); permanent failures quarantine on
+    the first attempt.  Repartitions by the url column so fetch work spreads
+    across executors even when the upstream is a few big parquet row
+    groups."""
     from rasteret_spark.operators.decode import _decode_parallelism, _err_status
 
     from pyspark.sql import types as T  # noqa: N812
@@ -75,23 +156,34 @@ def fetch_blobs(
     # schema with phantom columns.  Build a fresh StructType instead.
     schema = T.StructType(
         list(df.schema.fields)
-        + [T.StructField(out_col, T.BinaryType()), T.StructField("fetch_status", T.StringType())]
+        + [
+            T.StructField(out_col, T.BinaryType()),
+            T.StructField("fetch_status", T.StringType()),
+            T.StructField("fetch_attempts", T.IntegerType()),
+        ]
     )
     df = df.repartition(_decode_parallelism(df, parallelism), url_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            blobs, status = [], []
+            blobs, status, tries = [], [], []
             for url in pdf[url_col]:
                 try:
-                    blobs.append(bytearray(fetch(str(url), fetchers)))
+                    blob, used = fetch_with_retry(
+                        str(url), fetchers, attempts=attempts, base_delay=base_delay
+                    )
+                    blobs.append(bytearray(blob))
                     status.append("ok")
+                    tries.append(used)
                 except Exception as e:  # quarantine row, not a task failure
+                    used = attempts if is_transient(e) else 1
                     blobs.append(None)
-                    status.append(_err_status(e))
+                    status.append(f"{_err_status(e)} (after {used} attempts)")
+                    tries.append(used)
             out = pdf.copy()
             out[out_col] = blobs
             out["fetch_status"] = status
+            out["fetch_attempts"] = tries
             yield out
 
     return df.mapInPandas(run, schema=schema)

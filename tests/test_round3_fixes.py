@@ -203,7 +203,9 @@ def test_fetch_blobs_does_not_mutate_caller_schema(spark):
     out = fx.fetch_blobs(df)
     assert list(df.columns) == cols_before, "caller schema must not grow"
     df.select(*df.columns).collect()  # would raise on phantom columns
-    assert set(out.columns) == set(cols_before) | {"bytes", "fetch_status"}
+    assert set(out.columns) == set(cols_before) | {
+        "bytes", "fetch_status", "fetch_attempts"
+    }
 
 
 def test_classify_media_labels_jpeg_png(spark):
