@@ -57,14 +57,14 @@ MOSAIC_SCHEMA = (
     "chip_id string, band int, n_images int, n_contributing int, "
     "filled bigint, v_sum double, values array<double>, "
     + GRID_COLS_SCHEMA
-    + ", n_failed int, status string"
+    + ", n_failed int, capped boolean, status string"
 )
 
 CHIP_STACK_SCHEMA = (
     "chip_id string, t_index int, image_id string, datetime timestamp, "
     "band int, filled bigint, values array<double>, "
     + GRID_COLS_SCHEMA
-    + ", status string"
+    + ", capped boolean, status string"
 )
 
 # default temporal-depth bound: a chip under a 10,000-scene archive must not
@@ -343,17 +343,24 @@ def _depth_cap(
     composite order keeps only the first N candidates, so a chip sitting
     under a 10,000-scene archive does not drag 10,000 blobs into one group
     when the newest handful fill it (the knob the reference's query-limited
-    chip reads expose)."""
+    chip reads expose).
+
+    Adds ``n_candidates`` (the PRE-cap per-chip candidate count, same
+    window — no extra shuffle) so downstream kernels can surface a
+    ``capped`` flag: a truncated chip is visible in the output, never a
+    silent drop.  A pre-existing ``n_candidates`` column is kept (the first
+    cap's count is the true total when capping twice)."""
     order = [
         F.col("datetime").desc() if newest_first else F.col("datetime").asc(),
         F.col("image_id").asc(),
     ]
     w = Window.partitionBy("chip_id").orderBy(*order)
-    return (
-        pairs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= max_images_per_chip)
-        .drop("_rn")
-    )
+    pairs = pairs.withColumn("_rn", F.row_number().over(w))
+    if "n_candidates" not in pairs.columns:
+        pairs = pairs.withColumn(
+            "n_candidates", F.count(F.lit(1)).over(Window.partitionBy("chip_id"))
+        )
+    return pairs.filter(F.col("_rn") <= max_images_per_chip).drop("_rn")
 
 
 def _grid_cols(r0: pd.Series) -> dict:
@@ -400,6 +407,10 @@ def first_valid_mosaic_pixels(
     def composite(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = _sorted_group(pdf, newest_first)
         r0 = pdf.iloc[0]
+        # depth-cap visibility: n_candidates (pre-cap count from _depth_cap)
+        # vs rows actually present — a truncated chip reports capped=True
+        ncand = int(r0["n_candidates"]) if "n_candidates" in pdf.columns else len(pdf)
+        capped = bool(ncand > len(pdf))
         w, h = int(r0["chip_w"]), int(r0["chip_h"])
         grid = (float(r0["chip_xmin"]), float(r0["chip_ymax"]),
                 float(r0["chip_xres"]), float(r0["chip_yres"]), w, h)
@@ -437,6 +448,7 @@ def first_valid_mosaic_pixels(
                     "values": [None if np.isnan(v) else float(v) for v in canvas.ravel()],
                     **gcols,
                     "n_failed": n_failed,
+                    "capped": capped,
                     "status": "ok" if n_failed == 0 else f"partial: {first_err}",
                 }
             )
@@ -474,6 +486,8 @@ def chip_stack_pixels(
     def stack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = _sorted_group(pdf, newest_first=False)
         r0 = pdf.iloc[0]
+        ncand = int(r0["n_candidates"]) if "n_candidates" in pdf.columns else len(pdf)
+        capped = bool(ncand > len(pdf))
         w, h = int(r0["chip_w"]), int(r0["chip_h"])
         grid = (float(r0["chip_xmin"]), float(r0["chip_ymax"]),
                 float(r0["chip_xres"]), float(r0["chip_yres"]), w, h)
@@ -486,6 +500,7 @@ def chip_stack_pixels(
                 "image_id": row["image_id"],
                 "datetime": row["datetime"],
                 **gcols,
+                "capped": capped,
             }
             try:
                 reader = mr.CachedReader(bytes(row["bytes"]))

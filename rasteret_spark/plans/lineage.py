@@ -39,22 +39,47 @@ from pyspark.sql import functions as F  # noqa: N812
 LOG_SCHEMA = "stage string, part_id int, rows_out bigint, wall_s double, completed_at string"
 
 
-def partition_row_counts(data_dir: str, part_ids) -> dict[int, int]:
-    """Exact per-partition output row counts from parquet FOOTERS only —
-    retry-safe (reflects what is durably on disk, however many task attempts
-    wrote it) and cheap (metadata reads, bounded by n_parts)."""
-    import pyarrow.parquet as pq
+def partition_row_counts(
+    data_dir: str, part_ids, spark: SparkSession | None = None
+) -> dict[int, int]:
+    """Exact per-partition output row counts, retry-safe (reflects what is
+    durably on disk, however many task attempts wrote it).
 
+    Fast path: local parquet FOOTER reads (metadata only, bounded by
+    n_parts).  When ``data_dir`` is not a driver-local directory (HDFS/S3A
+    under cluster-mode spark-submit) and ``spark`` is provided, falls back
+    to a distributed ``count()`` through the Hadoop-aware reader — slower
+    but correct anywhere, instead of silently logging 0 rows."""
     counts: dict[int, int] = {}
-    for pid in part_ids:
-        pdir = os.path.join(data_dir, f"part_id={pid}")
-        n = 0
-        if os.path.isdir(pdir):
-            for fn in os.listdir(pdir):
-                if fn.endswith(".parquet"):
-                    n += pq.ParquetFile(os.path.join(pdir, fn)).metadata.num_rows
-        counts[int(pid)] = n
-    return counts
+    if os.path.isdir(data_dir):
+        import pyarrow.parquet as pq
+
+        for pid in part_ids:
+            pdir = os.path.join(data_dir, f"part_id={pid}")
+            n = 0
+            if os.path.isdir(pdir):
+                for fn in os.listdir(pdir):
+                    if fn.endswith(".parquet"):
+                        n += pq.ParquetFile(os.path.join(pdir, fn)).metadata.num_rows
+            counts[int(pid)] = n
+        return counts
+    if spark is None:
+        raise ValueError(
+            f"{data_dir!r} is not a local directory; pass spark for the "
+            "distributed row-count fallback"
+        )
+    want = [int(p) for p in part_ids]
+    got = {
+        int(r["part_id"]): int(r["n"])
+        for r in (
+            spark.read.parquet(data_dir)
+            .filter(F.col("part_id").isin(want))
+            .groupBy("part_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }
+    return {pid: got.get(pid, 0) for pid in want}
 
 
 class _PartMetricsParam(AccumulatorParam):
@@ -147,7 +172,7 @@ def checkpointed_run(
         # rows_out comes from the written files' footers (retry-exact) —
         # the accumulator keeps only the best-effort wall timings
         metrics = dict(acc.value)
-        exact_rows = partition_row_counts(data_dir, todo_ids)
+        exact_rows = partition_row_counts(data_dir, todo_ids, spark=spark)
         now = time.strftime("%Y-%m-%dT%H:%M:%S")
         rows = []
         for pid in todo_ids:

@@ -6,9 +6,17 @@ LLM-pipeline side the same way ``streaming/events.py`` / ``images.py``
 extend events/rasters.  Dedup state is DURABLE AND DISK-BOUND, not
 in-memory Spark state: every micro-batch anti-joins against a parquet
 seen-hash store and appends its new hashes — so a restart resumes from the
-store, state never lives in executor memory, and the same pattern holds at
-10^12 documents (the anti-join is a hash equi-join on a bigint column;
-the store is partition-pruned parquet, compactable offline).
+store and state never lives in executor memory.
+
+Scale discipline for the store (the pattern that holds at 10^12 documents):
+hashes are written BUCKETED by ``pmod(content_hash, n_buckets)`` as a
+partition column, and each micro-batch filters the store read to the buckets
+its own hashes land in — the anti-join scans only matching buckets (a
+partition filter on the scan, plan-asserted in tests), not the whole store.
+``compact_seen_store`` rewrites the append-only layout into one distinct
+file per bucket offline.  Store probing goes through ``spark.read`` with an
+explicit schema (never a driver-local ``os.listdir``), so the same code runs
+against HDFS/S3A paths where local directory listings are meaningless.
 
 Winner semantics: FIRST ARRIVAL wins across batches (within one batch, the
 lowest doc_id — deterministic).  Batch ``dedup.exact_dedup`` keeps the
@@ -18,13 +26,20 @@ hashes, which both rules guarantee.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: N812
 from pyspark.sql import types as T  # noqa: N812
 
 from rasteret_spark.operators.text import lang_id, quality_score, token_count
+
+# hash-bucket count for the seen store.  MUST stay constant for the lifetime
+# of a given seen_dir (the bucket is derived from the hash value; changing k
+# re-homes hashes and breaks pruning).  64 buckets keep per-bucket files
+# coarse enough to stay scan-friendly yet bound each batch's store scan to
+# ~1/64 of the hashes per touched bucket after compaction.
+DEFAULT_SEEN_BUCKETS = 64
+
+SEEN_SCHEMA = "content_hash bigint, _bucket int"
 
 DOCUMENTS_SCHEMA = T.StructType(
     [
@@ -64,24 +79,26 @@ def streaming_exact_dedup(
     out_dir: str,
     seen_dir: str,
     checkpoint_dir: str,
+    n_buckets: int = DEFAULT_SEEN_BUCKETS,
 ):
     """Continuous exact dedup: first-arrival-wins across micro-batches.
 
     Returns the started StreamingQuery.  Each batch: enrich -> in-batch
-    dedup (lowest doc_id per hash) -> anti-join the durable seen store ->
-    write survivors + their hashes.  Restart-safe because the OUTPUT write
-    is idempotent: survivors land in a ``_batch=<id>`` partition via dynamic
-    partition overwrite, so when the checkpoint replays a crashed batch the
-    partition is overwritten, not appended — a crash between the output
-    write and the seen-store append cannot duplicate documents.  The seen
-    store itself is append-only (duplicate hash rows there are harmless for
-    an anti-join; compact offline).
+    dedup (lowest doc_id per hash) -> anti-join the durable seen store
+    (bucket-pruned) -> write survivors + their hashes.  Restart-safe because
+    the OUTPUT write is idempotent: survivors land in a ``_batch=<id>``
+    partition via dynamic partition overwrite, so when the checkpoint
+    replays a crashed batch the partition is overwritten, not appended — a
+    crash between the output write and the seen-store append cannot
+    duplicate documents.  The seen store itself is append-only (duplicate
+    hash rows there are harmless for an anti-join; ``compact_seen_store``
+    offline).  ``n_buckets`` must stay constant per seen_dir.
     """
     spark = docs.sparkSession
     enriched = with_text_analysis(docs)
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        process_batch(spark, batch, batch_id, out_dir, seen_dir)
+        process_batch(spark, batch, batch_id, out_dir, seen_dir, n_buckets=n_buckets)
 
     return (
         enriched.writeStream.foreachBatch(process)
@@ -91,8 +108,59 @@ def streaming_exact_dedup(
     )
 
 
+def read_seen_store(spark: SparkSession, seen_dir: str) -> DataFrame:
+    """The seen store as a DataFrame — empty (not an error) when the store
+    does not exist yet.  Portable: probes through ``spark.read`` with the
+    explicit store schema, so it behaves identically on local FS, HDFS and
+    object stores (no driver-side ``os.listdir``, which is wrong under
+    eventual consistency and meaningless for non-file URIs)."""
+    try:
+        # explicit schema: an existing-but-empty directory reads as 0 rows
+        # instead of failing schema inference
+        return spark.read.schema(SEEN_SCHEMA).parquet(seen_dir)
+    except Exception as e:  # path-not-found AnalysisException -> empty store
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], SEEN_SCHEMA)
+        raise
+
+
+def survivors_against_seen(
+    spark: SparkSession,
+    first: DataFrame,
+    seen_dir: str,
+    n_buckets: int = DEFAULT_SEEN_BUCKETS,
+) -> DataFrame:
+    """In-batch-deduped rows -> rows whose hash is NOT in the seen store,
+    with the store scan PRUNED to the buckets the batch actually touches.
+
+    The batch's distinct bucket ids (<= n_buckets ints) are collected and
+    pushed into the store read as an ``isin`` partition filter — the
+    anti-join reads only matching ``_bucket=`` directories, so per-batch
+    store I/O is bounded by batch spread, not store size.  Returns the
+    survivors WITH their ``_bucket`` column (callers append it to the
+    store)."""
+    first = first.withColumn(
+        "_bucket", F.pmod(F.col("content_hash"), F.lit(int(n_buckets))).cast("int")
+    )
+    buckets = [
+        int(r[0]) for r in first.select("_bucket").distinct().collect()
+    ]  # bounded by n_buckets — a driver pull by design
+    if not buckets:
+        return first
+    seen = read_seen_store(spark, seen_dir).filter(F.col("_bucket").isin(buckets))
+    # equi-join on (bucket, hash): same hash -> same bucket, so semantics
+    # equal a hash-only join, and the bucket key keeps the shuffle aligned
+    # with the store's physical layout
+    return first.join(seen, ["_bucket", "content_hash"], "left_anti")
+
+
 def process_batch(
-    spark: SparkSession, batch: DataFrame, batch_id: int, out_dir: str, seen_dir: str
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    seen_dir: str,
+    n_buckets: int = DEFAULT_SEEN_BUCKETS,
 ) -> None:
     """One micro-batch of the dedup sink (exposed for direct testing of the
     replay semantics).  Idempotent in batch_id: re-running the same batch
@@ -105,19 +173,51 @@ def process_batch(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    if os.path.isdir(seen_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(seen_dir)
-    ):
-        seen = spark.read.parquet(seen_dir)
-        first = first.join(seen, "content_hash", "left_anti")
+    first = survivors_against_seen(spark, first, seen_dir, n_buckets=n_buckets)
     first = first.withColumn("_batch", F.lit(int(batch_id))).persist()
     try:
         (
-            first.write.mode("overwrite")
+            first.drop("_bucket")
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_batch")
             .parquet(out_dir)
         )
-        first.select("content_hash").write.mode("append").parquet(seen_dir)
+        (
+            first.select("content_hash", "_bucket")
+            .write.mode("append")
+            .partitionBy("_bucket")
+            .parquet(seen_dir)
+        )
     finally:
         first.unpersist()
+
+
+def compact_seen_store(
+    spark: SparkSession, seen_dir: str, n_buckets: int = DEFAULT_SEEN_BUCKETS
+) -> int:
+    """Offline compaction: rewrite the append-only store as one distinct
+    hash set per bucket (run while the stream is stopped).  Dedups the
+    harmless-but-wasteful duplicate hash rows replays appended and coalesces
+    the per-batch small files.  Returns the distinct hash count.
+
+    Two-phase: write the compacted layout to a sibling ``<seen_dir>.compact``
+    path, then swap via the Hadoop FileSystem API (portable across local FS,
+    HDFS, S3A — no driver-local file ops).  The swap window is not atomic on
+    object stores; that is acceptable for an offline maintenance helper."""
+    compacted = spark.read.schema(SEEN_SCHEMA).parquet(seen_dir).distinct()
+    tmp_dir = seen_dir.rstrip("/") + ".compact"
+    (
+        compacted.repartition(int(n_buckets), "_bucket")
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(tmp_dir)
+    )
+    n = spark.read.schema(SEEN_SCHEMA).parquet(tmp_dir).count()
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    fs = path_cls(seen_dir).getFileSystem(jsc.hadoopConfiguration())
+    fs.delete(path_cls(seen_dir), True)
+    fs.rename(path_cls(tmp_dir), path_cls(seen_dir))
+    return int(n)

@@ -118,3 +118,25 @@ def test_orphaned_data_without_log_is_rerun(spark, workdir):
     # dynamic partition overwrite keeps it idempotent: still exactly 100 rows
     assert out2.count() == 100
     assert len(lineage.completed_parts(spark, workdir, "s1")) == 4
+
+
+def test_partition_row_counts_non_local_fallback(spark, workdir):
+    """rows_out stays exact when the checkpoint dir is not a driver-local
+    path: a file:// URI fails the os.path.isdir fast path but the
+    spark-side fallback counts through the Hadoop-aware reader."""
+    df = spark.range(0, 200).select(
+        F.col("id").alias("key"), (F.col("id") % 7).alias("value")
+    )
+    lineage.checkpointed_run(
+        spark, df, _transform, workdir, key_col="key", stage="s1", n_parts=4
+    )
+    data_dir = os.path.join(workdir, "data")
+    local = lineage.partition_row_counts(data_dir, range(4))
+    assert sum(local.values()) == 200
+    via_spark = lineage.partition_row_counts(
+        "file://" + data_dir, range(4), spark=spark
+    )
+    assert via_spark == local
+    # and without a session, the non-local path is a loud error, never 0s
+    with pytest.raises(ValueError, match="not a local directory"):
+        lineage.partition_row_counts("file://" + data_dir, range(4))

@@ -204,9 +204,12 @@ def test_chip_stack_cap_keeps_newest_in_time_order(mosaic_inputs, images_pdf):
     capped = rmo.chip_stack_pixels(
         mosaic_inputs, bands=(0,), max_images_per_chip=2
     ).toPandas()
+    assert not full["capped"].any(), "uncapped run must not flag truncation"
     dt_of = dict(zip(images_pdf["image_id"], images_pdf["datetime"]))
     for chip_id, g in capped.groupby("chip_id"):
         assert len(g) <= 2
+        n_cands = len(full[full["chip_id"] == chip_id])
+        assert g["capped"].eq(n_cands > 2).all(), "capped flag reflects truncation"
         cands = full[full["chip_id"] == chip_id]["image_id"].tolist()
         # newest-2 selection order: datetime desc, image_id asc (stable sort)
         ordered = sorted(sorted(cands), key=lambda i: dt_of[i], reverse=True)
@@ -224,6 +227,12 @@ def test_mosaic_max_images_cap_bounds_group_depth(mosaic_inputs, images_pdf):
         mosaic_inputs, bands=(0,), max_images_per_chip=1
     ).toPandas()
     assert (capped["n_images"] == 1).all()
+    # chips with >1 candidate must SAY they were truncated (no silent drop)
+    full_counts = rmo.first_valid_mosaic_pixels(
+        mosaic_inputs, bands=(0,), max_images_per_chip=None
+    ).toPandas().set_index("chip_id")["n_images"]
+    for _, row in capped.iterrows():
+        assert bool(row["capped"]) == (int(full_counts[row["chip_id"]]) > 1)
     for _, chip in _chips_pdf().iterrows():
         row = capped[capped["chip_id"] == chip["chip_id"]]
         if not len(row):

@@ -136,3 +136,77 @@ def test_process_batch_replay_is_idempotent(spark, tmp_path):
     # empty write touches no partitions, output unchanged
     sd.process_batch(spark, batch, 0, out, seen)
     assert sorted(spark.read.parquet(out).toPandas()["doc_id"]) == [1, 3]
+
+
+def _mini_batch(spark, rows):
+    return sd.with_text_analysis(
+        spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    {"doc_id": i, "text": t, "lang": "en", "source": "s",
+                     "n_chars": len(t)}
+                    for i, t in rows
+                ]
+            )
+        )
+    )
+
+
+def test_seen_store_is_bucketed_on_disk(spark, tmp_path):
+    """Hashes land under _bucket=<pmod(hash, k)> partition directories."""
+    import pathlib
+
+    out, seen = str(tmp_path / "out"), str(tmp_path / "seen")
+    batch = _mini_batch(spark, [(1, "alpha"), (2, "beta"), (3, "gamma")])
+    sd.process_batch(spark, batch, 0, out, seen, n_buckets=8)
+    dirs = {p.name for p in pathlib.Path(seen).iterdir() if p.is_dir()}
+    assert dirs and all(d.startswith("_bucket=") for d in dirs)
+    store = spark.read.schema(sd.SEEN_SCHEMA).parquet(seen).toPandas()
+    assert len(store) == 3
+    assert (store["_bucket"] == store["content_hash"] % 8).all()
+
+
+def test_anti_join_scan_prunes_to_batch_buckets(spark, tmp_path):
+    """The per-batch store scan reads ONLY matching buckets: the seen-store
+    scan in the survivors plan carries a _bucket partition filter."""
+    out, seen = str(tmp_path / "out"), str(tmp_path / "seen")
+    sd.process_batch(
+        spark, _mini_batch(spark, [(1, "alpha"), (2, "beta")]), 0, out, seen,
+        n_buckets=8,
+    )
+    first = _mini_batch(spark, [(9, "alpha"), (10, "zeta")])
+    surv = sd.survivors_against_seen(spark, first, seen, n_buckets=8)
+    plan = surv._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1][:300]
+    assert "_bucket" in seg and "IN" in seg.upper()
+    got = surv.toPandas()
+    assert sorted(got["doc_id"]) == [10], "seen hash dropped, new hash kept"
+
+
+def test_read_seen_store_missing_and_empty_paths(spark, tmp_path):
+    """Portable probe: a missing store reads as 0 rows (no os.listdir)."""
+    assert sd.read_seen_store(spark, str(tmp_path / "nope")).count() == 0
+
+
+def test_compact_seen_store_dedups_and_preserves_semantics(spark, tmp_path):
+    """Replay-appended duplicate hashes compact away; dedup behavior across
+    a compaction boundary is unchanged."""
+    out, seen = str(tmp_path / "out"), str(tmp_path / "seen")
+    batch = _mini_batch(spark, [(1, "alpha"), (2, "beta")])
+    sd.process_batch(spark, batch, 0, out, seen, n_buckets=8)
+    # simulate a replay that re-appended the same hashes (crash after the
+    # output write, before the checkpoint commit, seen-store append re-ran)
+    store = spark.read.schema(sd.SEEN_SCHEMA).parquet(seen)
+    store.write.mode("append").partitionBy("_bucket").parquet(seen)
+    assert spark.read.schema(sd.SEEN_SCHEMA).parquet(seen).count() == 4
+    n = sd.compact_seen_store(spark, seen, n_buckets=8)
+    assert n == 2
+    compacted = spark.read.schema(sd.SEEN_SCHEMA).parquet(seen).toPandas()
+    assert len(compacted) == 2
+    assert (compacted["_bucket"] == compacted["content_hash"] % 8).all()
+    # post-compaction: dedup still drops seen hashes, admits new ones
+    nxt = _mini_batch(spark, [(5, "alpha"), (6, "delta")])
+    sd.process_batch(spark, nxt, 1, out, seen, n_buckets=8)
+    got = spark.read.parquet(out).toPandas()
+    assert sorted(got["doc_id"]) == [1, 2, 6]
