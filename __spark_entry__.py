@@ -804,6 +804,35 @@ def q54_image_mosaic_average(spark, sf_dir):
     )
 
 
+def q60_image_mosaic_native_grid(spark, sf_dir):
+    """First-valid mosaic on a NATIVE-CRS target grid (EPSG:32633, 100 m
+    pixels): the reference's most-common-CRS mosaic path
+    (`src/rasteret/core/execution.py:396-456`) — mixed-CRS sources (4326 +
+    two UTM zones) composite onto a projected grid without a lon/lat hop in
+    the output.  Grid math, candidate join and kernel pinned bit-exact vs a
+    full-decode oracle in tests/test_native_grid.py."""
+    from rasteret_spark import crs
+    from rasteret_spark.operators import chips, raster_mosaic as rmo
+
+    images = _images_df(spark)
+    img_light = images.select(
+        "image_id",
+        F.col("xmin").alias("img_xmin"), F.col("ymin").alias("img_ymin"),
+        F.col("xmax").alias("img_xmax"), F.col("ymax").alias("img_ymax"),
+    )
+    gbox = crs.bbox_from_lonlat(32633, *HOTSPOT_BBOX)
+    grid = chips.chip_requests(spark, gbox, 32, 100.0, stride=32, grid_epsg=32633)
+    pairs = rmo.chip_candidates(
+        grid, img_light, images.select("image_id", "datetime", "bytes"), res=7,
+        max_images_per_chip=rmo.DEFAULT_MAX_IMAGES_PER_CHIP,
+    )
+    out = rmo.first_valid_mosaic_pixels(pairs, bands=(0,), max_images_per_chip=None)
+    return out.select(
+        "chip_id", "band", "grid_epsg", "n_images", "n_contributing", "filled",
+        F.round(F.col("v_sum"), 3).alias("v_sum_r3"), "capped", "status",
+    )
+
+
 def q59_bpe_token_stats(spark, sf_dir):
     """BPE-ish regex tokenization (word/number/punct pieces) aggregated per
     source — the second tokenizer surface next to q17's whitespace counts."""
@@ -921,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_ivf_ann": q52_ivf_ann,
         "q53_chip_serve": q53_chip_serve,
         "q54_image_mosaic_average": q54_image_mosaic_average,
+        "q60_image_mosaic_native_grid": q60_image_mosaic_native_grid,
     }
 
 

@@ -182,17 +182,46 @@ class Collection:
             max_ring=max_ring, bands=bands, neighborhood=neighborhood,
         )
 
+    def _resolve_grid(self, bbox, xres, grid_epsg):
+        """(lon/lat query bbox, lon/lat-or-None xres, grid_epsg spec) ->
+        (grid bbox, grid xres, epsg int).  ``grid_epsg``: None -> lon/lat
+        grid (historic behavior); ``"auto"`` -> the most-common native CRS
+        of the records (the reference's auto-detection,
+        `src/rasteret/core/execution.py:396-456`); an int -> that CRS.  For
+        projected grids the query bbox maps through the densified boundary
+        and ``xres`` is interpreted in grid units (meters for UTM)."""
+        from rasteret_spark import crs as _crs
+        from rasteret_spark.operators import raster_mosaic as rmo
+
+        if grid_epsg is None:
+            return bbox, xres, 4326
+        epsg = (
+            rmo.most_common_epsg(self.records)
+            if isinstance(grid_epsg, str) and grid_epsg == "auto"
+            else int(grid_epsg)
+        )
+        if epsg == 4326:
+            return bbox, xres, 4326
+        gx0, gy0, gx1, gy1 = _crs.bbox_from_lonlat(epsg, *bbox)
+        return (gx0, gy0, gx1, gy1), xres, epsg
+
     def mosaic(
         self, bbox, size: int, xres: float, bands=(0,), method: str = "nearest",
         date_range: tuple | None = None, max_images_per_chip: int | None = None,
+        grid_epsg: int | str | None = None,
     ) -> DataFrame:
         """First-valid pixel mosaic on a query-derived chip grid — the
         ``get_xarray`` analogue (collect + ``operators.assemble`` upgrades
-        rows to georeferenced tensors / xarray)."""
+        rows to georeferenced tensors / xarray).
+
+        ``bbox`` is always lon/lat; ``grid_epsg`` picks the grid CRS
+        (None = lon/lat, "auto" = most-common native CRS of the records,
+        int = that CRS).  For projected grids ``xres`` is in grid units."""
         from rasteret_spark.operators import chips, raster_mosaic as rmo
 
         sub = self.subset(bbox=bbox, date_range=date_range)
-        grid = chips.chip_requests(self.spark, bbox, size, xres)
+        gbox, gxres, epsg = self._resolve_grid(bbox, xres, grid_epsg)
+        grid = chips.chip_requests(self.spark, gbox, size, gxres, grid_epsg=epsg)
         # depth cap applied in chip_candidates, on light columns pre-payload
         cap = (
             rmo.DEFAULT_MAX_IMAGES_PER_CHIP
@@ -212,14 +241,18 @@ class Collection:
         self, bbox, size: int, xres: float, stride: int | None = None,
         random_n: int | None = None, seed: int = 0, bands=(0,),
         t_start=None, t_end=None, t_step: int = 1, method: str = "nearest",
+        grid_epsg: int | str | None = None,
     ) -> DataFrame:
         """[T, C, H, W] chip stacks for a grid or random sampler over the
         query bbox — the ``to_torchgeo_dataset`` analogue.  Pair with
-        ``operators.assemble.chip_batches`` for DataLoader-style batches."""
+        ``operators.assemble.chip_batches`` for DataLoader-style batches.
+        ``grid_epsg`` as in :meth:`mosaic` (None / "auto" / int)."""
         from rasteret_spark.operators import chips as chp
 
+        gbox, gxres, epsg = self._resolve_grid(bbox, xres, grid_epsg)
         reqs = chp.chip_requests(
-            self.spark, bbox, size, xres, stride=stride, random_n=random_n, seed=seed
+            self.spark, gbox, size, gxres, stride=stride, random_n=random_n,
+            seed=seed, grid_epsg=epsg,
         )
         return chp.chip_serve(
             reqs, _light(self.records),

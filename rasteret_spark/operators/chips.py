@@ -44,8 +44,9 @@ def chip_requests(
     random_n: int | None = None,
     seed: int = 0,
     prefix: str = "chip",
+    grid_epsg: int = 4326,
 ) -> DataFrame:
-    """Chip grid over a query bbox -> CHIP_COLS rows (lon/lat grid).
+    """Chip grid over a query bbox -> CHIP_COLS rows.
 
     Grid mode (``random_n=None``): sliding windows of ``size`` x ``size``
     pixels every ``stride`` pixels (default ``size`` — non-overlapping),
@@ -56,7 +57,13 @@ def chip_requests(
     Random mode (``random_n=N``): N chips with offsets uniform over the
     bbox minus the chip extent (RandomGeoSampler), drawn deterministically
     per index from ``seed`` — same seed, same chips, on any cluster layout.
-    """
+
+    ``grid_epsg`` selects the grid CRS: ``bbox``/``xres``/``yres`` are then
+    in THAT CRS's units (e.g. meters for UTM) and the rows carry a
+    ``grid_epsg`` column the downstream kernels consume — the reference's
+    native-CRS mosaic path (`src/rasteret/core/execution.py:396-456`).  The
+    default lon/lat grid emits no extra column (identical to the historic
+    schema)."""
     yres = xres if yres is None else yres
     xmin, ymin, xmax, ymax = (float(v) for v in bbox)
     if xmax <= xmin or ymax <= ymin:
@@ -89,7 +96,7 @@ def chip_requests(
         # last position clamps flush with the far edge (GridGeoSampler rule)
         x0 = F.least(F.lit(xmin) + i * F.lit(sx), F.lit(max(xmax - cw, xmin)))
         y1 = F.greatest(F.lit(ymax) - j * F.lit(sy), F.lit(min(ymin + ch, ymax)))
-    return df.select(
+    cols = [
         F.format_string(f"{prefix}-%08d", F.col("id")).alias("chip_id"),
         x0.cast("double").alias("chip_xmin"),
         y1.cast("double").alias("chip_ymax"),
@@ -97,7 +104,10 @@ def chip_requests(
         F.lit(float(yres)).alias("chip_yres"),
         F.lit(int(size)).alias("chip_w"),
         F.lit(int(size)).alias("chip_h"),
-    )
+    ]
+    if int(grid_epsg) != 4326:
+        cols.append(F.lit(int(grid_epsg)).alias("grid_epsg"))
+    return df.select(*cols)
 
 
 def slice_time_steps(
@@ -151,8 +161,9 @@ def chip_serve(
     from rasteret_spark.operators import raster_mosaic as rmo
     from rasteret_spark.operators.spatial_join import bbox_join
 
+    extra = ["grid_epsg"] if "grid_epsg" in chips.columns else []
     cands = bbox_join(images_light, rmo.chips_as_aois(chips), res=res).select(
-        *CHIP_COLS, "image_id", "datetime"
+        *CHIP_COLS, *extra, "image_id", "datetime"
     )
     cands = slice_time_steps(cands, t_start, t_end, t_step)
     if max_images_per_chip is not None:

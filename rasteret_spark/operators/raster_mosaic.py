@@ -26,9 +26,15 @@ Plan shape (scale discipline):
      result is independent of upstream row order (mosaic order-invariance,
      SURVEY.md §7 "hard parts").
 
-The target grid is axis-aligned lon/lat (EPSG:4326): ``chip_id, xmin, ymax,
+The target grid is axis-aligned in the GRID CRS — ``chip_id, xmin, ymax,
 xres, yres, width, height`` with x = xmin + (col+0.5)*xres,
-y = ymax - (row+0.5)*yres.
+y = ymax - (row+0.5)*yres, all in grid-CRS units.  The grid CRS defaults to
+lon/lat (EPSG:4326); a ``grid_epsg`` column on the chip rows selects any
+registered CRS (the reference's native-CRS mosaic path: it auto-detects the
+most-common CRS and composites in it, `src/rasteret/core/execution.py:
+396-456` + `core/raster_accessor.py:1048-1099` — here ``most_common_epsg``
+feeds ``Collection.mosaic(grid_epsg="auto")``), so single-zone UTM archives
+mosaic in their own meters instead of resampling through lon/lat.
 """
 
 from __future__ import annotations
@@ -74,6 +80,17 @@ CHIP_STACK_SCHEMA = (
 DEFAULT_MAX_IMAGES_PER_CHIP = 32
 
 
+def _target_centers_in_source(
+    meta, grid_epsg: int, xmin, ymax, xres, yres, width, height
+):
+    """Target pixel centers (grid-CRS coords) -> source-CRS coords, flattened
+    row-major.  grid_epsg=4326 reproduces the original lon/lat grid path."""
+    gxs = xmin + (np.arange(width) + 0.5) * xres
+    gys = ymax - (np.arange(height) + 0.5) * yres
+    gx, gy = np.meshgrid(gxs, gys)
+    return crs.transform_points(grid_epsg, meta.epsg, gx.ravel(), gy.ravel())
+
+
 def reproject_nearest(
     reader: mr.CachedReader,
     band: int,
@@ -83,16 +100,17 @@ def reproject_nearest(
     yres: float,
     width: int,
     height: int,
+    grid_epsg: int = 4326,
 ) -> np.ndarray:
-    """Nearest-neighbour resample of one image band onto the target lon/lat
-    grid.  Returns float64 (height, width); NaN where the target pixel falls
-    outside the image or on nodata.  One windowed read covers exactly the
-    touched source region (tile-pruned by the reader)."""
+    """Nearest-neighbour resample of one image band onto the target grid
+    (grid-CRS coords; default lon/lat).  Returns float64 (height, width);
+    NaN where the target pixel falls outside the image or on nodata.  One
+    windowed read covers exactly the touched source region (tile-pruned by
+    the reader)."""
     meta = reader.meta
-    lons = xmin + (np.arange(width) + 0.5) * xres
-    lats = ymax - (np.arange(height) + 0.5) * yres
-    gx, gy = np.meshgrid(lons, lats)
-    xs, ys = crs.from_lonlat(meta.epsg, gx.ravel(), gy.ravel())
+    xs, ys = _target_centers_in_source(
+        meta, grid_epsg, xmin, ymax, xres, yres, width, height
+    )
     a, _, c, _, e, f = meta.transform
     cols = np.floor((xs - c) / a).astype(np.int64)
     rows = np.floor((ys - f) / e).astype(np.int64)
@@ -123,6 +141,7 @@ def reproject_bilinear(
     yres: float,
     width: int,
     height: int,
+    grid_epsg: int = 4326,
 ) -> np.ndarray:
     """Bilinear resample onto the target grid (the reference's
     rasterio.warp non-nearest path, `src/rasteret/core/utils.py:215-344`).
@@ -133,10 +152,9 @@ def reproject_bilinear(
     output pixel (NaN) — no partial-weight renormalization, so results are
     deterministic and maskable."""
     meta = reader.meta
-    lons = xmin + (np.arange(width) + 0.5) * xres
-    lats = ymax - (np.arange(height) + 0.5) * yres
-    gx_, gy_ = np.meshgrid(lons, lats)
-    xs, ys = crs.from_lonlat(meta.epsg, gx_.ravel(), gy_.ravel())
+    xs, ys = _target_centers_in_source(
+        meta, grid_epsg, xmin, ymax, xres, yres, width, height
+    )
     a, _, c, _, e, f = meta.transform
     fc = (xs - c) / a
     fr = (ys - f) / e
@@ -196,6 +214,7 @@ def reproject_cubic(
     yres: float,
     width: int,
     height: int,
+    grid_epsg: int = 4326,
 ) -> np.ndarray:
     """Bicubic (Keys, a=-0.5) resample onto the target grid — the reference's
     rasterio ``Resampling.cubic`` surface (`src/rasteret/core/utils.py:215-344`).
@@ -203,10 +222,9 @@ def reproject_cubic(
     4x4 edge-clamped neighborhood per target pixel; strict nodata semantics:
     any invalid tap poisons the output pixel (NaN), same rule as bilinear."""
     meta = reader.meta
-    lons = xmin + (np.arange(width) + 0.5) * xres
-    lats = ymax - (np.arange(height) + 0.5) * yres
-    gx_, gy_ = np.meshgrid(lons, lats)
-    xs, ys = crs.from_lonlat(meta.epsg, gx_.ravel(), gy_.ravel())
+    xs, ys = _target_centers_in_source(
+        meta, grid_epsg, xmin, ymax, xres, yres, width, height
+    )
     a, _, c, _, e, f = meta.transform
     fc = (xs - c) / a
     fr = (ys - f) / e
@@ -240,6 +258,18 @@ def reproject_cubic(
     return out.reshape(height, width)
 
 
+def _bbox_to_source(
+    src_epsg: int, grid_epsg: int, xmin: float, ymin: float, xmax: float, ymax: float
+) -> tuple[float, float, float, float]:
+    """Grid-CRS bbox -> source-CRS bounding box.  The 4326 path keeps the
+    original corner-exact/densified ``bbox_from_lonlat`` (bit-identical to
+    the pre-grid_epsg behavior); other grids go through the densified
+    ``transform_bbox`` ring."""
+    if grid_epsg == 4326:
+        return crs.bbox_from_lonlat(src_epsg, xmin, ymin, xmax, ymax)
+    return crs.transform_bbox(grid_epsg, src_epsg, (xmin, ymin, xmax, ymax))
+
+
 def reproject_average(
     reader: mr.CachedReader,
     band: int,
@@ -249,6 +279,7 @@ def reproject_average(
     yres: float,
     width: int,
     height: int,
+    grid_epsg: int = 4326,
 ) -> np.ndarray:
     """Average resample onto the target grid — the reference's rasterio
     ``Resampling.average`` surface (`src/rasteret/core/utils.py:215-344`).
@@ -262,9 +293,10 @@ def reproject_average(
     meta = reader.meta
     a, _, c, _, e, f = meta.transform
     # source window touched by the target extent (corner-mapped for separable
-    # CRS, densified-boundary for Transverse Mercator where edges curve)
-    sx0, sy0, sx1, sy1 = crs.bbox_from_lonlat(
-        meta.epsg, xmin, ymax - height * yres, xmin + width * xres, ymax
+    # CRS pairs, densified-boundary where edges curve)
+    sx0, sy0, sx1, sy1 = _bbox_to_source(
+        meta.epsg, grid_epsg,
+        xmin, ymax - height * yres, xmin + width * xres, ymax,
     )
     fcs = (np.array([sx0, sx1]) - c) / a
     frs = (np.array([sy0, sy1]) - f) / e
@@ -282,20 +314,21 @@ def reproject_average(
             np.nan,
             win,
         )
-    # source pixel centers -> target cell indices
+    # source pixel centers -> target cell indices (in grid-CRS coords)
     src_x = a * (c0 + np.arange(c1 - c0) + 0.5) + c
     src_y = e * (r0 + np.arange(r1 - r0) + 0.5) + f
-    if crs.is_separable(meta.epsg):
-        lon, _ = crs.to_lonlat(meta.epsg, src_x, np.zeros_like(src_x))
-        _, lat = crs.to_lonlat(meta.epsg, np.zeros_like(src_y), src_y)
-        tcol = np.floor((lon - xmin) / xres).astype(np.int64)
-        trow = np.floor((ymax - lat) / yres).astype(np.int64)
+    if crs.is_separable(meta.epsg) and crs.is_separable(grid_epsg):
+        # separable COMPOSITION through the lon/lat hub: x depends only on x
+        gx, _ = crs.transform_points(meta.epsg, grid_epsg, src_x, np.zeros_like(src_x))
+        _, gy = crs.transform_points(meta.epsg, grid_epsg, np.zeros_like(src_y), src_y)
+        tcol = np.floor((gx - xmin) / xres).astype(np.int64)
+        trow = np.floor((ymax - gy) / yres).astype(np.int64)
         gc, gr = np.meshgrid(tcol, trow)
     else:
         gsx, gsy = np.meshgrid(src_x, src_y)
-        glon, glat = crs.to_lonlat(meta.epsg, gsx.ravel(), gsy.ravel())
-        gc = np.floor((glon - xmin) / xres).astype(np.int64).reshape(gsx.shape)
-        gr = np.floor((ymax - glat) / yres).astype(np.int64).reshape(gsx.shape)
+        tx, ty = crs.transform_points(meta.epsg, grid_epsg, gsx.ravel(), gsy.ravel())
+        gc = np.floor((tx - xmin) / xres).astype(np.int64).reshape(gsx.shape)
+        gr = np.floor((ymax - ty) / yres).astype(np.int64).reshape(gsx.shape)
     keep = (gc >= 0) & (gc < width) & (gr >= 0) & (gr < height) & ~np.isnan(win)
     if keep.any():
         flat = (gr[keep] * width + gc[keep]).astype(np.int64)
@@ -308,7 +341,9 @@ def reproject_average(
     # cells without a contributing source center: nearest fallback
     empty = np.isnan(out)
     if empty.any():
-        near = reproject_nearest(reader, band, xmin, ymax, xres, yres, width, height)
+        near = reproject_nearest(
+            reader, band, xmin, ymax, xres, yres, width, height, grid_epsg=grid_epsg
+        )
         out[empty] = near.ravel()[empty]
     return out.reshape(height, width)
 
@@ -322,12 +357,16 @@ RESAMPLERS = {
 
 
 def reproject_to_grid(
-    reader: mr.CachedReader, band: int, *grid, method: str = "nearest"
+    reader: mr.CachedReader,
+    band: int,
+    *grid,
+    method: str = "nearest",
+    grid_epsg: int = 4326,
 ) -> np.ndarray:
     fn = RESAMPLERS.get(method)
     if fn is None:
         raise ValueError(f"unknown resample method {method!r} (have {sorted(RESAMPLERS)})")
-    return fn(reader, band, *grid)
+    return fn(reader, band, *grid, grid_epsg=grid_epsg)
 
 
 def _sorted_group(pdf: pd.DataFrame, newest_first: bool) -> pd.DataFrame:
@@ -363,7 +402,13 @@ def _depth_cap(
     return pairs.filter(F.col("_rn") <= max_images_per_chip).drop("_rn")
 
 
-def _grid_cols(r0: pd.Series) -> dict:
+def _grid_epsg_of(pdf: pd.DataFrame, r0: pd.Series) -> int:
+    """Grid CRS of a chip group: the optional ``grid_epsg`` column (absent ->
+    lon/lat).  Constant per chip by construction (one grid per request)."""
+    return int(r0["grid_epsg"]) if "grid_epsg" in pdf.columns else 4326
+
+
+def _grid_cols(r0: pd.Series, grid_epsg: int) -> dict:
     return {
         "chip_xmin": float(r0["chip_xmin"]),
         "chip_ymax": float(r0["chip_ymax"]),
@@ -371,7 +416,7 @@ def _grid_cols(r0: pd.Series) -> dict:
         "chip_yres": float(r0["chip_yres"]),
         "chip_w": int(r0["chip_w"]),
         "chip_h": int(r0["chip_h"]),
-        "grid_epsg": 4326,
+        "grid_epsg": int(grid_epsg),
     }
 
 
@@ -414,7 +459,8 @@ def first_valid_mosaic_pixels(
         w, h = int(r0["chip_w"]), int(r0["chip_h"])
         grid = (float(r0["chip_xmin"]), float(r0["chip_ymax"]),
                 float(r0["chip_xres"]), float(r0["chip_yres"]), w, h)
-        gcols = _grid_cols(r0)
+        gepsg = _grid_epsg_of(pdf, r0)
+        gcols = _grid_cols(r0, gepsg)
         out = []
         for band in want_bands:
             canvas = np.full((h, w), np.nan)
@@ -426,7 +472,9 @@ def first_valid_mosaic_pixels(
                     reader = mr.CachedReader(bytes(row["bytes"]))
                     if band >= reader.meta.n_bands:
                         continue
-                    rep = reproject_to_grid(reader, band, *grid, method=method)
+                    rep = reproject_to_grid(
+                        reader, band, *grid, method=method, grid_epsg=gepsg
+                    )
                 except Exception as e:  # quarantine the image, keep the chip
                     n_failed += 1
                     if first_err is None:
@@ -491,7 +539,8 @@ def chip_stack_pixels(
         w, h = int(r0["chip_w"]), int(r0["chip_h"])
         grid = (float(r0["chip_xmin"]), float(r0["chip_ymax"]),
                 float(r0["chip_xres"]), float(r0["chip_yres"]), w, h)
-        gcols = _grid_cols(r0)
+        gepsg = _grid_epsg_of(pdf, r0)
+        gcols = _grid_cols(r0, gepsg)
         out = []
         for t, (_, row) in enumerate(pdf.iterrows()):
             base = {
@@ -507,7 +556,9 @@ def chip_stack_pixels(
                 for band in want_bands:
                     if band >= reader.meta.n_bands:
                         continue
-                    rep = reproject_to_grid(reader, band, *grid, method=method)
+                    rep = reproject_to_grid(
+                        reader, band, *grid, method=method, grid_epsg=gepsg
+                    )
                     out.append(
                         {
                             **base,
@@ -552,10 +603,17 @@ def most_common_epsg(images: DataFrame, epsg_col: str = "epsg") -> int:
 
 
 def chips_as_aois(chips: DataFrame) -> DataFrame:
-    """CHIP_COLS -> the aoi_* bbox columns the cell-cover join consumes.
-    SINGLE definition of the chip-extent convention (pixel-edge aligned) —
-    shared by the mosaic and chip-serving paths so they cannot diverge."""
-    return chips.withColumn(
+    """CHIP_COLS -> the aoi_* bbox columns (LON/LAT) the cell-cover join
+    consumes.  SINGLE definition of the chip-extent convention (pixel-edge
+    aligned) — shared by the mosaic and chip-serving paths so they cannot
+    diverge.
+
+    Lon/lat grids (no ``grid_epsg`` column) stay pure native expressions.
+    Projected grids go through a vectorized ``mapInPandas`` stage that maps
+    each chip's DENSIFIED boundary to lon/lat and takes bounds (curvature-
+    safe for Transverse Mercator) — still fully distributed, numpy across
+    all chips of a batch at once."""
+    chips = chips.withColumn(
         "aoi_xmin", F.col("chip_xmin")
     ).withColumn(
         "aoi_xmax", F.col("chip_xmin") + F.col("chip_w") * F.col("chip_xres")
@@ -564,6 +622,42 @@ def chips_as_aois(chips: DataFrame) -> DataFrame:
     ).withColumn(
         "aoi_ymin", F.col("chip_ymax") - F.col("chip_h") * F.col("chip_yres")
     )
+    if "grid_epsg" not in chips.columns:
+        return chips
+
+    schema = chips.schema  # same columns; aoi_* rewritten to lon/lat
+
+    def to_lonlat_bounds(batches):
+        t = np.linspace(0.0, 1.0, 8)
+        for pdf in batches:
+            for epsg in pdf["grid_epsg"].unique():
+                m = pdf["grid_epsg"] == epsg
+                if int(epsg) == 4326:
+                    continue  # extent already lon/lat
+                x0 = pdf.loc[m, "aoi_xmin"].to_numpy()[:, None]
+                x1 = pdf.loc[m, "aoi_xmax"].to_numpy()[:, None]
+                y0 = pdf.loc[m, "aoi_ymin"].to_numpy()[:, None]
+                y1 = pdf.loc[m, "aoi_ymax"].to_numpy()[:, None]
+                xs = np.concatenate(
+                    [x0 + (x1 - x0) * t, np.broadcast_to(x1, (len(x1), len(t))),
+                     x1 + (x0 - x1) * t, np.broadcast_to(x0, (len(x0), len(t)))],
+                    axis=1,
+                )
+                ys = np.concatenate(
+                    [np.broadcast_to(y0, (len(y0), len(t))), y0 + (y1 - y0) * t,
+                     np.broadcast_to(y1, (len(y1), len(t))), y1 + (y0 - y1) * t],
+                    axis=1,
+                )
+                lon, lat = crs.to_lonlat(int(epsg), xs.ravel(), ys.ravel())
+                lon = lon.reshape(xs.shape)
+                lat = lat.reshape(ys.shape)
+                pdf.loc[m, "aoi_xmin"] = lon.min(axis=1)
+                pdf.loc[m, "aoi_xmax"] = lon.max(axis=1)
+                pdf.loc[m, "aoi_ymin"] = lat.min(axis=1)
+                pdf.loc[m, "aoi_ymax"] = lat.max(axis=1)
+            yield pdf
+
+    return chips.mapInPandas(to_lonlat_bounds, schema=schema)
 
 
 def chip_candidates(
@@ -588,8 +682,9 @@ def chip_candidates(
     windows the rows once more for nothing)."""
     from rasteret_spark.operators.spatial_join import bbox_join
 
+    extra = ["grid_epsg"] if "grid_epsg" in chips.columns else []
     cands = bbox_join(images_light, chips_as_aois(chips), res=res).select(
-        *CHIP_COLS, "image_id"
+        *CHIP_COLS, *extra, "image_id"
     )
     if max_images_per_chip is not None:
         light_dt = images_payload.select("image_id", "datetime")
