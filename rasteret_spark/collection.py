@@ -129,6 +129,14 @@ class Collection:
             if r[0] is not None
         )
 
+    def __repr__(self) -> str:
+        # LAZY on purpose: a repr that triggers Spark jobs turns every
+        # notebook echo into a cluster scan.  `describe()` is the eager
+        # summary (the reference's rich display, `core/display.py`).
+        cols = ", ".join(self.records.columns[:8])
+        more = "" if len(self.records.columns) <= 8 else ", ..."
+        return f"Collection(lazy; columns=[{cols}{more}])"
+
     def describe(self) -> dict:
         n = self.count()
         return {
@@ -149,11 +157,31 @@ class Collection:
 
     # --- raster access (the get_gdf / get_xarray / sample_points analogues) ----
     def zonal(
-        self, aois: DataFrame, bands=(0,), res: int = 7
+        self, aois: DataFrame, bands=(0,), res: int = 7,
+        resume_dir: str | None = None,
     ) -> DataFrame:
         """Zonal statistics per (image, AOI, band) — the ``get_gdf`` analogue.
-        ``aois`` needs aoi_id, aoi_geometry (WKB), aoi_xmin/_ymin/_xmax/_ymax."""
+        ``aois`` needs aoi_id, aoi_geometry (WKB), aoi_xmin/_ymin/_xmax/_ymax.
+
+        ``resume_dir`` switches to the CHECKPOINTED path: per-partition
+        lineage is committed under that directory and a killed job resumes
+        at partition granularity (``plans.pipelines.resumable_zonal``) — the
+        flagship API surface of the engine's resume protocol.  The resumable
+        path is band-0 (the pipeline's contract); pass ``bands`` only on the
+        direct path."""
         from rasteret_spark.operators import decode, spatial_join as sj
+
+        if resume_dir is not None:
+            from rasteret_spark.plans.pipelines import resumable_zonal
+
+            if tuple(bands) != (0,):
+                raise ValueError("resume_dir path computes band 0 (pipeline contract)")
+            images = self.records.select(
+                "image_id", "bytes", "caption",
+                F.col("xmin").alias("img_xmin"), F.col("ymin").alias("img_ymin"),
+                F.col("xmax").alias("img_xmax"), F.col("ymax").alias("img_ymax"),
+            )
+            return resumable_zonal(self.spark, images, aois, resume_dir, res=res)
 
         cands = sj.bbox_join(_light(self.records), aois, res=res)
         pairs = (

@@ -207,6 +207,108 @@ def from_lonlat(epsg: int, lon, lat):
     raise ValueError(f"unregistered CRS {epsg}")
 
 
+# --- WKT2 spelling (CF/spatial_ref parity) -------------------------------------
+_WKT_REGISTRY: dict[int, str] = {}
+
+
+def register_crs_wkt(epsg: int, wkt: str) -> None:
+    """Attach a WKT2 string to a (typically ``register_crs``-injected) code so
+    assembled outputs can CF-spell it."""
+    _WKT_REGISTRY[int(epsg)] = wkt
+
+
+_WGS84_DATUM_WKT = (
+    'DATUM["World Geodetic System 1984",'
+    'ELLIPSOID["WGS 84",6378137,298.257223563,LENGTHUNIT["metre",1]]],'
+    'PRIMEM["Greenwich",0,ANGLEUNIT["degree",0.0174532925199433]]'
+)
+
+_CARTESIAN_CS_WKT = (
+    "CS[Cartesian,2],"
+    'AXIS["easting (E)",east,ORDER[1],LENGTHUNIT["metre",1]],'
+    'AXIS["northing (N)",north,ORDER[2],LENGTHUNIT["metre",1]]'
+)
+
+
+def crs_wkt(epsg: int) -> str:
+    """WKT2 (ISO 19162) text for a CRS code — the engine's analogue of the
+    reference's ``spatial_ref`` attrs (rasterio CRS WKT riding on assembled
+    xarray output, `src/rasteret/core/raster_accessor.py:1328-1477`).
+
+    Hand-written for the builtin families: 4326, 3857, real UTM south
+    (327xx).  The synthetic linear zones (326xx) are spelled as what they
+    ARE — an equidistant-cylindrical-style linear map declared in a REMARK —
+    not as real Transverse Mercator, so a consumer is never misled about the
+    math.  ``register_crs_wkt`` covers injected codes."""
+    epsg = int(epsg)
+    if epsg in _WKT_REGISTRY:
+        return _WKT_REGISTRY[epsg]
+    if epsg == 4326:
+        return (
+            'GEOGCRS["WGS 84",' + _WGS84_DATUM_WKT + ","
+            "CS[ellipsoidal,2],"
+            'AXIS["geodetic latitude (Lat)",north,ORDER[1],'
+            'ANGLEUNIT["degree",0.0174532925199433]],'
+            'AXIS["geodetic longitude (Lon)",east,ORDER[2],'
+            'ANGLEUNIT["degree",0.0174532925199433]],'
+            'ID["EPSG",4326]]'
+        )
+    if epsg == 3857:
+        return (
+            'PROJCRS["WGS 84 / Pseudo-Mercator",'
+            'BASEGEOGCRS["WGS 84",' + _WGS84_DATUM_WKT + "],"
+            'CONVERSION["Popular Visualisation Pseudo-Mercator",'
+            'METHOD["Popular Visualisation Pseudo Mercator",ID["EPSG",1024]],'
+            'PARAMETER["Latitude of natural origin",0,'
+            'ANGLEUNIT["degree",0.0174532925199433]],'
+            'PARAMETER["Longitude of natural origin",0,'
+            'ANGLEUNIT["degree",0.0174532925199433]],'
+            'PARAMETER["False easting",0,LENGTHUNIT["metre",1]],'
+            'PARAMETER["False northing",0,LENGTHUNIT["metre",1]]],'
+            + _CARTESIAN_CS_WKT + ','
+            'ID["EPSG",3857]]'
+        )
+    if 32701 <= epsg <= 32760:  # real WGS84 UTM south (Krueger-series impl)
+        zone = epsg - 32700
+        lon0 = zone * 6 - 183
+        return (
+            f'PROJCRS["WGS 84 / UTM zone {zone}S",'
+            'BASEGEOGCRS["WGS 84",' + _WGS84_DATUM_WKT + "],"
+            f'CONVERSION["UTM zone {zone}S",'
+            'METHOD["Transverse Mercator",ID["EPSG",9807]],'
+            'PARAMETER["Latitude of natural origin",0,'
+            'ANGLEUNIT["degree",0.0174532925199433]],'
+            f'PARAMETER["Longitude of natural origin",{lon0},'
+            'ANGLEUNIT["degree",0.0174532925199433]],'
+            'PARAMETER["Scale factor at natural origin",0.9996,'
+            'SCALEUNIT["unity",1]],'
+            'PARAMETER["False easting",500000,LENGTHUNIT["metre",1]],'
+            'PARAMETER["False northing",10000000,LENGTHUNIT["metre",1]]],'
+            + _CARTESIAN_CS_WKT + ','
+            f'ID["EPSG",{epsg}]]'
+        )
+    if 32601 <= epsg <= 32660:  # engine-declared SYNTHETIC linear zones
+        zone = epsg - 32600
+        lon0 = zone * 6 - 183
+        return (
+            f'PROJCRS["rasteret-spark linear zone {zone}N '
+            f'(synthetic analogue of EPSG:{epsg})",'
+            'BASEGEOGCRS["WGS 84",' + _WGS84_DATUM_WKT + "],"
+            f'CONVERSION["Linear equirectangular zone {zone}",'
+            'METHOD["Equidistant Cylindrical",ID["EPSG",1028]],'
+            f'PARAMETER["Longitude of natural origin",{lon0},'
+            'ANGLEUNIT["degree",0.0174532925199433]],'
+            'PARAMETER["False easting",0,LENGTHUNIT["metre",1]],'
+            'PARAMETER["False northing",0,LENGTHUNIT["metre",1]]],'
+            + _CARTESIAN_CS_WKT + ','
+            'REMARK["engine-declared synthetic zone: x=(lon-lon0)*111320 m, '
+            'y=lat*110540 m (exact linear math for oracle reproducibility, '
+            "not real Transverse Mercator)\"],"
+            f'ID["EPSG",{epsg}]]'
+        )
+    raise ValueError(f"no WKT2 spelling for CRS {epsg}; register_crs_wkt it")
+
+
 def transform_points(src_epsg: int, dst_epsg: int, x, y):
     """Pointwise CRS-to-CRS transform via the lon/lat hub — the
     ``transform_coords`` analogue (rasteret `core/geometry.py:186-247`)."""

@@ -20,12 +20,22 @@ import numpy as np
 
 
 def _attrs(row) -> dict:
+    from rasteret_spark import crs as _crs
+
+    epsg = int(row["grid_epsg"])
+    try:
+        wkt = _crs.crs_wkt(epsg)
+    except ValueError:  # injected CRS without a registered WKT spelling
+        wkt = None
     return {
         "transform": (
             float(row["chip_xres"]), 0.0, float(row["chip_xmin"]),
             0.0, -float(row["chip_yres"]), float(row["chip_ymax"]),
         ),
-        "epsg": int(row["grid_epsg"]),
+        "epsg": epsg,
+        # CF/rioxarray-style spelling of the grid CRS (the reference's
+        # spatial_ref parity, `core/raster_accessor.py:1328-1477`)
+        "crs_wkt": wkt,
         "width": int(row["chip_w"]),
         "height": int(row["chip_h"]),
         "chip_id": row["chip_id"],
@@ -146,6 +156,7 @@ def to_xarray(tensor: np.ndarray, attrs: dict):
         attrs={
             "transform": attrs["transform"],
             "epsg": attrs["epsg"],
+            "crs_wkt": attrs.get("crs_wkt"),
             "chip_id": attrs["chip_id"],
         },
     )

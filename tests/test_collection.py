@@ -104,3 +104,42 @@ def test_export_roundtrip(tmp_path, spark, coll):
     back = Collection.from_parquet(spark, out)
     assert back.count() == coll.count()
     assert back.bounds() == coll.bounds()
+
+
+def test_zonal_resume_dir_kill_and_resume_identical(
+    spark, coll, aois_pdf, images_pdf, tmp_path
+):
+    """Facade resume path: a job killed after some buckets resumes through
+    Collection.zonal(resume_dir=...) to the exact single-shot result —
+    the flagship API exposes the north-rule resume protocol."""
+    from rasteret_spark.plans import lineage
+
+    aois = _aois_df(spark, aois_pdf)
+    ref = coll.zonal(aois, resume_dir=str(tmp_path / "ref")).toPandas()
+
+    # killed-job simulation: first run sees only half the image buckets
+    out = str(tmp_path / "ckpt")
+    part = F.pmod(F.xxhash64(F.col("image_id")), F.lit(32))
+    partial = Collection(spark, coll.records.filter(part < 16))
+    partial.zonal(aois, resume_dir=out)
+    n_done = len(lineage.completed_parts(spark, out, "zonal"))
+    # completion is over buckets PRESENT in the input (empty hash buckets
+    # never appear); 60 images over 32 buckets occupy most but not all
+    occupied = coll.records.select(part.alias("p")).distinct().count()
+    assert 0 < n_done < occupied
+
+    resumed = coll.zonal(aois, resume_dir=out).toPandas()
+    assert len(lineage.completed_parts(spark, out, "zonal")) == occupied
+    key = ["image_id", "aoi_id"]
+    a = ref.sort_values(key).reset_index(drop=True)
+    b = resumed.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns], check_like=True)
+    # and the resumable result agrees with the direct (non-checkpointed) path
+    direct = coll.zonal(aois, bands=(0,)).toPandas().sort_values(key)
+    assert len(direct) == len(a)
+    np.testing.assert_allclose(
+        a["v_mean"].to_numpy(float), direct["v_mean"].to_numpy(float)
+    )
+
+    with pytest.raises(ValueError, match="band 0"):
+        coll.zonal(aois, bands=(0, 1), resume_dir=str(tmp_path / "x"))

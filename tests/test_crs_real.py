@@ -308,3 +308,59 @@ def test_transform_points_ring_bbox_cross_crs():
     px, py = crs.transform_points(32633, 32733, x33, y33)
     assert bb73[0] <= px.min() and px.max() <= bb73[2]
     assert bb73[1] <= py.min() and py.max() <= bb73[3]
+
+
+# --- WKT2 spelling (CF/spatial_ref parity) --------------------------------------
+class TestCrsWkt:
+    def test_wgs84_geogcrs(self):
+        w = crs.crs_wkt(4326)
+        assert w.startswith('GEOGCRS["WGS 84"')
+        assert 'ELLIPSOID["WGS 84",6378137,298.257223563' in w
+        assert 'ID["EPSG",4326]]' in w
+
+    def test_web_mercator_projcrs(self):
+        w = crs.crs_wkt(3857)
+        assert w.startswith('PROJCRS["WGS 84 / Pseudo-Mercator"')
+        assert 'METHOD["Popular Visualisation Pseudo Mercator"' in w
+        assert 'PARAMETER["False easting",0' in w
+        assert 'ID["EPSG",3857]]' in w
+
+    def test_real_utm_south_parameters(self):
+        w = crs.crs_wkt(32733)  # zone 33 south: lon0 = 15
+        assert 'METHOD["Transverse Mercator",ID["EPSG",9807]]' in w
+        assert 'PARAMETER["Longitude of natural origin",15' in w
+        assert 'PARAMETER["Scale factor at natural origin",0.9996' in w
+        assert 'PARAMETER["False easting",500000' in w
+        assert 'PARAMETER["False northing",10000000' in w
+        assert 'ID["EPSG",32733]]' in w
+
+    def test_synthetic_linear_zone_is_declared_not_disguised(self):
+        w = crs.crs_wkt(32633)
+        assert "synthetic" in w and "REMARK" in w
+        assert "111320" in w and "110540" in w
+        assert 'METHOD["Equidistant Cylindrical"' in w
+        assert 'METHOD["Transverse Mercator"' not in w, (
+            "linear zones must not claim to be real TM"
+        )
+
+    def test_registry_and_unknown(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="no WKT2 spelling"):
+            crs.crs_wkt(99999)
+        crs.register_crs_wkt(99999, 'ENGCRS["test"]')
+        assert crs.crs_wkt(99999) == 'ENGCRS["test"]'
+
+    def test_assembled_attrs_carry_crs_wkt(self):
+        from rasteret_spark.operators import assemble
+
+        row = {
+            "chip_id": "c", "chip_xmin": 13.0, "chip_ymax": 52.0,
+            "chip_xres": 0.001, "chip_yres": 0.001, "chip_w": 2, "chip_h": 2,
+            "grid_epsg": 4326, "values": [1.0, None, 3.0, 4.0],
+        }
+        _, attrs = assemble.chip_to_array(row)
+        assert attrs["crs_wkt"].startswith('GEOGCRS["WGS 84"')
+        row["grid_epsg"] = 32733
+        _, attrs = assemble.chip_to_array(row)
+        assert "UTM zone 33S" in attrs["crs_wkt"]
