@@ -847,7 +847,7 @@ def q59_bpe_token_stats(spark, sf_dir):
 
 def q58_image_feature_pairs(spark, sf_dir):
     """Multimodal -> similarity composition: decode every image through the
-    pluggable-kernel registry into a 24-dim descriptor, then hyperplane-LSH
+    pluggable-kernel registry into a FEATURE_DIM descriptor, then hyperplane-LSH
     near-dup pairs over the descriptors (the feature-extract stage of a
     training-data pipeline).  Planted exact-duplicate images (the synthetic
     generator's dup_every rule) surface at cosine ~1."""
