@@ -142,77 +142,28 @@ def main() -> None:
 
     # min-of-3 by default: this host sees ~10-min co-tenant load bursts (see
     # BENCH/scaling_runs.jsonl loadavg history); two reps can BOTH land in a
-    # burst, three rarely do, and min-of-N reports steady-state throughput
+    # burst, three rarely do, and min-of-N reports steady-state throughput.
+    # The contention guard (shared with scripts/bench_sf1.py, see
+    # benchguard.py) measures EXTERNAL cpu per rep — a rep with more than
+    # BENCH_EXT_CORES_MAX external cores busy is recorded but does not count
+    # toward the quota, up to BENCH_MAX_REPEATS tries, so a burst
+    # mid-battery earns extra quiet reps instead of poisoning the artifact
+    # (the r3 headline record was exactly that failure mode).
+    import benchguard
+
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
-    # Contention guard.  Loadavg cannot tell OUR 32-thread stages from a
-    # co-tenant burst, so each rep measures EXTERNAL cpu directly:
-    # (total machine busy jiffies) - (this process tree's jiffies), from
-    # /proc.  A rep with more than BENCH_EXT_CORES_MAX external cores busy
-    # is recorded but does not count toward the rep quota — up to
-    # BENCH_MAX_REPEATS tries total, so a burst mid-battery earns extra
-    # quiet reps instead of poisoning the artifact (the r3 headline record
-    # was exactly that failure mode).
     ext_max = float(os.environ.get("BENCH_EXT_CORES_MAX", "4"))
     max_repeats = int(os.environ.get("BENCH_MAX_REPEATS", str(repeats + 3)))
     rep_log: dict[str, list] = {}
     n_contended = 0
-    hz = os.sysconf("SC_CLK_TCK")
-
-    def _total_busy_jiffies() -> int:
-        with open("/proc/stat") as f:
-            parts = f.readline().split()[1:]
-        vals = [int(v) for v in parts]
-        return sum(vals) - vals[3] - (vals[4] if len(vals) > 4 else 0)  # -idle -iowait
-
-    def _tree_jiffies() -> int:
-        """utime+stime summed over this pid and all live descendants (the
-        Spark JVM + python workers).  Workers that exit mid-rep drop out of
-        the sum, which only OVERSTATES external load — the guard errs
-        toward re-running, never toward accepting a contended rep."""
-        me = os.getpid()
-        children: dict[int, list[int]] = {}
-        usage: dict[int, int] = {}
-        for pid_s in os.listdir("/proc"):
-            if not pid_s.isdigit():
-                continue
-            try:
-                with open(f"/proc/{pid_s}/stat") as f:
-                    st = f.read()
-            except OSError:
-                continue
-            # fields after the parenthesized comm: index from the last ')'
-            rest = st[st.rfind(")") + 2 :].split()
-            pid = int(pid_s)
-            ppid = int(rest[1])
-            usage[pid] = int(rest[11]) + int(rest[12])  # utime + stime
-            children.setdefault(ppid, []).append(pid)
-        total, stack = 0, [me]
-        while stack:
-            p = stack.pop()
-            total += usage.get(p, 0)
-            stack.extend(children.get(p, []))
-        return total
 
     def timed_min(action, label: str) -> tuple[float, object]:
-        """min wall over >=N repeats with per-rep external-cores evidence —
-        damps cold-page-cache / GC noise AND co-tenant bursts; the JSON
-        carries the per-rep evidence so the recorded min is auditable."""
         nonlocal n_contended
-        best, result = float("inf"), None
-        reps, quiet = [], 0
-        while quiet < repeats and len(reps) < max_repeats:
-            b0, o0, t0 = _total_busy_jiffies(), _tree_jiffies(), time.time()
-            result = action()
-            wall = time.time() - t0
-            ext_jiffies = max((_total_busy_jiffies() - b0) - (_tree_jiffies() - o0), 0)
-            ext_cores = ext_jiffies / hz / max(wall, 1e-9)
-            reps.append([round(wall, 3), round(ext_cores, 1)])
-            if ext_cores <= ext_max:
-                quiet += 1
-            else:
-                n_contended += 1
-            best = min(best, wall)
-        rep_log[label] = reps
+        best, result, contended = benchguard.timed_min(
+            action, label, rep_log,
+            repeats=repeats, ext_max=ext_max, max_repeats=max_repeats,
+        )
+        n_contended += contended
         return best, result
 
     enrich_s, _ = timed_min(

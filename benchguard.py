@@ -1,0 +1,91 @@
+"""Shared contention measurement for the bench harnesses.
+
+Loadavg cannot tell a harness's own 32-thread Spark stages from a co-tenant
+burst, so each rep measures EXTERNAL cpu directly: (total machine busy
+jiffies from /proc/stat) minus (this process tree's utime+stime from
+/proc/<pid>/stat).  Workers that exit mid-rep drop out of the tree sum,
+which only OVERSTATES external load — the guard errs toward re-running,
+never toward accepting a contended rep.
+
+``timed_min`` is the one estimator both ``bench.py`` and
+``scripts/bench_sf1.py`` use: min wall over >= N reps, where a rep with more
+than ``ext_max`` external cores busy is recorded (as ``[wall_s,
+ext_cores]`` evidence in ``rep_log``) but does not count toward the rep
+quota, up to ``max_repeats`` total tries.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+HZ = os.sysconf("SC_CLK_TCK")
+
+
+def total_busy_jiffies() -> int:
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(v) for v in parts]
+    return sum(vals) - vals[3] - (vals[4] if len(vals) > 4 else 0)  # -idle -iowait
+
+
+def tree_jiffies() -> int:
+    """utime+stime summed over this pid and all live descendants (the Spark
+    JVM + python workers)."""
+    me = os.getpid()
+    children: dict[int, list[int]] = {}
+    usage: dict[int, int] = {}
+    for pid_s in os.listdir("/proc"):
+        if not pid_s.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid_s}/stat") as f:
+                st = f.read()
+        except OSError:
+            continue
+        # fields after the parenthesized comm: index from the last ')'
+        rest = st[st.rfind(")") + 2 :].split()
+        pid = int(pid_s)
+        usage[pid] = int(rest[11]) + int(rest[12])  # utime + stime
+        children.setdefault(int(rest[1]), []).append(pid)
+    total, stack = 0, [me]
+    while stack:
+        p = stack.pop()
+        total += usage.get(p, 0)
+        stack.extend(children.get(p, []))
+    return total
+
+
+def measure(action):
+    """Run ``action`` once; returns (wall_s, external_cores_busy, result)."""
+    b0, o0, t0 = total_busy_jiffies(), tree_jiffies(), time.time()
+    result = action()
+    wall = time.time() - t0
+    ext_jiffies = max((total_busy_jiffies() - b0) - (tree_jiffies() - o0), 0)
+    return wall, ext_jiffies / HZ / max(wall, 1e-9), result
+
+
+def timed_min(
+    action,
+    label: str,
+    rep_log: dict,
+    repeats: int = 3,
+    ext_max: float = 4.0,
+    max_repeats: int | None = None,
+):
+    """min wall over >= ``repeats`` quiet reps (see module docstring).
+    Returns (best_wall, last_result, n_contended)."""
+    max_repeats = (repeats + 3) if max_repeats is None else max_repeats
+    best, result = float("inf"), None
+    reps: list = []
+    quiet = contended = 0
+    while quiet < repeats and len(reps) < max_repeats:
+        wall, ext_cores, result = measure(action)
+        reps.append([round(wall, 3), round(ext_cores, 1)])
+        if ext_cores <= ext_max:
+            quiet += 1
+        else:
+            contended += 1
+        best = min(best, wall)
+    rep_log[label] = reps
+    return best, result, contended

@@ -184,6 +184,9 @@ def main(argv=None, spark=None, out=None) -> int:
         spark = get_spark(app="rasteret-spark-cli")
     try:
         return args.fn(args, spark, out)
+    except ValueError as e:  # bad collection name etc: message + rc, no trace
+        print(str(e), file=sys.stderr)
+        return 2
     finally:
         if own:
             spark.stop()

@@ -248,7 +248,11 @@ class Collection:
         from rasteret_spark.operators import chips, raster_mosaic as rmo
 
         sub = self.subset(bbox=bbox, date_range=date_range)
-        gbox, gxres, epsg = self._resolve_grid(bbox, xres, grid_epsg)
+        # "auto" detects over the SUBSET actually mosaicked (the reference
+        # detects on the query result set, execution.py:396-456) — a date
+        # range selecting one UTM zone must grid in THAT zone even when the
+        # full collection's majority CRS differs
+        gbox, gxres, epsg = sub._resolve_grid(bbox, xres, grid_epsg)
         grid = chips.chip_requests(self.spark, gbox, size, gxres, grid_epsg=epsg)
         # depth cap applied in chip_candidates, on light columns pre-payload
         cap = (

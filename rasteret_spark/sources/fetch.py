@@ -54,13 +54,13 @@ _TRANSIENT_TYPES: tuple[type[BaseException], ...] = (
     InterruptedError,
 )
 
-_TRANSIENT_HTTP_CODES = {429, 500, 502, 503, 504}
+_TRANSIENT_HTTP_CODES = {408, 429, 500, 502, 503, 504}
 
 
 def is_transient(exc: BaseException) -> bool:
     """True when a fetch failure is worth retrying.  isinstance against the
     transient classes, plus urllib HTTPError status codes in the retryable
-    set (408/429/5xx-style)."""
+    set (408/429/500/502/503/504)."""
     if isinstance(exc, _TRANSIENT_TYPES):
         return True
     code = getattr(exc, "code", None)  # urllib.error.HTTPError and friends
@@ -122,6 +122,10 @@ def fetch_with_retry(
         except Exception as e:
             last = e
             if not is_transient(e) or i == attempts - 1:
+                # attach the TRUE attempt count (a permanent error can land
+                # on attempt >1 after transient retries) for callers' audit
+                # columns
+                e._fetch_attempts = i + 1  # type: ignore[attr-defined]
                 raise
             sleep(_backoff_s(url, i, base_delay))
     raise last  # unreachable; keeps type-checkers honest
@@ -176,7 +180,7 @@ def fetch_blobs(
                     status.append("ok")
                     tries.append(used)
                 except Exception as e:  # quarantine row, not a task failure
-                    used = attempts if is_transient(e) else 1
+                    used = getattr(e, "_fetch_attempts", 1)
                     blobs.append(None)
                     status.append(f"{_err_status(e)} (after {used} attempts)")
                     tries.append(used)

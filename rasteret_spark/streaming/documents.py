@@ -108,6 +108,51 @@ def streaming_exact_dedup(
     )
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), p, jvm
+
+
+def _has_legacy_flat_files(spark: SparkSession, seen_dir: str) -> bool:
+    """True when the store predates bucketing: parquet files sit directly at
+    the root instead of under ``_bucket=`` partitions.  Hadoop FS listing —
+    portable, metadata-only."""
+    fs, p, _ = _hadoop_fs(spark, seen_dir)
+    if not fs.exists(p):
+        return False
+    return any(
+        not st.isDirectory() and st.getPath().getName().endswith(".parquet")
+        for st in fs.listStatus(p)
+    )
+
+
+def migrate_legacy_seen_store(
+    spark: SparkSession, seen_dir: str, n_buckets: int = DEFAULT_SEEN_BUCKETS
+) -> None:
+    """One-time upgrade of a pre-bucketing (flat, content_hash-only) store
+    to the bucketed layout.  Without this, legacy rows would read
+    ``_bucket=null``, the bucket-pruning filter would drop them, and every
+    previously-seen document would silently re-emit as a duplicate — and the
+    first bucketed append would leave a mixed-depth directory that breaks
+    partition discovery.  Called automatically at batch start; two-phase
+    write + Hadoop FS swap like ``compact_seen_store``."""
+    flat = spark.read.schema("content_hash bigint").parquet(seen_dir)
+    bucketed = flat.withColumn(
+        "_bucket", F.pmod(F.col("content_hash"), F.lit(int(n_buckets))).cast("int")
+    ).distinct()
+    tmp_dir = seen_dir.rstrip("/") + ".migrate"
+    (
+        bucketed.repartition(int(n_buckets), "_bucket")
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(tmp_dir)
+    )
+    fs, p, jvm = _hadoop_fs(spark, seen_dir)
+    fs.delete(p, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp_dir), p)
+
+
 def read_seen_store(spark: SparkSession, seen_dir: str) -> DataFrame:
     """The seen store as a DataFrame — empty (not an error) when the store
     does not exist yet.  Portable: probes through ``spark.read`` with the
@@ -167,30 +212,39 @@ def process_batch(
     overwrites its own output partition and only re-appends hashes."""
     from pyspark.sql import Window
 
+    if _has_legacy_flat_files(spark, seen_dir):
+        migrate_legacy_seen_store(spark, seen_dir, n_buckets=n_buckets)
     w = Window.partitionBy("content_hash").orderBy(F.col("doc_id").asc())
-    first = (
+    # persist the in-batch-deduped rows BEFORE the bucket-id collect inside
+    # survivors_against_seen — otherwise the enrich + window pipeline runs
+    # twice per micro-batch (once for the collect, once for the writes)
+    deduped = (
         batch.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+        .persist()
     )
-    first = survivors_against_seen(spark, first, seen_dir, n_buckets=n_buckets)
-    first = first.withColumn("_batch", F.lit(int(batch_id))).persist()
     try:
-        (
-            first.drop("_bucket")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch")
-            .parquet(out_dir)
-        )
-        (
-            first.select("content_hash", "_bucket")
-            .write.mode("append")
-            .partitionBy("_bucket")
-            .parquet(seen_dir)
-        )
+        first = survivors_against_seen(spark, deduped, seen_dir, n_buckets=n_buckets)
+        first = first.withColumn("_batch", F.lit(int(batch_id))).persist()
+        try:
+            (
+                first.drop("_bucket")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch")
+                .parquet(out_dir)
+            )
+            (
+                first.select("content_hash", "_bucket")
+                .write.mode("append")
+                .partitionBy("_bucket")
+                .parquet(seen_dir)
+            )
+        finally:
+            first.unpersist()
     finally:
-        first.unpersist()
+        deduped.unpersist()
 
 
 def compact_seen_store(
@@ -205,7 +259,22 @@ def compact_seen_store(
     path, then swap via the Hadoop FileSystem API (portable across local FS,
     HDFS, S3A — no driver-local file ops).  The swap window is not atomic on
     object stores; that is acceptable for an offline maintenance helper."""
-    compacted = spark.read.schema(SEEN_SCHEMA).parquet(seen_dir).distinct()
+    if _has_legacy_flat_files(spark, seen_dir):  # pre-bucketing layout
+        migrate_legacy_seen_store(spark, seen_dir, n_buckets=n_buckets)
+    compacted = (
+        spark.read.schema(SEEN_SCHEMA)
+        .parquet(seen_dir)
+        # defensive re-derivation: a null _bucket row (hand-copied data)
+        # must land in its true bucket, never __HIVE_DEFAULT_PARTITION__
+        .withColumn(
+            "_bucket",
+            F.coalesce(
+                F.col("_bucket"),
+                F.pmod(F.col("content_hash"), F.lit(int(n_buckets))).cast("int"),
+            ),
+        )
+        .distinct()
+    )
     tmp_dir = seen_dir.rstrip("/") + ".compact"
     (
         compacted.repartition(int(n_buckets), "_bucket")
@@ -214,10 +283,7 @@ def compact_seen_store(
         .parquet(tmp_dir)
     )
     n = spark.read.schema(SEEN_SCHEMA).parquet(tmp_dir).count()
-    jvm = spark.sparkContext._jvm
-    jsc = spark.sparkContext._jsc
-    path_cls = jvm.org.apache.hadoop.fs.Path
-    fs = path_cls(seen_dir).getFileSystem(jsc.hadoopConfiguration())
-    fs.delete(path_cls(seen_dir), True)
-    fs.rename(path_cls(tmp_dir), path_cls(seen_dir))
+    fs, p, jvm = _hadoop_fs(spark, seen_dir)
+    fs.delete(p, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp_dir), p)
     return int(n)

@@ -60,8 +60,14 @@ DIMS = ["region", "nation"]
 def build_scaled(spark, copies: int) -> None:
     from pyspark.sql import functions as F  # noqa: N812
 
-    if os.path.exists(os.path.join(DST, "_DONE")):
-        return
+    marker = os.path.join(DST, "_DONE")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() == str(copies):
+                return
+        import shutil  # stale scale factor: rebuild, never mislabel ratios
+
+        shutil.rmtree(DST)
     strides: dict[str, int] = {}
     for entity, (table, col) in ENTITY_OWNER.items():
         m = (
@@ -90,7 +96,8 @@ def build_scaled(spark, copies: int) -> None:
         for p in parts[1:]:
             out = out.unionByName(p)
         out.repartition(32).write.mode("overwrite").parquet(f"{DST}/{table}.parquet")
-    open(os.path.join(DST, "_DONE"), "w").close()
+    with open(os.path.join(DST, "_DONE"), "w") as f:
+        f.write(str(copies))
 
 
 def main() -> None:
@@ -111,19 +118,23 @@ def main() -> None:
     build_scaled(spark, args.copies)
     build_s = time.time() - t0
 
+    import benchguard
+
     oracle_names = sorted(E.oracle_sql().keys())
     qmap = E.queries()
     results: dict[str, dict] = {}
+    rep_log: dict[str, list] = {}
+    n_contended = 0
     for name in oracle_names:
         fn = qmap[name]
         row: dict[str, float] = {}
         for label, sf_dir in [("sf0_1", SRC), ("sf1", DST)]:
             df = fn(spark, sf_dir)
-            best = float("inf")
-            for _ in range(args.repeats):
-                t = time.time()
-                df.write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t)
+            best, _, contended = benchguard.timed_min(
+                lambda d=df: d.write.format("noop").mode("overwrite").save(),
+                f"{name}@{label}", rep_log, repeats=args.repeats,
+            )
+            n_contended += contended
             row[label] = round(best, 3)
         row["ratio"] = round(row["sf1"] / max(row["sf0_1"], 1e-9), 2)
         results[name] = row
@@ -137,7 +148,9 @@ def main() -> None:
         "n_queries": len(results),
         "max_ratio": max(ratios),
         "median_ratio": sorted(ratios)[len(ratios) // 2],
+        "contended_reps": n_contended,
         "queries": results,
+        "reps": rep_log,  # [wall_s, external_cores] evidence per query@sf
     }
     with open("BENCH/sf1_battery.json", "w") as f:
         json.dump(out, f, indent=1)

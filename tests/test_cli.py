@@ -90,3 +90,11 @@ def test_collection_repr_is_lazy(spark, images_pdf):
     c = Collection(spark, spark.createDataFrame(images_pdf))
     r = repr(c)
     assert r.startswith("Collection(lazy") and "image_id" in r
+
+
+def test_invalid_collection_name_is_clean_error(spark, tmp_path):
+    rc = cli.main(
+        ["collections", "info", "../escape", "--workspace", str(tmp_path)],
+        spark=spark, out=io.StringIO(),
+    )
+    assert rc == 2

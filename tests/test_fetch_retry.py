@@ -124,3 +124,30 @@ def test_fetch_blobs_permanent_error_single_attempt(spark):
     assert "no fetcher registered" in got["fetch_status"]
     assert "after 1 attempts" in got["fetch_status"]
     assert got["fetch_attempts"] == 1
+
+
+def test_attempt_count_true_when_transient_then_permanent():
+    """ConnectionError on attempt 1, FileNotFoundError on attempt 2: the
+    audit count must say 2 fetches ran, not 1."""
+    calls = {"n": 0}
+
+    def flaky_then_gone(url):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise ConnectionError("reset")
+        raise FileNotFoundError(url)
+
+    with pytest.raises(FileNotFoundError) as ei:
+        fx.fetch_with_retry(
+            "mem://x", {"mem": flaky_then_gone}, attempts=5, sleep=lambda s: None
+        )
+    assert getattr(ei.value, "_fetch_attempts") == 2
+    assert calls["n"] == 2
+
+
+def test_http_408_is_transient():
+    class FakeHTTPError(Exception):
+        def __init__(self, code):
+            self.code = code
+
+    assert fx.is_transient(FakeHTTPError(408))

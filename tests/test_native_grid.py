@@ -173,3 +173,19 @@ def test_collection_mosaic_auto_grid_uses_most_common_epsg(spark, images_pdf):
     full = Collection(spark, spark.createDataFrame(images_pdf))
     out_ll = full.mosaic(bbox, size=32, xres=0.003).toPandas()
     assert (out_ll["grid_epsg"] == 4326).all()
+
+
+def test_chips_as_aois_lonlat_stays_native_plan(spark):
+    """Plan guard: the default lon/lat grid must keep chips_as_aois a pure
+    native-expression stage (no Python eval node) — the projected-grid
+    mapInPandas must never leak into the common path."""
+    ll = chp.chip_requests(spark, (13.0, 52.0, 13.5, 52.5), 32, 0.001)
+    plan = rmo.chips_as_aois(ll)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "PythonUDF" not in plan
+
+    pr = chp.chip_requests(
+        spark, crs.bbox_from_lonlat(GRID_EPSG, 13.0, 52.0, 13.5, 52.5),
+        32, 100.0, grid_epsg=GRID_EPSG,
+    )
+    plan_pr = rmo.chips_as_aois(pr)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan_pr

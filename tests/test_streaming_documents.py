@@ -210,3 +210,33 @@ def test_compact_seen_store_dedups_and_preserves_semantics(spark, tmp_path):
     sd.process_batch(spark, nxt, 1, out, seen, n_buckets=8)
     got = spark.read.parquet(out).toPandas()
     assert sorted(got["doc_id"]) == [1, 2, 6]
+
+
+def test_legacy_flat_seen_store_migrates_and_still_dedups(spark, tmp_path):
+    """A pre-bucketing store (flat content_hash-only files at the root) must
+    be migrated, not silently ignored: its hashes still dedup, and the
+    layout becomes bucketed before any append (no mixed-depth wedge)."""
+    import pathlib
+
+    out, seen = str(tmp_path / "out"), str(tmp_path / "seen")
+    # simulate the old layout: root-level parquet with content_hash only
+    legacy = spark.createDataFrame(
+        [(int(r[0]),) for r in _mini_batch(spark, [(1, "alpha"), (2, "beta")])
+         .select("content_hash").collect()],
+        "content_hash bigint",
+    )
+    legacy.coalesce(1).write.mode("overwrite").parquet(seen)
+    assert sd._has_legacy_flat_files(spark, seen)
+
+    # new-code batch re-sends "alpha" (seen) plus a new doc
+    sd.process_batch(spark, _mini_batch(spark, [(9, "alpha"), (10, "zeta")]),
+                     0, out, seen, n_buckets=8)
+    got = spark.read.parquet(out).toPandas()
+    assert sorted(got["doc_id"]) == [10], "legacy-seen hash must still dedup"
+    # store is now fully bucketed (no root parquet files, no null buckets)
+    assert not sd._has_legacy_flat_files(spark, seen)
+    dirs = {p.name for p in pathlib.Path(seen).iterdir() if p.is_dir()}
+    assert dirs and all(d.startswith("_bucket=") for d in dirs)
+    store = spark.read.schema(sd.SEEN_SCHEMA).parquet(seen).toPandas()
+    assert store["_bucket"].notna().all()
+    assert (store["_bucket"] == store["content_hash"] % 8).all()
