@@ -196,11 +196,28 @@ class Collection:
 
     def sample_points(
         self, points: DataFrame, bands=(0,), max_ring: int = 0,
-        neighborhood: int = 0, res: int = 8,
+        neighborhood: int = 0, res: int = 8, resume_dir: str | None = None,
     ) -> DataFrame:
         """Pixel values at points — ``Collection.sample_points`` analogue.
-        ``points`` needs point_index, x, y (lon/lat)."""
+        ``points`` needs point_index, x, y (lon/lat).  ``resume_dir``
+        switches to the checkpointed path (band 0), mirroring
+        :meth:`zonal`."""
         from rasteret_spark.operators import sampling, spatial_join as sj
+
+        if resume_dir is not None:
+            from rasteret_spark.plans.pipelines import resumable_sample
+
+            if tuple(bands) != (0,):
+                raise ValueError("resume_dir path computes band 0 (pipeline contract)")
+            images = self.records.select(
+                "image_id", "bytes",
+                F.col("xmin").alias("img_xmin"), F.col("ymin").alias("img_ymin"),
+                F.col("xmax").alias("img_xmax"), F.col("ymax").alias("img_ymax"),
+            )
+            return resumable_sample(
+                self.spark, images, points, resume_dir,
+                max_ring=max_ring, neighborhood=neighborhood, res=res,
+            )
 
         cands = sj.point_in_bbox_join(points, _light(self.records), res=res).select(
             "point_index", "x", "y", "image_id"

@@ -52,3 +52,42 @@ def resumable_zonal(
         spark, images, transform, out_dir, key_col="image_id",
         stage="zonal", n_parts=n_parts,
     )
+
+
+def resumable_sample(
+    spark: SparkSession,
+    images: DataFrame,
+    points: DataFrame,
+    out_dir: str,
+    max_ring: int = 0,
+    neighborhood: int = 0,
+    res: int = 8,
+    n_parts: int = 32,
+) -> DataFrame:
+    """Checkpointed point-sampling: the zonal pipeline's sibling for the
+    R7 sampler path.  images: (image_id, bytes, img_xmin..ymax);
+    points: (point_index, x, y).  Buckets by image_id — a bucket's images
+    candidate-join against ALL points (points are the small broadcastable
+    side), sample, and commit; a killed job re-runs only unlogged buckets."""
+    from rasteret_spark.operators import sampling
+
+    points = points.persist()
+
+    def transform(bucketed_images: DataFrame) -> DataFrame:
+        img_light = bucketed_images.select(
+            "image_id", "part_id", "img_xmin", "img_ymin", "img_xmax", "img_ymax"
+        )
+        cands = sj.point_in_bbox_join(points, img_light, res=res).select(
+            "point_index", "x", "y", "image_id"
+        )
+        s = sampling.sample_points(
+            cands, bucketed_images.select("image_id", "bytes"),
+            max_ring=max_ring, neighborhood=neighborhood,
+        )
+        part = bucketed_images.select("image_id", "part_id")
+        return s.join(part, "image_id")
+
+    return lineage.checkpointed_run(
+        spark, images, transform, out_dir, key_col="image_id",
+        stage="sample", n_parts=n_parts,
+    )

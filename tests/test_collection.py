@@ -143,3 +143,18 @@ def test_zonal_resume_dir_kill_and_resume_identical(
 
     with pytest.raises(ValueError, match="band 0"):
         coll.zonal(aois, bands=(0, 1), resume_dir=str(tmp_path / "x"))
+
+
+def test_sample_points_resume_dir_facade(spark, coll, points_pdf, tmp_path):
+    pts = spark.createDataFrame(points_pdf[["point_index", "x", "y"]])
+    got = coll.sample_points(pts, resume_dir=str(tmp_path / "ck")).toPandas()
+    direct = coll.sample_points(pts).toPandas()
+    key = ["point_index", "image_id", "band"]
+    a = got.sort_values(key).reset_index(drop=True)
+    b = direct.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    np.testing.assert_array_equal(
+        a["value"].to_numpy(float), b["value"].to_numpy(float)
+    )
+    with pytest.raises(ValueError, match="band 0"):
+        coll.sample_points(pts, bands=(0, 1), resume_dir=str(tmp_path / "x"))
