@@ -189,3 +189,54 @@ def test_chips_as_aois_lonlat_stays_native_plan(spark):
     )
     plan_pr = rmo.chips_as_aois(pr)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan_pr
+
+
+@pytest.mark.parametrize("epsg", [32633, 32733, 3857])
+def test_chips_as_aois_bounds_any_builtin_crs(spark, epsg):
+    """The vectorized densified-boundary transform must agree with the
+    scalar transform_bbox for every builtin CRS family — including real
+    (non-separable) Transverse Mercator south and Web Mercator."""
+    x0, y0 = crs.from_lonlat(epsg, np.array([13.36]), np.array([52.54]))
+    rows = [{
+        "chip_id": f"c-{i}", "chip_xmin": float(x0[0]) + i * 5000.0,
+        "chip_ymax": float(y0[0]) - i * 5000.0, "chip_xres": 150.0,
+        "chip_yres": 150.0, "chip_w": 24, "chip_h": 24, "grid_epsg": epsg,
+    } for i in range(3)]
+    aois = rmo.chips_as_aois(
+        spark.createDataFrame(pd.DataFrame(rows))
+    ).toPandas().set_index("chip_id")
+    for r in rows:
+        gxmax = r["chip_xmin"] + r["chip_w"] * r["chip_xres"]
+        gymin = r["chip_ymax"] - r["chip_h"] * r["chip_yres"]
+        want = crs.transform_bbox(
+            epsg, 4326, (r["chip_xmin"], gymin, gxmax, r["chip_ymax"])
+        )
+        row = aois.loc[r["chip_id"]]
+        got = (row["aoi_xmin"], row["aoi_ymin"], row["aoi_xmax"], row["aoi_ymax"])
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-9)
+
+
+def test_mosaic_on_real_tm_south_grid(spark, images_pdf):
+    """End-to-end composite onto a REAL (Krueger-series, non-separable)
+    Transverse Mercator grid: candidates resolve, pixels fill, and the
+    rows carry the grid CRS — the path a Sentinel-2-south-zone archive
+    would take."""
+    epsg = 32733
+    x0, y0 = crs.from_lonlat(epsg, np.array([13.38]), np.array([52.52]))
+    chips = spark.createDataFrame(pd.DataFrame([{
+        "chip_id": "s", "chip_xmin": float(x0[0]), "chip_ymax": float(y0[0]),
+        "chip_xres": 100.0, "chip_yres": 100.0, "chip_w": 24, "chip_h": 24,
+        "grid_epsg": epsg,
+    }]))
+    img_light = spark.createDataFrame(
+        images_pdf[["image_id", "xmin", "ymin", "xmax", "ymax"]].rename(
+            columns={c: f"img_{c}" for c in ["xmin", "ymin", "xmax", "ymax"]}
+        )
+    )
+    payload = spark.createDataFrame(images_pdf[["image_id", "datetime", "bytes"]])
+    pairs = rmo.chip_candidates(chips, img_light, payload, res=7)
+    for method in ("nearest", "bilinear", "average"):
+        got = rmo.first_valid_mosaic_pixels(pairs, bands=(0,), method=method).toPandas()
+        assert len(got) == 1 and got.iloc[0]["grid_epsg"] == epsg
+        assert got.iloc[0]["filled"] > 0, f"{method}: no pixels filled"
+        assert got.iloc[0]["status"] == "ok"
