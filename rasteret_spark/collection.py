@@ -181,7 +181,11 @@ class Collection:
                 F.col("xmin").alias("img_xmin"), F.col("ymin").alias("img_ymin"),
                 F.col("xmax").alias("img_xmax"), F.col("ymax").alias("img_ymax"),
             )
-            return resumable_zonal(self.spark, images, aois, resume_dir, res=res)
+            # drop the internal bucket column: the facade contract is the
+            # same schema on both the direct and checkpointed paths
+            return resumable_zonal(
+                self.spark, images, aois, resume_dir, res=res
+            ).drop("part_id")
 
         cands = sj.bbox_join(_light(self.records), aois, res=res)
         pairs = (
@@ -217,7 +221,7 @@ class Collection:
             return resumable_sample(
                 self.spark, images, points, resume_dir,
                 max_ring=max_ring, neighborhood=neighborhood, res=res,
-            )
+            ).drop("part_id")
 
         cands = sj.point_in_bbox_join(points, _light(self.records), res=res).select(
             "point_index", "x", "y", "image_id"

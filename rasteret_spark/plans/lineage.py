@@ -123,6 +123,7 @@ def checkpointed_run(
     key_col: str,
     stage: str = "stage",
     n_parts: int = 32,
+    params: dict | None = None,
 ) -> DataFrame:
     """Run ``transform`` over ``df`` resumably.
 
@@ -130,9 +131,35 @@ def checkpointed_run(
     buckets without a checkpoint-log row are processed.  Output parquet is
     partitioned by ``part_id`` with dynamic overwrite (idempotent re-runs).
     Returns the full stage output (read back from the checkpoint dir).
-    """
-    data_dir = os.path.join(out_dir, "data")
+
+    Data lives under ``out_dir/data-<stage>`` — STAGE-SCOPED, so two
+    pipelines sharing one resume dir (zonal + sample) cannot clobber each
+    other's rows while their logs both read as complete.  ``params`` is the
+    stage's parameter fingerprint: persisted on first run and VALIDATED on
+    resume, so resuming with different knobs (a different ring radius, grid
+    res, bucket count) is a loud error instead of silently returning rows
+    computed under the old parameters."""
+    data_dir = os.path.join(out_dir, f"data-{stage}")
     os.makedirs(_log_dir(out_dir), exist_ok=True)
+    if params is not None:
+        fingerprint = json.dumps(
+            {**params, "key_col": key_col, "n_parts": n_parts}, sort_keys=True
+        )
+        pfile = os.path.join(out_dir, f"_params-{stage}.json")
+        if os.path.exists(pfile):
+            with open(pfile) as f:
+                prev = f.read()
+            if prev != fingerprint:
+                raise ValueError(
+                    f"resume_dir holds a {stage!r} run with different "
+                    f"parameters ({prev}) than requested ({fingerprint}); "
+                    "use a fresh directory or matching parameters"
+                )
+        else:
+            tmp = pfile + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(fingerprint)
+            os.replace(tmp, pfile)
     bucketed = df.withColumn(
         "part_id", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_parts)).cast("int")
     )

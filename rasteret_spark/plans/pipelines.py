@@ -28,7 +28,6 @@ def resumable_zonal(
     """images: (image_id, bytes, caption, img_xmin..ymax);
     aois: (aoi_id, aoi_geometry, aoi_xmin..ymax).  Returns the full zonal
     output, computing only buckets missing from the checkpoint log."""
-    aois = aois.persist()
 
     def transform(bucketed_images: DataFrame) -> DataFrame:
         img_light = bucketed_images.select(
@@ -50,7 +49,7 @@ def resumable_zonal(
 
     return lineage.checkpointed_run(
         spark, images, transform, out_dir, key_col="image_id",
-        stage="zonal", n_parts=n_parts,
+        stage="zonal", n_parts=n_parts, params={"res": res},
     )
 
 
@@ -68,10 +67,11 @@ def resumable_sample(
     R7 sampler path.  images: (image_id, bytes, img_xmin..ymax);
     points: (point_index, x, y).  Buckets by image_id — a bucket's images
     candidate-join against ALL points (points are the small broadcastable
-    side), sample, and commit; a killed job re-runs only unlogged buckets."""
+    side), sample, and commit; a killed job re-runs only unlogged buckets.
+    (No persist on points/aois: ``checkpointed_run`` invokes the transform
+    in exactly one write job, so a cache would be pure overhead and would
+    leak executor storage on the caller's DataFrame.)"""
     from rasteret_spark.operators import sampling
-
-    points = points.persist()
 
     def transform(bucketed_images: DataFrame) -> DataFrame:
         img_light = bucketed_images.select(
@@ -90,4 +90,5 @@ def resumable_sample(
     return lineage.checkpointed_run(
         spark, images, transform, out_dir, key_col="image_id",
         stage="sample", n_parts=n_parts,
+        params={"max_ring": max_ring, "neighborhood": neighborhood, "res": res},
     )

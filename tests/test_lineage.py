@@ -130,7 +130,7 @@ def test_partition_row_counts_non_local_fallback(spark, workdir):
     lineage.checkpointed_run(
         spark, df, _transform, workdir, key_col="key", stage="s1", n_parts=4
     )
-    data_dir = os.path.join(workdir, "data")
+    data_dir = os.path.join(workdir, "data-s1")
     local = lineage.partition_row_counts(data_dir, range(4))
     assert sum(local.values()) == 200
     via_spark = lineage.partition_row_counts(
@@ -140,3 +140,50 @@ def test_partition_row_counts_non_local_fallback(spark, workdir):
     # and without a session, the non-local path is a loud error, never 0s
     with pytest.raises(ValueError, match="not a local directory"):
         lineage.partition_row_counts("file://" + data_dir, range(4))
+
+
+def test_two_stages_share_resume_dir_without_clobber(spark, workdir):
+    """Stage-scoped data dirs: a second pipeline writing into the SAME
+    resume dir must not overwrite the first stage's rows (the zonal+sample
+    shared-dir scenario)."""
+    df = spark.range(0, 300).select(
+        F.col("id").alias("key"), (F.col("id") % 5).alias("value")
+    )
+    a = lineage.checkpointed_run(
+        spark, df, _transform, workdir, key_col="key", stage="zonal", n_parts=4
+    ).toPandas()
+    lineage.checkpointed_run(
+        spark, df, lambda d: d.withColumn("tripled", F.col("value") * 3),
+        workdir, key_col="key", stage="sample", n_parts=4,
+    )
+    # stage A's data survives stage B byte-for-byte, and both logs coexist
+    a2 = lineage.checkpointed_run(
+        spark, df, _transform, workdir, key_col="key", stage="zonal", n_parts=4
+    ).toPandas()
+    assert sorted(a["key"]) == sorted(a2["key"])
+    assert "doubled" in a2.columns and "tripled" not in a2.columns
+    assert len(lineage.completed_parts(spark, workdir, "zonal")) == 4
+    assert len(lineage.completed_parts(spark, workdir, "sample")) == 4
+
+
+def test_param_fingerprint_mismatch_is_loud(spark, workdir):
+    """Resuming a stage with different parameters must raise, never return
+    rows silently computed under the old knobs."""
+    df = spark.range(0, 100).select(
+        F.col("id").alias("key"), (F.col("id") % 5).alias("value")
+    )
+    lineage.checkpointed_run(
+        spark, df, _transform, workdir, key_col="key", stage="s",
+        n_parts=4, params={"ring": 0},
+    )
+    with pytest.raises(ValueError, match="different\\s+parameters"):
+        lineage.checkpointed_run(
+            spark, df, _transform, workdir, key_col="key", stage="s",
+            n_parts=4, params={"ring": 2},
+        )
+    # same params resume cleanly (no re-run, same output)
+    out = lineage.checkpointed_run(
+        spark, df, _transform, workdir, key_col="key", stage="s",
+        n_parts=4, params={"ring": 0},
+    )
+    assert out.count() == 100

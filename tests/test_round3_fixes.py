@@ -158,7 +158,7 @@ def test_lineage_rows_out_matches_written_partition_counts(spark, tmp_path):
     checkpointed_run(spark, df, lambda d: d, out_dir, key_col="k", stage="s", n_parts=8)
     log = read_log(spark, out_dir).toPandas()
     actual = (
-        spark.read.parquet(f"{out_dir}/data")
+        spark.read.parquet(f"{out_dir}/data-s")
         .groupBy("part_id")
         .count()
         .toPandas()
