@@ -146,6 +146,7 @@ def chip_serve(
     method: str = "nearest",
     max_images_per_chip: int | None = DEFAULT_MAX_IMAGES_PER_CHIP,
     res: int = 7,
+    broadcast_pairs: bool | None = None,
 ) -> DataFrame:
     """Serve [T, C, H, W] chip stacks for a chip-request table.
 
@@ -154,9 +155,11 @@ def chip_serve(
     blobs.  ``images_payload``: image_id, datetime, bytes.
 
     Plan: cell-cover candidate join on light columns -> temporal interval +
-    step slice (still light) -> payload join (each surviving blob shuffles
-    once, into its chip group) -> ``chip_stack_pixels``.  Matches the
-    reference adapter's select-then-fetch ordering (`torchgeo.py:1016-1061`).
+    step slice (still light) -> grouped payload join under the size-guarded
+    broadcast (each surviving blob shuffles once, into its chip group — see
+    ``raster_mosaic.join_payload_grouped``) -> ``chip_stack_pixels``.
+    Matches the reference adapter's select-then-fetch ordering
+    (`torchgeo.py:1016-1061`).
     """
     from rasteret_spark.operators import raster_mosaic as rmo
     from rasteret_spark.operators.spatial_join import bbox_join
@@ -170,7 +173,9 @@ def chip_serve(
         # depth cap on LIGHT columns, before the payload join — dropped time
         # steps never shuffle their blobs (same rule as the t-step slice)
         cands = rmo._depth_cap(cands, max_images_per_chip, newest_first=True)
-    pairs = cands.drop("datetime").join(images_payload, "image_id")
+    pairs = rmo.join_payload_grouped(
+        cands.drop("datetime"), images_payload, broadcast_pairs
+    )
     return rmo.chip_stack_pixels(
         pairs, bands=bands, method=method, max_images_per_chip=None
     )

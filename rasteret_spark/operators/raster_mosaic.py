@@ -660,6 +660,35 @@ def chips_as_aois(chips: DataFrame) -> DataFrame:
     return chips.mapInPandas(to_lonlat_bounds, schema=schema)
 
 
+def join_payload_grouped(
+    cands: DataFrame,
+    images_payload: DataFrame,
+    broadcast_pairs: bool | None = None,
+) -> DataFrame:
+    """Join light (chip x image) candidates to blob payloads with the
+    one-blob-shuffle guarantee: candidates group into one per-image chip
+    LIST (light columns), and that grouped side joins the payload under the
+    same size-guarded broadcast the zonal path uses
+    (``decode.grouped_side_choice``).  Broadcast path: blobs never shuffle
+    at the join — the only blob exchange left is the final per-chip group.
+    Above the pair bound the plan falls back to a hash join on image_id
+    (the 10^9-pair regime where broadcasting would blow the driver)."""
+    from rasteret_spark.operators.decode import grouped_side_choice
+
+    chip_cols = [c for c in cands.columns if c != "image_id"]
+    agg = cands.groupBy("image_id").agg(
+        F.collect_list(F.struct(*chip_cols)).alias("_chips")
+    )
+    agg, use_broadcast = grouped_side_choice(agg, broadcast_pairs, "_chips")
+    side = F.broadcast(agg) if use_broadcast else agg
+    return (
+        images_payload.join(side, "image_id")
+        .withColumn("_c", F.explode("_chips"))
+        .drop("_chips")
+        .select(*images_payload.columns, "_c.*")
+    )
+
+
 def chip_candidates(
     chips: DataFrame,
     images_light: DataFrame,
@@ -667,11 +696,14 @@ def chip_candidates(
     res: int = 7,
     max_images_per_chip: int | None = None,
     newest_first: bool = True,
+    broadcast_pairs: bool | None = None,
 ) -> DataFrame:
     """chips x images candidate pairs via the native cell-cover join, then
     payload join — CHIP_COLS + image_id + datetime + bytes, blobs through
-    exactly one shuffle.  ``chips`` needs CHIP_COLS; ``images_light`` needs
-    image_id + img_xmin/_ymin/_xmax/_ymax; ``images_payload`` needs
+    exactly one shuffle (the per-chip group; the payload join broadcasts
+    the grouped candidate list under the size guard, see
+    ``join_payload_grouped``).  ``chips`` needs CHIP_COLS; ``images_light``
+    needs image_id + img_xmin/_ymin/_xmax/_ymax; ``images_payload`` needs
     image_id, datetime, bytes.
 
     ``max_images_per_chip`` caps the temporal depth HERE, on light columns
@@ -691,4 +723,4 @@ def chip_candidates(
         cands = _depth_cap(
             cands.join(light_dt, "image_id"), max_images_per_chip, newest_first
         ).drop("datetime")
-    return cands.join(images_payload, "image_id")
+    return join_payload_grouped(cands, images_payload, broadcast_pairs)

@@ -257,3 +257,38 @@ def test_mosaic_max_images_cap_bounds_group_depth(mosaic_inputs, images_pdf):
         ).reshape(chip["chip_h"], chip["chip_w"])
         np.testing.assert_array_equal(np.isnan(vals), np.isnan(want))
         np.testing.assert_array_equal(vals[~np.isnan(want)], want[~np.isnan(want)])
+
+
+def test_payload_join_grouped_broadcast_vs_shuffle_parity(spark, images_pdf):
+    """The size-guarded grouped payload join: broadcast mode keeps blobs out
+    of the join shuffle entirely (no sort-merge join; the broadcast side is
+    the per-image chip LIST), the explicit shuffle mode produces identical
+    rows — same guarantee the zonal path has."""
+    chips = spark.createDataFrame(_chips_pdf())
+    img_light = spark.createDataFrame(
+        images_pdf[["image_id", "xmin", "ymin", "xmax", "ymax"]].rename(
+            columns={c: f"img_{c}" for c in ["xmin", "ymin", "xmax", "ymax"]}
+        )
+    )
+    payload = spark.createDataFrame(images_pdf[["image_id", "datetime", "bytes"]])
+
+    bc = rmo.chip_candidates(chips, img_light, payload, res=7, broadcast_pairs=True)
+    plan = bc._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, "broadcast path must not shuffle blobs"
+    assert "_chips" in plan.split("BroadcastExchange")[1][:2000], (
+        "the broadcast side must be the grouped chip list, not the payload"
+    )
+
+    sh = rmo.chip_candidates(chips, img_light, payload, res=7, broadcast_pairs=False)
+    a = bc.drop("bytes").toPandas().sort_values(["chip_id", "image_id"]).reset_index(drop=True)
+    b = sh.drop("bytes").toPandas().sort_values(["chip_id", "image_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
+    assert len(a) > 0
+    # and the mosaic on top is unchanged either way
+    ma = rmo.first_valid_mosaic_pixels(bc, bands=(0,)).toPandas()
+    mb = rmo.first_valid_mosaic_pixels(sh, bands=(0,)).toPandas()
+    key = ["chip_id", "band"]
+    pd.testing.assert_frame_equal(
+        ma.sort_values(key).reset_index(drop=True),
+        mb.sort_values(key).reset_index(drop=True),
+    )
