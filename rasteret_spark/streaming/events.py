@@ -70,6 +70,56 @@ def session_windows(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+STATE_SCHEMA = "n bigint, sum_v double, ewma double"
+USER_STATS_SCHEMA = (
+    "user_id bigint, n bigint, sum_v double, ewma double, batch_rows bigint"
+)
+
+
+def stateful_user_stats(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """CUSTOM stateful streaming operator via ``applyInPandasWithState``:
+    per-user running (count, sum, EWMA-of-value) maintained in Spark group
+    state across micro-batches — the arbitrary-state surface that windowed
+    and session aggregation (above) cannot express, because the EWMA
+    recurrence e_k = a*v_k + (1-a)*e_{k-1} depends on every prior event.
+
+    Each trigger emits one UPDATE row per user seen in that batch with the
+    state AFTER folding the batch in (deterministic within-batch order:
+    ts, then event_id).  State is a 3-tuple, bounded per user — executor
+    memory holds O(distinct users), never O(events)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    a = float(alpha)
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, s, e = state.get if state.exists else (0, 0.0, None)
+        batch_rows = 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            batch_rows += len(pdf)
+            for v in pdf["value"].astype(float):
+                n += 1
+                s += v
+                e = v if e is None else a * v + (1.0 - a) * e
+        state.update((int(n), float(s), None if e is None else float(e)))
+        yield pd.DataFrame(
+            [{
+                "user_id": key[0], "n": int(n), "sum_v": float(s),
+                "ewma": e, "batch_rows": int(batch_rows),
+            }]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=USER_STATS_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str) -> None:
     """Drive a streaming query to completion on the available files
     (synchronous smoke path: memory sink + processAllAvailable)."""

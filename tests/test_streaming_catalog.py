@@ -134,3 +134,77 @@ def test_most_common_epsg_mode_with_tiebreak(spark):
     )
     # tie 4326 vs 32633 -> deterministic smallest wins
     assert most_common_epsg(df) == 4326
+
+
+def test_stateful_user_stats_cross_batch_matches_sequential_oracle(
+    spark, tmp_path
+):
+    """applyInPandasWithState operator: per-user running count/sum/EWMA held
+    in group state across TWO file micro-batches must equal a sequential
+    fold over all events in ts order — the arbitrary-state recurrence the
+    built-in window aggregations cannot express."""
+    import os
+    import time
+
+    import numpy as np
+    import pandas as pd
+
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("user_id") < 40)
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert len(ev) > 50
+    # split by time so arrival order == event-time order (EWMA well-defined)
+    cut = ev["ts"].quantile(0.5)
+    d = tmp_path / "stream"
+    d.mkdir()
+    now = time.time()
+    for i, part in enumerate([ev[ev["ts"] <= cut], ev[ev["ts"] > cut]]):
+        p = str(d / f"b{i}.parquet")
+        spark.createDataFrame(part).coalesce(1).write.mode("overwrite").parquet(
+            str(d / f"_w{i}")
+        )
+        import glob
+        import shutil
+
+        shutil.copy(glob.glob(str(d / f"_w{i}" / "*.parquet"))[0], p)
+        os.utime(p, (now + 10 * i, now + 10 * i))
+        shutil.rmtree(str(d / f"_w{i}"))
+
+    s = stream_ev.read_events_stream(spark, str(d))
+    # maxFilesPerTrigger=1 -> two genuine micro-batches, state carried across
+    s = spark.readStream.schema(stream_ev.EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(d))
+    out = stream_ev.stateful_user_stats(s, alpha=0.3)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_stats")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM user_stats").toPandas()
+    # last update per user = the row with the highest running count
+    final = got.sort_values("n").groupby("user_id").last()
+
+    alpha = 0.3
+    for uid, g in ev.groupby("user_id"):
+        e = None
+        for v in g.sort_values(["ts", "event_id"])["value"].astype(float):
+            e = v if e is None else alpha * v + (1 - alpha) * e
+        row = final.loc[uid]
+        assert int(row["n"]) == len(g)
+        np.testing.assert_allclose(row["sum_v"], g["value"].sum(), rtol=1e-12)
+        np.testing.assert_allclose(row["ewma"], e, rtol=1e-12)
+    # state genuinely crossed batches: users in both halves got two updates
+    both = set(ev[ev["ts"] <= cut]["user_id"]) & set(ev[ev["ts"] > cut]["user_id"])
+    assert both, "fixture must have users spanning both batches"
+    counts = got.groupby("user_id").size()
+    assert all(counts[u] == 2 for u in both)
