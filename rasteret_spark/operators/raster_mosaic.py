@@ -711,7 +711,13 @@ def chip_candidates(
     10,000-scene archive the dropped candidates never shuffle their
     payloads.  Callers that cap here should pass ``max_images_per_chip=
     None`` to the downstream pixel kernel (capping twice is correct but
-    windows the rows once more for nothing)."""
+    windows the rows once more for nothing).
+
+    NOTE: in auto mode (``broadcast_pairs=None``) the size guard runs an
+    eager count of the candidate join at PLAN-BUILD time (same contract as
+    the zonal path's ``grouped_side_choice``) and keeps one grouped cache
+    live until the next auto-mode call; pass an explicit True/False to stay
+    fully lazy."""
     from rasteret_spark.operators.spatial_join import bbox_join
 
     extra = ["grid_epsg"] if "grid_epsg" in chips.columns else []

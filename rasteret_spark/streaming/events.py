@@ -26,10 +26,17 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-based event stream (one parquet dir; production would swap the
-    source format — the plan downstream is identical)."""
-    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    source format — the plan downstream is identical).
+    ``max_files_per_trigger`` splits a multi-file directory into genuine
+    micro-batches (state/ordering tests)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    return reader.parquet(path)
 
 
 def windowed_counts(
@@ -85,8 +92,12 @@ def stateful_user_stats(events: DataFrame, alpha: float = 0.3) -> DataFrame:
 
     Each trigger emits one UPDATE row per user seen in that batch with the
     state AFTER folding the batch in (deterministic within-batch order:
-    ts, then event_id).  State is a 3-tuple, bounded per user — executor
-    memory holds O(distinct users), never O(events)."""
+    ts, then event_id — the group's Arrow chunks are CONCATENATED before
+    the one global sort, because a large group arrives as several chunks in
+    arbitrary order).  NULL values count toward ``n`` but are excluded from
+    sum/EWMA (a single NaN would otherwise poison the state forever).
+    State is a 3-tuple, bounded per user — executor memory holds
+    O(distinct users), never O(events)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     a = float(alpha)
@@ -95,14 +106,25 @@ def stateful_user_stats(events: DataFrame, alpha: float = 0.3) -> DataFrame:
         import pandas as pd
 
         n, s, e = state.get if state.exists else (0, 0.0, None)
-        batch_rows = 0
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            batch_rows += len(pdf)
-            for v in pdf["value"].astype(float):
-                n += 1
-                s += v
-                e = v if e is None else a * v + (1.0 - a) * e
+        parts = list(pdfs)
+        pdf = (
+            pd.concat(parts, ignore_index=True).sort_values(["ts", "event_id"])
+            if parts
+            else pd.DataFrame(columns=["value"])
+        )
+        batch_rows = len(pdf)
+        n += batch_rows
+        vals = pdf["value"].dropna().astype(float)
+        if len(vals):
+            s += float(vals.sum())
+            # ewm(adjust=False) computes exactly e_k = a*v_k + (1-a)*e_{k-1};
+            # seeding with the carried state folds across batches bit-exactly
+            seq = (
+                vals.reset_index(drop=True)
+                if e is None
+                else pd.concat([pd.Series([e]), vals], ignore_index=True)
+            )
+            e = float(seq.ewm(alpha=a, adjust=False).mean().iloc[-1])
         state.update((int(n), float(s), None if e is None else float(e)))
         yield pd.DataFrame(
             [{
@@ -120,11 +142,13 @@ def stateful_user_stats(events: DataFrame, alpha: float = 0.3) -> DataFrame:
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str) -> None:
+def run_to_memory(stream_df: DataFrame, name: str, mode: str = "append") -> None:
     """Drive a streaming query to completion on the available files
-    (synchronous smoke path: memory sink + processAllAvailable)."""
+    (synchronous smoke path: memory sink + processAllAvailable).
+    ``mode="update"`` for stateful operators like ``stateful_user_stats``
+    (Update-mode output is not supported under an Append sink)."""
     q = (
-        stream_df.writeStream.outputMode("append")
+        stream_df.writeStream.outputMode(mode)
         .format("memory")
         .queryName(name)
         .start()

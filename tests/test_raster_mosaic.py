@@ -275,9 +275,12 @@ def test_payload_join_grouped_broadcast_vs_shuffle_parity(spark, images_pdf):
     bc = rmo.chip_candidates(chips, img_light, payload, res=7, broadcast_pairs=True)
     plan = bc._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan, "broadcast path must not shuffle blobs"
-    assert "_chips" in plan.split("BroadcastExchange")[1][:2000], (
-        "the broadcast side must be the grouped chip list, not the payload"
-    )
+    assert "BroadcastExchange" in plan
+    # SOME broadcast side must be the grouped chip list (other broadcasts —
+    # e.g. an auto-broadcast cell-cover side — may legitimately precede it)
+    assert any(
+        "_chips" in seg[:2000] for seg in plan.split("BroadcastExchange")[1:]
+    ), "the broadcast side must be the grouped chip list, not the payload"
 
     sh = rmo.chip_candidates(chips, img_light, payload, res=7, broadcast_pairs=False)
     a = bc.drop("bytes").toPandas().sort_values(["chip_id", "image_id"]).reset_index(drop=True)

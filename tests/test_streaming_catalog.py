@@ -174,22 +174,10 @@ def test_stateful_user_stats_cross_batch_matches_sequential_oracle(
         os.utime(p, (now + 10 * i, now + 10 * i))
         shutil.rmtree(str(d / f"_w{i}"))
 
-    s = stream_ev.read_events_stream(spark, str(d))
     # maxFilesPerTrigger=1 -> two genuine micro-batches, state carried across
-    s = spark.readStream.schema(stream_ev.EVENTS_SCHEMA).option(
-        "maxFilesPerTrigger", 1
-    ).parquet(str(d))
+    s = stream_ev.read_events_stream(spark, str(d), max_files_per_trigger=1)
     out = stream_ev.stateful_user_stats(s, alpha=0.3)
-    q = (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName("user_stats")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    stream_ev.run_to_memory(out, "user_stats", mode="update")
     got = spark.sql("SELECT * FROM user_stats").toPandas()
     # last update per user = the row with the highest running count
     final = got.sort_values("n").groupby("user_id").last()
@@ -208,3 +196,69 @@ def test_stateful_user_stats_cross_batch_matches_sequential_oracle(
     assert both, "fixture must have users spanning both batches"
     counts = got.groupby("user_id").size()
     assert all(counts[u] == 2 for u in both)
+
+
+def test_stateful_user_stats_null_values_do_not_poison(spark, tmp_path):
+    """A NULL value counts toward n but is excluded from sum/EWMA — one bad
+    event must not NaN the user's state forever."""
+    import math
+
+    import pandas as pd
+
+    rows = pd.DataFrame([
+        {"event_id": 1, "ts": pd.Timestamp("2024-01-01 00:00"), "user_id": 7,
+         "event_type": "a", "value": 2.0, "props": ""},
+        {"event_id": 2, "ts": pd.Timestamp("2024-01-01 01:00"), "user_id": 7,
+         "event_type": "a", "value": None, "props": ""},
+        {"event_id": 3, "ts": pd.Timestamp("2024-01-01 02:00"), "user_id": 7,
+         "event_type": "a", "value": 4.0, "props": ""},
+    ])
+    d = str(tmp_path / "ev")
+    spark.createDataFrame(rows, stream_ev.EVENTS_SCHEMA).coalesce(1).write.parquet(d)
+    out = stream_ev.stateful_user_stats(
+        stream_ev.read_events_stream(spark, d), alpha=0.5
+    )
+    stream_ev.run_to_memory(out, "null_stats", mode="update")
+    got = spark.sql("SELECT * FROM null_stats").toPandas().iloc[0]
+    assert int(got["n"]) == 3
+    assert got["sum_v"] == 6.0 and not math.isnan(got["sum_v"])
+    # fold over non-null values only: e = 0.5*4 + 0.5*2 = 3
+    assert got["ewma"] == 3.0
+
+
+def test_stateful_user_stats_deterministic_across_arrow_chunks(spark, tmp_path):
+    """A group larger than the Arrow chunk size arrives as SEVERAL pandas
+    chunks in arbitrary order — the fold must still follow global
+    (ts, event_id) order (the chunks are concatenated before one sort)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    n = 400
+    rows = pd.DataFrame({
+        "event_id": np.arange(n),
+        "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(
+            rng.permutation(n), unit="m"
+        ),
+        "user_id": 1,
+        "event_type": "a",
+        "value": rng.normal(size=n).round(3),
+        "props": "",
+    })
+    d = str(tmp_path / "ev")
+    spark.createDataFrame(rows, stream_ev.EVENTS_SCHEMA).coalesce(1).write.parquet(d)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        out = stream_ev.stateful_user_stats(
+            stream_ev.read_events_stream(spark, d), alpha=0.25
+        )
+        stream_ev.run_to_memory(out, "chunk_stats", mode="update")
+        got = spark.sql("SELECT * FROM chunk_stats").toPandas().iloc[0]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    e = None
+    for v in rows.sort_values(["ts", "event_id"])["value"].astype(float):
+        e = v if e is None else 0.25 * v + 0.75 * e
+    assert int(got["n"]) == n
+    np.testing.assert_allclose(got["ewma"], e, rtol=1e-12)
