@@ -833,6 +833,56 @@ def q60_image_mosaic_native_grid(spark, sf_dir):
     )
 
 
+def q61_chip_augment(spark, sf_dir):
+    """Training-data augmentation fan-out over real chip stacks: every
+    [H, W] time-step plane from q51's stack pipeline explodes into
+    flip/rotation copies via PURE native array gathers (no UDF, no shuffle
+    — plan-asserted in tests/test_augment.py), then per-plane checksums.
+    The JVM-side analogue of the reference adapter's torchvision transform
+    hook (`src/rasteret/integrations/torchgeo.py:292-299`)."""
+    from rasteret_spark.operators import augment as ag, chips, raster_mosaic as rmo
+
+    images = _images_df(spark)
+    img_light = images.select(
+        "image_id", "datetime",
+        F.col("xmin").alias("img_xmin"), F.col("ymin").alias("img_ymin"),
+        F.col("xmax").alias("img_xmax"), F.col("ymax").alias("img_ymax"),
+    )
+    grid = chips.chip_requests(spark, HOTSPOT_BBOX, CHIP_SIZE, CHIP_RES,
+                               stride=CHIP_STRIDE)
+    stack = chips.chip_serve(
+        grid, img_light, images.select("image_id", "datetime", "bytes"),
+        max_images_per_chip=4,
+    )
+    aug = ag.augment_chips(
+        stack.filter(F.col("status") == "ok"),
+        ops=("identity", "hflip", "vflip", "rot90"),
+    )
+    return aug.select(
+        "chip_id", "t_index", "band", "aug_op", "chip_w", "chip_h",
+        F.round(
+            F.aggregate(
+                F.filter(F.col("values"), lambda v: v.isNotNull()),
+                F.lit(0.0), lambda acc, v: acc + v,
+            ),
+            3,
+        ).alias("v_sum_r3"),
+        # position-sensitive checksum: proves the permutation actually moved
+        # pixels (plain sums are permutation-invariant)
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("values"),
+                    F.sequence(F.lit(1), F.size(F.col("values"))),
+                    lambda v, i: F.coalesce(v, F.lit(0.0)) * i.cast("double"),
+                ),
+                F.lit(0.0), lambda acc, v: acc + v,
+            ),
+            3,
+        ).alias("weighted_r3"),
+    )
+
+
 def q59_bpe_token_stats(spark, sf_dir):
     """BPE-ish regex tokenization (word/number/punct pieces) aggregated per
     source — the second tokenizer surface next to q17's whitespace counts."""
@@ -951,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_chip_serve": q53_chip_serve,
         "q54_image_mosaic_average": q54_image_mosaic_average,
         "q60_image_mosaic_native_grid": q60_image_mosaic_native_grid,
+        "q61_chip_augment": q61_chip_augment,
     }
 
 
