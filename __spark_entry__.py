@@ -840,7 +840,7 @@ def q61_chip_augment(spark, sf_dir):
     — plan-asserted in tests/test_augment.py), then per-plane checksums.
     The JVM-side analogue of the reference adapter's torchvision transform
     hook (`src/rasteret/integrations/torchgeo.py:292-299`)."""
-    from rasteret_spark.operators import augment as ag, chips, raster_mosaic as rmo
+    from rasteret_spark.operators import augment as ag, chips
 
     images = _images_df(spark)
     img_light = images.select(

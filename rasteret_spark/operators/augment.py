@@ -31,11 +31,19 @@ from pyspark.sql import functions as F  # noqa: N812
 
 def _gather(values: Column, n: Column, src_of: Column) -> Column:
     """new[i] = values[src_of(i)] for i in [0, n): a native permutation
-    gather (sequence + transform + element_at — no UDF)."""
-    return F.transform(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: F.element_at(values, src_of(i) + F.lit(1)),
-    )
+    gather (sequence + transform + element_at — no UDF).
+
+    Zero-area guard: ``sequence(0, n-1)`` with n=0 would yield ``[0, -1]``
+    (and the w=0 index math would divide by zero under ANSI), so an empty
+    chip maps to an empty array instead — conditional branches evaluate
+    lazily, the degenerate math never runs."""
+    return F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.element_at(values, src_of(i) + F.lit(1)),
+        ),
+    ).otherwise(F.array().cast("array<double>"))
 
 
 def hflip(values: Column, w: Column, h: Column) -> Column:
@@ -132,27 +140,38 @@ def augment_chips(
     applies the per-chip z-score AFTER the geometric op (geometric ops
     permute pixels, so the stats are identical either way — normalizing
     once post-explode is the cheap order).  Unknown op names raise
-    immediately."""
+    immediately.
+
+    SELF-COMPOSABLE: augmenting an already-augmented table composes the
+    provenance labels ("rot90+hflip") instead of duplicating the ``aug_op``
+    column — chaining passes is how the full 8-element dihedral group is
+    built from these generators."""
     unknown = [o for o in ops if o not in _GEOMETRIC]
     if unknown:
         raise ValueError(f"unknown augment ops {unknown}; have {sorted(_GEOMETRIC)}")
     v = F.col(values_col)
     w = F.col(w_col).cast("long")
     h = F.col(h_col).cast("long")
+    has_prev = "aug_op" in chips.columns
     branches = []
     for op in ops:
         fn = _GEOMETRIC[op]
         out_v = v if fn is None else fn(v, w, h)
         swap = op == "rot90"
+        label = (
+            F.concat(F.col("aug_op"), F.lit("+" + op)) if has_prev else F.lit(op)
+        )
         branches.append(
             F.struct(
-                F.lit(op).alias("aug_op"),
+                label.alias("aug_op"),
                 out_v.alias(values_col),
                 (F.col(h_col) if swap else F.col(w_col)).alias(w_col),
                 (F.col(w_col) if swap else F.col(h_col)).alias(h_col),
             )
         )
-    other = [c for c in chips.columns if c not in (values_col, w_col, h_col)]
+    other = [
+        c for c in chips.columns if c not in (values_col, w_col, h_col, "aug_op")
+    ]
     out = (
         chips.withColumn("_aug", F.explode(F.array(*branches)))
         .select(

@@ -143,3 +143,39 @@ def test_augment_composes_with_chip_stack_rows(spark, images_pdf):
     assert {"image_id", "t_index", "grid_epsg"} <= set(aug.columns)
     for _, r in aug.iterrows():
         assert len(r["values"]) == 16 * 16
+
+
+def test_zero_area_chip_yields_empty_array_not_error(spark):
+    """sequence(0, -1) would yield [0,-1] and w=0 math would divide by zero
+    under ANSI — degenerate chips must come back as empty arrays."""
+    df = spark.createDataFrame(
+        pd.DataFrame([
+            {"chip_id": "z", "values": [], "chip_w": 0, "chip_h": 0},
+            {"chip_id": "ok", "values": [1.0, 2.0], "chip_w": 2, "chip_h": 1},
+        ]),
+        "chip_id string, values array<double>, chip_w int, chip_h int",
+    )
+    got = ag.augment_chips(df, ops=("hflip", "rot90")).toPandas()
+    z = got[got["chip_id"] == "z"]
+    assert len(z) == 2 and all(len(v) == 0 for v in z["values"])
+    okr = got[(got["chip_id"] == "ok") & (got["aug_op"] == "hflip")].iloc[0]
+    assert list(okr["values"]) == [2.0, 1.0]
+
+
+def test_augment_is_self_composable_with_provenance(spark):
+    """Chaining passes composes labels ('rot90+hflip') instead of
+    duplicating the aug_op column — the dihedral group builds by chaining."""
+    df, rows = _chips_df(spark, with_null=False)
+    twice = ag.augment_chips(
+        ag.augment_chips(df, ops=("rot90",)), ops=("identity", "hflip")
+    )
+    assert twice.columns.count("aug_op") == 1
+    pdf = twice.toPandas()
+    assert set(pdf["aug_op"]) == {"rot90+identity", "rot90+hflip"}
+    # rot90 then hflip == transpose: verify against numpy on one chip
+    r = rows[0]
+    src = _np_of(r["values"], r["chip_h"], r["chip_w"])
+    want = np.rot90(src, k=-1)[:, ::-1]
+    row = pdf[(pdf["chip_id"] == r["chip_id"]) & (pdf["aug_op"] == "rot90+hflip")].iloc[0]
+    got = _np_of(row["values"], row["chip_h"], row["chip_w"])
+    np.testing.assert_array_equal(got, want)

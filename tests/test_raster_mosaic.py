@@ -276,11 +276,35 @@ def test_payload_join_grouped_broadcast_vs_shuffle_parity(spark, images_pdf):
     plan = bc._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan, "broadcast path must not shuffle blobs"
     assert "BroadcastExchange" in plan
+
+    def broadcast_subtrees(p: str) -> list[str]:
+        """Text of each BroadcastExchange node's OWN subtree (indent-based
+        walk — a flat [:N]-char window would bleed into sibling nodes)."""
+        lines = p.splitlines()
+        depth = [len(ln) - len(ln.lstrip(" :+-")) for ln in lines]
+        out = []
+        for i, ln in enumerate(lines):
+            if "BroadcastExchange" not in ln:
+                continue
+            sub = [ln]
+            for j in range(i + 1, len(lines)):
+                if depth[j] <= depth[i]:
+                    break
+                sub.append(lines[j])
+            out.append("\n".join(sub))
+        return out
+
+    subs = broadcast_subtrees(plan)
     # SOME broadcast side must be the grouped chip list (other broadcasts —
-    # e.g. an auto-broadcast cell-cover side — may legitimately precede it)
-    assert any(
-        "_chips" in seg[:2000] for seg in plan.split("BroadcastExchange")[1:]
-    ), "the broadcast side must be the grouped chip list, not the payload"
+    # e.g. an auto-broadcast cell-cover side — may legitimately exist)...
+    assert any("_chips" in s for s in subs), (
+        "the broadcast side must be the grouped chip list"
+    )
+    # ...and NO broadcast side may carry the blob payload (the regression
+    # this plan test exists to catch: duplicating bytes across executors)
+    assert not any("bytes#" in s for s in subs), (
+        "the payload must never be broadcast"
+    )
 
     sh = rmo.chip_candidates(chips, img_light, payload, res=7, broadcast_pairs=False)
     a = bc.drop("bytes").toPandas().sort_values(["chip_id", "image_id"]).reset_index(drop=True)
