@@ -74,7 +74,13 @@ def timed_min(
     max_repeats: int | None = None,
 ):
     """min wall over >= ``repeats`` quiet reps (see module docstring).
-    Returns (best_wall, last_result, n_contended)."""
+    Returns (best_wall, last_result, n_contended).
+
+    Only QUIET reps (ext_cores <= ext_max) fold into the reported minimum;
+    contended walls stay in ``rep_log`` as evidence.  If every rep came back
+    contended (max_repeats exhausted with zero quiet reps), the min over the
+    contended walls is returned as a last resort — callers see that case via
+    ``n_contended == len(rep_log[label])``."""
     max_repeats = (repeats + 3) if max_repeats is None else max_repeats
     best, result = float("inf"), None
     reps: list = []
@@ -84,8 +90,10 @@ def timed_min(
         reps.append([round(wall, 3), round(ext_cores, 1)])
         if ext_cores <= ext_max:
             quiet += 1
+            best = min(best, wall)
         else:
             contended += 1
-        best = min(best, wall)
+    if best == float("inf") and reps:  # nothing quiet: disclose, don't crash
+        best = min(r[0] for r in reps)
     rep_log[label] = reps
     return best, result, contended

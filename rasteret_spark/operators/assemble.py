@@ -22,6 +22,19 @@ import numpy as np
 def _attrs(row) -> dict:
     from rasteret_spark import crs as _crs
 
+    # augmented rows (flip/rot) carry nulled georeferencing by contract
+    # (operators/augment.py): refuse loudly instead of emitting a transform
+    # that maps the wrong pixels
+    try:
+        aug = row["aug_op"]
+    except (KeyError, ValueError, IndexError, TypeError):
+        aug = None
+    if aug is not None and aug != "identity":
+        raise ValueError(
+            f"row carries aug_op={aug!r}: geometric augmentation invalidates "
+            "the north-up georeferencing; assemble only accepts identity or "
+            "un-augmented rows"
+        )
     epsg = int(row["grid_epsg"])
     try:
         wkt = _crs.crs_wkt(epsg)

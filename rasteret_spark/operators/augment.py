@@ -122,6 +122,11 @@ _GEOMETRIC = {
     "rot180": rot180,
 }
 
+# north-up affine + CRS columns that stop describing the pixels once a
+# non-identity geometric op permutes them (`augment_chips` nulls these on
+# those branches; `assemble._attrs` refuses augmented rows outright)
+GEOREF_COLS = ("chip_xmin", "chip_ymax", "chip_xres", "chip_yres", "grid_epsg")
+
 
 def augment_chips(
     chips: DataFrame,
@@ -136,7 +141,14 @@ def augment_chips(
     inline explode over the op list — no shuffle, no Python).
 
     Adds ``aug_op`` (string); ``rot90`` swaps the ``chip_w``/``chip_h``
-    columns so downstream reshapes stay correct.  ``normalize_values``
+    columns so downstream reshapes stay correct.  Georeferencing columns
+    (``chip_xmin/chip_ymax/chip_xres/chip_yres/grid_epsg``), when present,
+    are NULLED on every non-identity branch: a flipped or rotated pixel
+    array is no longer described by the north-up affine those columns
+    encode, and passing them through unchanged would let ``assemble`` emit a
+    transform that silently georeferences the wrong pixels (``assemble``
+    additionally refuses rows whose ``aug_op`` is not identity).
+    ``normalize_values``
     applies the per-chip z-score AFTER the geometric op (geometric ops
     permute pixels, so the stats are identical either way — normalizing
     once post-explode is the cheap order).  Unknown op names raise
@@ -153,6 +165,8 @@ def augment_chips(
     w = F.col(w_col).cast("long")
     h = F.col(h_col).cast("long")
     has_prev = "aug_op" in chips.columns
+    dtypes = dict(chips.dtypes)
+    geo_cols = [c for c in GEOREF_COLS if c in chips.columns]
     branches = []
     for op in ops:
         fn = _GEOMETRIC[op]
@@ -161,16 +175,23 @@ def augment_chips(
         label = (
             F.concat(F.col("aug_op"), F.lit("+" + op)) if has_prev else F.lit(op)
         )
+        geo_fields = [
+            (F.col(c) if op == "identity" else F.lit(None).cast(dtypes[c])).alias(c)
+            for c in geo_cols
+        ]
         branches.append(
             F.struct(
                 label.alias("aug_op"),
                 out_v.alias(values_col),
                 (F.col(h_col) if swap else F.col(w_col)).alias(w_col),
                 (F.col(w_col) if swap else F.col(h_col)).alias(h_col),
+                *geo_fields,
             )
         )
     other = [
-        c for c in chips.columns if c not in (values_col, w_col, h_col, "aug_op")
+        c
+        for c in chips.columns
+        if c not in (values_col, w_col, h_col, "aug_op", *geo_cols)
     ]
     out = (
         chips.withColumn("_aug", F.explode(F.array(*branches)))
@@ -180,6 +201,7 @@ def augment_chips(
             F.col(f"_aug.{values_col}").alias(values_col),
             F.col(f"_aug.{w_col}").alias(w_col),
             F.col(f"_aug.{h_col}").alias(h_col),
+            *[F.col(f"_aug.{c}").alias(c) for c in geo_cols],
         )
     )
     return normalize_chips(out, values_col) if normalize_values else out

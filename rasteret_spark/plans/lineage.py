@@ -101,6 +101,38 @@ def _log_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "_lineage")
 
 
+def _adopt_legacy_data_dir(
+    spark: SparkSession, out_dir: str, data_dir: str, stage: str
+) -> None:
+    """Pre-stage-scoping layout guard.  Checkpoint data used to live at
+    ``out_dir/data``; resuming a partially-complete legacy dir against the
+    new ``data-<stage>`` path would SKIP the log-complete buckets while
+    their rows sit unread in the old location — silently missing data.
+
+    If the legacy dir exists with log rows: adopt it (rename into the
+    stage-scoped path) when unambiguous — the log names exactly this one
+    stage and no stage-scoped dir exists yet — otherwise raise loudly."""
+    legacy = os.path.join(out_dir, "data")
+    if not os.path.isdir(legacy):
+        return
+    log_path = _log_dir(out_dir)
+    stages: set[str] = set()
+    if os.path.isdir(log_path) and os.listdir(log_path):
+        log = spark.read.schema(LOG_SCHEMA).json(log_path)
+        stages = {r.stage for r in log.select("stage").distinct().collect()}
+    if not stages:  # data without any log rows: nothing resumable to lose
+        return
+    if stages == {stage} and not os.path.exists(data_dir):
+        os.rename(legacy, data_dir)
+        return
+    raise ValueError(
+        f"resume dir {out_dir!r} holds a legacy 'data' directory with "
+        f"completed log rows for stages {sorted(stages)}; rename it to "
+        f"'data-<stage>' (requested stage: {stage!r}) or use a fresh "
+        "directory — resuming against it silently drops completed buckets"
+    )
+
+
 def completed_parts(spark: SparkSession, out_dir: str, stage: str) -> set[int]:
     path = _log_dir(out_dir)
     if not os.path.exists(path) or not os.listdir(path):
@@ -140,6 +172,7 @@ def checkpointed_run(
     res, bucket count) is a loud error instead of silently returning rows
     computed under the old parameters."""
     data_dir = os.path.join(out_dir, f"data-{stage}")
+    _adopt_legacy_data_dir(spark, out_dir, data_dir, stage)
     os.makedirs(_log_dir(out_dir), exist_ok=True)
     if params is not None:
         fingerprint = json.dumps(

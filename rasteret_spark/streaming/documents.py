@@ -127,6 +127,85 @@ def _has_legacy_flat_files(spark: SparkSession, seen_dir: str) -> bool:
     )
 
 
+def _swap_into_place(spark: SparkSession, seen_dir: str, tmp_dir: str) -> None:
+    """Crash-safe store swap: aside-rename the live store, promote the fully
+    written tmp dir, then drop the aside copy.  Unlike delete-then-rename,
+    a crash at ANY step leaves a complete copy of the hashes on disk under a
+    deterministic sibling path that ``recover_seen_store`` repairs — never a
+    window where the only surviving data is an orphan the reader ignores
+    (which would silently re-emit every previously-seen document)."""
+    fs, p, jvm = _hadoop_fs(spark, seen_dir)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    old = hpath(seen_dir.rstrip("/") + ".old")
+    if fs.exists(old):  # stale aside from an already-recovered crash
+        fs.delete(old, True)
+    if fs.exists(p):
+        fs.rename(p, old)
+    fs.rename(hpath(tmp_dir), p)
+    if fs.exists(old):
+        fs.delete(old, True)
+
+
+def recover_seen_store(spark: SparkSession, seen_dir: str) -> str | None:
+    """Detect and repair an interrupted ``_swap_into_place`` (or a partial
+    migrate/compact rewrite).  Safe to call any time the store is quiescent;
+    runs automatically before the first micro-batch touches a store.
+
+    Cases (tmp is ``<seen_dir>.migrate`` or ``<seen_dir>.compact``):
+      * live store missing + tmp COMPLETE (has ``_SUCCESS``): the crash hit
+        between aside-rename and promote -> promote tmp, drop ``.old``;
+      * live store present (or tmp partial): tmp is dead weight from an
+        interrupted rewrite -> drop it (the next migrate/compact rebuilds it
+        from the live store);
+      * live store missing + only ``.old`` remains: restore the aside copy;
+      * stale ``.old`` beside a live store: drop it.
+    Returns a short description of the action taken, or None."""
+    fs, p, jvm = _hadoop_fs(spark, seen_dir)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    old = hpath(seen_dir.rstrip("/") + ".old")
+    for suffix in (".migrate", ".compact"):
+        tmp = hpath(seen_dir.rstrip("/") + suffix)
+        if not fs.exists(tmp):
+            continue
+        complete = fs.exists(hpath(str(tmp) + "/_SUCCESS"))
+        if complete and not fs.exists(p):
+            fs.rename(tmp, p)
+            if fs.exists(old):
+                fs.delete(old, True)
+            return f"promoted complete {suffix} dir"
+        fs.delete(tmp, True)
+        return f"dropped {'stale' if complete else 'partial'} {suffix} dir"
+    if fs.exists(old):
+        if not fs.exists(p):
+            fs.rename(old, p)
+            return "restored .old aside copy"
+        fs.delete(old, True)
+        return "dropped stale .old aside copy"
+    return None
+
+
+# seen_dirs already recovered + legacy-checked by THIS driver process: the
+# crash-recovery probe and the legacy-layout listing are once-per-store
+# concerns, not per-micro-batch ones (at 1 s triggers against S3A the
+# per-batch listStatus is a needless RPC).  Keyed by the store path; tests
+# reset via ``_STORE_READY.clear()``.
+_STORE_READY: set[str] = set()
+
+
+def ensure_store_ready(
+    spark: SparkSession, seen_dir: str, n_buckets: int = DEFAULT_SEEN_BUCKETS
+) -> None:
+    """Once per (driver process, seen_dir): recover any interrupted swap,
+    then migrate a pre-bucketing flat layout.  Subsequent calls are a set
+    lookup."""
+    if seen_dir in _STORE_READY:
+        return
+    recover_seen_store(spark, seen_dir)
+    if _has_legacy_flat_files(spark, seen_dir):
+        migrate_legacy_seen_store(spark, seen_dir, n_buckets=n_buckets)
+    _STORE_READY.add(seen_dir)
+
+
 def migrate_legacy_seen_store(
     spark: SparkSession, seen_dir: str, n_buckets: int = DEFAULT_SEEN_BUCKETS
 ) -> None:
@@ -136,7 +215,8 @@ def migrate_legacy_seen_store(
     previously-seen document would silently re-emit as a duplicate — and the
     first bucketed append would leave a mixed-depth directory that breaks
     partition discovery.  Called automatically at batch start; two-phase
-    write + Hadoop FS swap like ``compact_seen_store``."""
+    write + crash-safe ``_swap_into_place`` (recoverable at every step via
+    ``recover_seen_store``)."""
     flat = spark.read.schema("content_hash bigint").parquet(seen_dir)
     bucketed = flat.withColumn(
         "_bucket", F.pmod(F.col("content_hash"), F.lit(int(n_buckets))).cast("int")
@@ -148,9 +228,7 @@ def migrate_legacy_seen_store(
         .partitionBy("_bucket")
         .parquet(tmp_dir)
     )
-    fs, p, jvm = _hadoop_fs(spark, seen_dir)
-    fs.delete(p, True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp_dir), p)
+    _swap_into_place(spark, seen_dir, tmp_dir)
 
 
 def read_seen_store(spark: SparkSession, seen_dir: str) -> DataFrame:
@@ -212,8 +290,7 @@ def process_batch(
     overwrites its own output partition and only re-appends hashes."""
     from pyspark.sql import Window
 
-    if _has_legacy_flat_files(spark, seen_dir):
-        migrate_legacy_seen_store(spark, seen_dir, n_buckets=n_buckets)
+    ensure_store_ready(spark, seen_dir, n_buckets=n_buckets)
     w = Window.partitionBy("content_hash").orderBy(F.col("doc_id").asc())
     # persist the in-batch-deduped rows BEFORE the bucket-id collect inside
     # survivors_against_seen — otherwise the enrich + window pipeline runs
@@ -259,6 +336,7 @@ def compact_seen_store(
     path, then swap via the Hadoop FileSystem API (portable across local FS,
     HDFS, S3A — no driver-local file ops).  The swap window is not atomic on
     object stores; that is acceptable for an offline maintenance helper."""
+    recover_seen_store(spark, seen_dir)  # offline helper: always re-probe
     if _has_legacy_flat_files(spark, seen_dir):  # pre-bucketing layout
         migrate_legacy_seen_store(spark, seen_dir, n_buckets=n_buckets)
     compacted = (
@@ -283,7 +361,70 @@ def compact_seen_store(
         .parquet(tmp_dir)
     )
     n = spark.read.schema(SEEN_SCHEMA).parquet(tmp_dir).count()
-    fs, p, jvm = _hadoop_fs(spark, seen_dir)
-    fs.delete(p, True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp_dir), p)
+    _swap_into_place(spark, seen_dir, tmp_dir)
     return int(n)
+
+
+def seen_store_stats(
+    spark: SparkSession, seen_dir: str, exact: bool = False
+) -> dict:
+    """Operational stats for a seen store, cheap enough to poll: row counts
+    come from parquet FOOTER metadata (a count() with no filter never scans
+    data pages), file counts/bytes from one recursive Hadoop FS listing.
+    Operators use the per-bucket ``files`` counts to schedule
+    ``compact_seen_store`` (append-only streams accrete one small file per
+    touched bucket per micro-batch).
+
+    Returns ``{"exists", "n_rows", "n_buckets", "buckets": {bucket: {"rows",
+    "files", "bytes"}}, "legacy_flat", "n_distinct"?}``; ``n_distinct`` (and
+    the rows-minus-distinct compaction headroom it implies) only when
+    ``exact=True`` — that one is a real aggregation over the store."""
+    fs, p, _ = _hadoop_fs(spark, seen_dir)
+    if not fs.exists(p):
+        return {"exists": False, "n_rows": 0, "n_buckets": 0, "buckets": {},
+                "legacy_flat": False}
+    buckets: dict[int, dict] = {}
+    legacy = False
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("_bucket="):
+            b = int(name.split("=", 1)[1])
+            files = nbytes = 0
+            for f in fs.listStatus(st.getPath()):
+                if f.getPath().getName().endswith(".parquet"):
+                    files += 1
+                    nbytes += int(f.getLen())
+            buckets[b] = {"files": files, "bytes": nbytes}
+        elif not st.isDirectory() and name.endswith(".parquet"):
+            legacy = True
+    per_bucket_rows = {
+        int(r["_bucket"]): int(r["n"])
+        for r in (
+            spark.read.schema(SEEN_SCHEMA)
+            .parquet(seen_dir)
+            .groupBy("_bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        if r["_bucket"] is not None
+    }
+    for b, rows in per_bucket_rows.items():
+        buckets.setdefault(b, {"files": 0, "bytes": 0})["rows"] = rows
+    for b in buckets:
+        buckets[b].setdefault("rows", 0)
+    out = {
+        "exists": True,
+        "n_rows": sum(per_bucket_rows.values()),
+        "n_buckets": len(buckets),
+        "buckets": buckets,
+        "legacy_flat": legacy,
+    }
+    if exact:
+        out["n_distinct"] = int(
+            spark.read.schema(SEEN_SCHEMA)
+            .parquet(seen_dir)
+            .select("content_hash")
+            .distinct()
+            .count()
+        )
+    return out

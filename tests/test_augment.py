@@ -179,3 +179,39 @@ def test_augment_is_self_composable_with_provenance(spark):
     row = pdf[(pdf["chip_id"] == r["chip_id"]) & (pdf["aug_op"] == "rot90+hflip")].iloc[0]
     got = _np_of(row["values"], row["chip_h"], row["chip_w"])
     np.testing.assert_array_equal(got, want)
+
+
+def test_non_identity_ops_null_georef_and_assemble_refuses(spark):
+    """Flipped/rotated pixels are no longer described by the north-up affine:
+    the georef columns null out on non-identity branches (identity keeps
+    them), and assemble refuses augmented rows outright."""
+    from rasteret_spark.operators import assemble
+
+    chips = spark.createDataFrame(
+        pd.DataFrame([{
+            "chip_id": "c", "values": [1.0, 2.0, 3.0, 4.0],
+            "chip_w": 2, "chip_h": 2,
+            "chip_xmin": 10.0, "chip_ymax": 50.0,
+            "chip_xres": 0.5, "chip_yres": 0.5, "grid_epsg": 4326,
+        }]),
+        "chip_id string, values array<double>, chip_w int, chip_h int, "
+        "chip_xmin double, chip_ymax double, chip_xres double, "
+        "chip_yres double, grid_epsg int",
+    )
+    aug = ag.augment_chips(chips, ops=("identity", "hflip", "rot90")).toPandas()
+    ident = aug[aug["aug_op"] == "identity"].iloc[0]
+    assert ident["chip_xmin"] == 10.0 and ident["grid_epsg"] == 4326
+    for op in ("hflip", "rot90"):
+        r = aug[aug["aug_op"] == op].iloc[0]
+        for c in ag.GEOREF_COLS:
+            assert pd.isna(r[c]), f"{op} must null {c}"
+        with pytest.raises(ValueError, match="aug_op"):
+            assemble._attrs(r)
+    # identity rows still assemble
+    attrs = assemble._attrs(ident)
+    assert attrs["transform"][2] == 10.0 and attrs["epsg"] == 4326
+    # composition keeps the invalidation: identity-then-flip nulls too
+    twice = ag.augment_chips(
+        ag.augment_chips(chips, ops=("identity",)), ops=("hflip",)
+    ).toPandas().iloc[0]
+    assert twice["aug_op"] == "identity+hflip" and pd.isna(twice["chip_xmin"])

@@ -187,3 +187,40 @@ def test_param_fingerprint_mismatch_is_loud(spark, workdir):
         n_parts=4, params={"ring": 0},
     )
     assert out.count() == 100
+
+
+def test_legacy_flat_data_dir_is_adopted_on_resume(spark, workdir):
+    """Pre-stage-scoping checkpoints stored rows at out_dir/data.  Resuming
+    one must ADOPT that dir into data-<stage> (when the log names exactly
+    the one stage) instead of silently resuming against an empty new dir —
+    which would skip the logged buckets while their rows sit unread."""
+    df = spark.range(0, 400).select(
+        F.col("id").alias("key"), (F.col("id") % 5).alias("value")
+    )
+    lineage.checkpointed_run(
+        spark, df, _transform, workdir, key_col="key", stage="s1", n_parts=8
+    )
+    os.rename(os.path.join(workdir, "data-s1"), os.path.join(workdir, "data"))
+    out = lineage.checkpointed_run(
+        spark, df, _transform, workdir, key_col="key", stage="s1", n_parts=8
+    )
+    assert out.count() == 400  # all rows visible, nothing re-run
+    assert lineage.read_log(spark, workdir).count() == 8  # no new log rows
+    assert os.path.isdir(os.path.join(workdir, "data-s1"))
+    assert not os.path.exists(os.path.join(workdir, "data"))
+
+
+def test_legacy_data_dir_with_ambiguous_stage_raises(spark, workdir):
+    """A legacy data dir whose log rows belong to a DIFFERENT stage (or to
+    several) cannot be adopted safely — loud error, not silent data loss."""
+    df = spark.range(0, 100).select(
+        F.col("id").alias("key"), (F.col("id") % 5).alias("value")
+    )
+    lineage.checkpointed_run(
+        spark, df, _transform, workdir, key_col="key", stage="s1", n_parts=4
+    )
+    os.rename(os.path.join(workdir, "data-s1"), os.path.join(workdir, "data"))
+    with pytest.raises(ValueError, match="legacy 'data' directory"):
+        lineage.checkpointed_run(
+            spark, df, _transform, workdir, key_col="key", stage="s2", n_parts=4
+        )

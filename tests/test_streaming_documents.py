@@ -240,3 +240,88 @@ def test_legacy_flat_seen_store_migrates_and_still_dedups(spark, tmp_path):
     store = spark.read.schema(sd.SEEN_SCHEMA).parquet(seen).toPandas()
     assert store["_bucket"].notna().all()
     assert (store["_bucket"] == store["content_hash"] % 8).all()
+
+
+def test_interrupted_migration_swap_recovers(spark, tmp_path):
+    """Crash between aside-rename and promote: the store exists only at
+    <seen>.migrate (+ the .old aside).  recover_seen_store must promote the
+    complete migrate dir — previously-seen hashes still dedup afterwards."""
+    import os
+
+    out, seen = str(tmp_path / "out"), str(tmp_path / "seen")
+    sd.process_batch(spark, _mini_batch(spark, [(1, "aa bb"), (2, "cc dd")]),
+                     0, out, seen, n_buckets=8)
+    # simulate the crash window of the OLD delete/rename protocol's fix:
+    # a fully-written tmp dir beside an aside-renamed live store
+    store = spark.read.schema(sd.SEEN_SCHEMA).parquet(seen)
+    store.write.mode("overwrite").partitionBy("_bucket").parquet(seen + ".migrate")
+    os.rename(seen, seen + ".old")
+    assert not os.path.exists(seen)
+    action = sd.recover_seen_store(spark, seen)
+    assert action == "promoted complete .migrate dir"
+    assert os.path.exists(seen) and not os.path.exists(seen + ".old")
+    assert not os.path.exists(seen + ".migrate")
+    # the recovered store still dedups: replaying the same texts emits nothing
+    sd._STORE_READY.clear()
+    sd.process_batch(spark, _mini_batch(spark, [(9, "aa bb"), (10, "cc dd")]),
+                     1, out, seen, n_buckets=8)
+    docs = spark.read.parquet(out).toPandas()
+    assert sorted(docs["doc_id"]) == [1, 2]
+
+
+def test_partial_migrate_dir_is_dropped_and_old_restored(spark, tmp_path):
+    """A tmp dir without _SUCCESS is a partial write: recovery drops it and,
+    when the live store is gone, restores the .old aside copy."""
+    import os
+
+    out, seen = str(tmp_path / "out"), str(tmp_path / "seen")
+    sd.process_batch(spark, _mini_batch(spark, [(1, "aa bb")]), 0, out, seen,
+                     n_buckets=8)
+    os.makedirs(seen + ".migrate")
+    with open(seen + ".migrate/part-00000.parquet", "wb") as f:
+        f.write(b"partial")  # no _SUCCESS marker
+    assert sd.recover_seen_store(spark, seen) == "dropped partial .migrate dir"
+    assert not os.path.exists(seen + ".migrate")
+    os.rename(seen, seen + ".old")
+    assert sd.recover_seen_store(spark, seen) == "restored .old aside copy"
+    assert os.path.exists(seen)
+    assert sd.recover_seen_store(spark, seen) is None  # clean store: no-op
+
+
+def test_legacy_probe_runs_once_per_store(spark, tmp_path, monkeypatch):
+    """The crash-recovery + legacy-layout probes are once-per-(process,
+    store), not once-per-micro-batch (each is a metadata RPC against the
+    store's filesystem at every trigger otherwise)."""
+    out, seen = str(tmp_path / "out"), str(tmp_path / "seen")
+    calls = {"n": 0}
+    real = sd._has_legacy_flat_files
+
+    def counting(spark_, seen_dir):
+        calls["n"] += 1
+        return real(spark_, seen_dir)
+
+    monkeypatch.setattr(sd, "_has_legacy_flat_files", counting)
+    sd._STORE_READY.clear()
+    for i, text in enumerate(["aa", "bb", "cc"]):
+        sd.process_batch(spark, _mini_batch(spark, [(i, text)]), i, out, seen,
+                         n_buckets=8)
+    assert calls["n"] == 1
+
+
+def test_seen_store_stats(spark, tmp_path):
+    out, seen = str(tmp_path / "out"), str(tmp_path / "seen")
+    assert sd.seen_store_stats(spark, seen) == {
+        "exists": False, "n_rows": 0, "n_buckets": 0, "buckets": {},
+        "legacy_flat": False,
+    }
+    texts = [(i, f"text number {i}") for i in range(20)]
+    sd.process_batch(spark, _mini_batch(spark, texts), 0, out, seen, n_buckets=4)
+    # append a duplicate hash row (replayed append) for the exact count to dedup
+    store = spark.read.schema(sd.SEEN_SCHEMA).parquet(seen)
+    store.limit(1).write.mode("append").partitionBy("_bucket").parquet(seen)
+    stats = sd.seen_store_stats(spark, seen, exact=True)
+    assert stats["exists"] and not stats["legacy_flat"]
+    assert stats["n_rows"] == 21 and stats["n_distinct"] == 20
+    assert set(stats["buckets"]) <= {0, 1, 2, 3}
+    assert sum(b["rows"] for b in stats["buckets"].values()) == 21
+    assert all(b["files"] >= 1 and b["bytes"] > 0 for b in stats["buckets"].values())
