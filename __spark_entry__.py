@@ -883,6 +883,46 @@ def q61_chip_augment(spark, sf_dir):
     )
 
 
+def q62_tiff_enrich_zonal(spark, sf_dir):
+    """Real-container path: a table of GeoTIFF/BigTIFF blobs (mixed classic/
+    BigTIFF, LE/BE, tiled/stripped, none/deflate/packbits/LZW, predictors
+    1/2/3, PixelIsPoint rows) runs the SAME header-cache enrichment + bbox
+    join + zonal pipeline as the mini-raster container — the reference's
+    core asset re-expressed (`src/rasteret/fetch/header_parser.py:33-657`,
+    fixtures validated offline in tests/test_tiff.py).  Emits per-(image,
+    aoi, band) zonal stats joined with the parsed header facts."""
+    from rasteret_spark.operators import decode
+    from rasteret_spark.operators import spatial_join as sj
+    from rasteret_spark.operators.enrich import enrich_headers
+    from rasteret_spark.sources import synthetic as syn
+
+    images = syn.spark_tiff_images_df(spark, 96)
+    enriched = enrich_headers(images).select(
+        "image_id", "meta.container", "meta.byte_order",
+        F.col("meta.compression").alias("codec"), "meta.predictor",
+    )
+    img_light = images.select(
+        "image_id",
+        F.col("xmin").alias("img_xmin"), F.col("ymin").alias("img_ymin"),
+        F.col("xmax").alias("img_xmax"), F.col("ymax").alias("img_ymax"),
+    )
+    aoi = spark.createDataFrame(syn.aois_table(40).to_pandas()).select(
+        "aoi_id", F.col("geometry").alias("aoi_geometry"),
+        F.col("xmin").alias("aoi_xmin"), F.col("ymin").alias("aoi_ymin"),
+        F.col("xmax").alias("aoi_xmax"), F.col("ymax").alias("aoi_ymax"),
+    )
+    cands = sj.bbox_join(img_light, aoi, res=7)
+    refined = sj.refine_rect_polygon(cands).filter(F.col("intersects")).select(
+        "image_id", "aoi_id", "aoi_geometry",
+        "aoi_xmin", "aoi_ymin", "aoi_xmax", "aoi_ymax",
+    )
+    zs = decode.zonal_stats(refined, images.select("image_id", "bytes", "caption"))
+    return zs.join(F.broadcast(enriched), "image_id").select(
+        "image_id", "aoi_id", "band", "container", "byte_order", "codec",
+        "predictor", "px_count", "valid_count", "v_mean", "status",
+    )
+
+
 def q59_bpe_token_stats(spark, sf_dir):
     """BPE-ish regex tokenization (word/number/punct pieces) aggregated per
     source — the second tokenizer surface next to q17's whitespace counts."""
@@ -1002,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_image_mosaic_average": q54_image_mosaic_average,
         "q60_image_mosaic_native_grid": q60_image_mosaic_native_grid,
         "q61_chip_augment": q61_chip_augment,
+        "q62_tiff_enrich_zonal": q62_tiff_enrich_zonal,
     }
 
 

@@ -56,7 +56,11 @@ PRED_HORIZONTAL = 2  # TIFF predictor 2: per-row sample differencing
 PRED_FLOAT = 3  # TIFF predictor 3: byte-shuffle + per-row byte differencing
 
 # --- dtype codes -------------------------------------------------------------
-DTYPES = ["uint8", "uint16", "uint32", "int16", "int32", "float32", "float64"]
+# append-only: codes are persisted in written headers, order must not change.
+# int8/float16 exist for the TIFF container (SampleFormat x BitsPerSample
+# combinations real GeoTIFFs use, e.g. the reference's fp16/i8 fixtures).
+DTYPES = ["uint8", "uint16", "uint32", "int16", "int32", "float32", "float64",
+          "int8", "float16"]
 DTYPE_CODE = {name: i for i, name in enumerate(DTYPES)}
 CODE_DTYPE = {i: np.dtype(name) for i, name in enumerate(DTYPES)}
 
@@ -157,7 +161,11 @@ def lzw_encode(data: bytes) -> bytes:
         emit(table[w], width)
         table[wb] = next_code
         next_code += 1
-        if next_code == (1 << width) - 1 and width < 12:  # early change
+        # libtiff-compatible width accounting (verified against real-world
+        # LZW fixtures): the encoder widens once the next code to assign no
+        # longer fits the current width; the decoder — whose table lags one
+        # entry behind — widens at (1<<width)-1 (its "early change")
+        if next_code == (1 << width) and width < 12:
             width += 1
         if next_code >= _LZW_MAX:
             emit(_LZW_CLEAR, width)
@@ -215,9 +223,11 @@ def lzw_decode(data: bytes, expected: int) -> bytes:
         out.extend(entry)
         prev = entry
         # the decoder's table lags the encoder's by one entry (it only
-        # completes entry e_{k-1} while processing code_k), so it must grow
-        # the width one entry EARLIER than the encoder's (1<<width)-1 rule
-        if len(table) == (1 << width) - 2 and width < 12:
+        # completes entry e_{k-1} while processing code_k), so it grows the
+        # width one entry earlier than the encoder's (1<<width) rule — the
+        # boundary real-world writers (libtiff et al.) expect, verified
+        # against the LZW fixtures under /root/reference/fixtures
+        if len(table) == (1 << width) - 1 and width < 12:
             width += 1
     return bytes(out[:expected])
 
@@ -228,6 +238,15 @@ def apply_predictor(tile: np.ndarray, predictor: int) -> bytes:
     if predictor == PRED_NONE:
         return np.ascontiguousarray(tile).tobytes()
     if predictor == PRED_HORIZONTAL:
+        if tile.dtype.kind == "f":
+            # integer differencing operates on the raw bit patterns for
+            # float samples (real-world TIFF writer behavior, verified
+            # against the fp16 pred2/pred3 fixture pair which holds the
+            # same array under both predictors)
+            iv = np.ascontiguousarray(tile).view(f"u{tile.dtype.itemsize}")
+            d = iv.copy()
+            d[:, 1:] = iv[:, 1:] - iv[:, :-1]
+            return np.ascontiguousarray(d).tobytes()
         d = tile.copy()
         d[:, 1:] = tile[:, 1:] - tile[:, :-1]  # wraps naturally for ints
         return np.ascontiguousarray(d).tobytes()
@@ -248,6 +267,11 @@ def undo_predictor(buf: bytes, predictor: int, dtype: np.dtype, h: int, w: int) 
     if predictor == PRED_NONE:
         return np.frombuffer(buf, dtype=dtype).reshape(h, w).copy()
     if predictor == PRED_HORIZONTAL:
+        if dtype.kind == "f":  # undo bit-pattern differencing (see encoder)
+            ui = np.dtype(f"u{dtype.itemsize}").newbyteorder(dtype.byteorder)
+            d = np.frombuffer(buf, dtype=ui).reshape(h, w).copy()
+            np.cumsum(d, axis=1, dtype=d.dtype, out=d)
+            return d.view(dtype)
         d = np.frombuffer(buf, dtype=dtype).reshape(h, w).copy()
         np.cumsum(d, axis=1, dtype=d.dtype, out=d)
         return d
@@ -334,6 +358,19 @@ def decode_tile(
         raw = _zstd.ZstdDecompressor().decompress(payload, max_output_size=expected)
     else:
         raise ValueError(f"unknown compression {compression}")
+    if len(raw) != expected:
+        # TIFF strip layouts store the FINAL strip short (only the remaining
+        # rows, unpadded — unlike tiles).  Accept a row-aligned short buffer
+        # and return the actual rows; window pasting only reads the valid
+        # region anyway.  Anything not row-aligned is corruption: raise.
+        row_bytes = tile_w * dtype.itemsize
+        if len(raw) % row_bytes == 0 and 0 < len(raw) < expected:
+            tile_h = len(raw) // row_bytes
+        else:
+            raise ValueError(
+                f"tile payload decodes to {len(raw)} bytes; expected "
+                f"{expected} ({tile_h}x{tile_w} {dtype})"
+            )
     return undo_predictor(raw, predictor, dtype, tile_h, tile_w)
 
 

@@ -78,6 +78,12 @@ class MiniRasterMeta:
     tile_byte_counts: np.ndarray  # u64[n_tiles]
     header_len: int
     n_bands: int = 1
+    # container provenance: the same meta struct also describes tiled/stripped
+    # GeoTIFFs parsed by format/tiff.py (mapped onto engine codec/dtype ids).
+    # byte_order qualifies the SAMPLE bytes ("<" LE, ">" BE/Motorola) — the
+    # dtype property carries it so every downstream decode is order-correct.
+    container: str = "miniraster"
+    byte_order: str = "<"
 
     @property
     def tiles_x(self) -> int:
@@ -98,7 +104,8 @@ class MiniRasterMeta:
 
     @property
     def dtype(self) -> np.dtype:
-        return codecs.CODE_DTYPE[self.dtype_code]
+        d = codecs.CODE_DTYPE[self.dtype_code]
+        return d.newbyteorder(">") if self.byte_order == ">" else d
 
     def to_row(self) -> dict:
         d = asdict(self)
@@ -128,6 +135,8 @@ class MiniRasterMeta:
             tile_byte_counts=np.asarray(d["tile_byte_counts"], dtype=np.uint64),
             header_len=int(d["header_len"]),
             n_bands=int(d.get("n_bands", 1) or 1),
+            container=str(d.get("container") or "miniraster"),
+            byte_order=str(d.get("byte_order") or "<"),
         )
 
 
@@ -398,8 +407,9 @@ class CachedReader:
     def __init__(self, blob: bytes, meta: MiniRasterMeta | None = None):
         self.blob = blob
         if meta is None:
-            need = header_len_from_prefix(blob[:8])
-            meta = parse_header(blob[:need])
+            from rasteret_spark.format.container import parse_any
+
+            meta = parse_any(blob)
         self.meta = meta
         self._tiles: dict[int, np.ndarray] = {}
 

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
 from rasteret_spark import crs, geom
+from rasteret_spark.format import container
 from rasteret_spark.format import miniraster as mr
 
 
@@ -100,9 +101,8 @@ def decode_image_stats(df: DataFrame, parallelism: int | None = None) -> DataFra
             ):
                 try:
                     blob = bytes(blob)
-                    need = mr.header_len_from_prefix(blob[:8])
-                    meta = mr.parse_header(blob[:need])
-                    arr = mr.decode_full(blob)  # all bands: (h,w) or (bands,h,w)
+                    meta = container.parse_any(blob)
+                    arr = container.decode_full_any(blob)  # (h,w) or (bands,h,w)
                     vals = arr.astype(np.float64)
                     valid = np.ones(arr.shape, dtype=bool)
                     if meta.nodata is not None:
@@ -411,8 +411,8 @@ def zonal_oracle_row(image_row: dict, aoi_row: dict, band: int = 0) -> dict:
     its reads against rasterio the same way,
     `tests/test_dataset_pixel_comparison.py`)."""
     blob = image_row["bytes"]
-    meta = mr.parse_header(blob[: mr.header_len_from_prefix(blob[:8])])
-    arr = mr.decode_full(blob, band=band)
+    meta = container.parse_any(blob)
+    arr = container.decode_full_any(blob, band=band)
     lon, lat = pixel_centers_lonlat(meta.transform, meta.epsg, 0, 0, meta.width, meta.height)
     inside = geom.points_in_polygon_wkb(
         lon.ravel(), lat.ravel(), aoi_row["geometry"]

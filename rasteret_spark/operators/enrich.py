@@ -40,6 +40,8 @@ META_FIELDS = [
     T.StructField("tile_offsets", T.ArrayType(T.LongType())),
     T.StructField("tile_byte_counts", T.ArrayType(T.LongType())),
     T.StructField("header_len", T.IntegerType()),
+    T.StructField("container", T.StringType()),
+    T.StructField("byte_order", T.StringType()),
 ]
 META_STRUCT = T.StructType(META_FIELDS)
 
@@ -49,8 +51,23 @@ HEADER_PREFIX = 16384  # speculative first read, like the reference's 16 KiB
 
 @F.pandas_udf(returnType=META_STRUCT)
 def parse_header_udf(prefixes: pd.Series) -> pd.DataFrame:
+    from rasteret_spark.format import tiff
+
     rows = []
     for prefix in prefixes:
+        prefix = bytes(prefix)
+        container = tiff.sniff(prefix[:4])
+        if container is not None:  # tiled/stripped (Geo)TIFF or BigTIFF
+            try:
+                tm = tiff.parse_tiff(tiff.prefix_read(prefix))
+            except tiff.NeedBytes as nb:
+                raise ValueError(
+                    f"TIFF header walk needs bytes up to offset "
+                    f"{nb.offset + nb.size} but only {len(prefix)} were read "
+                    "— raise enrich_headers(prefix=...)"
+                ) from nb
+            rows.append(tiff.to_engine_meta(tm).to_row())
+            continue
         need = mr.header_len_from_prefix(prefix[:8])
         if need > len(prefix):
             raise ValueError(

@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
+from rasteret_spark.format import container
 from rasteret_spark.format import miniraster as mr
 from rasteret_spark.operators.decode import _err_status
 
@@ -224,7 +225,7 @@ def frame_sample(
             out = []
             for rid, blob in zip(pdf[id_col], pdf[bytes_col]):
                 blob = bytes(blob)
-                meta = mr.parse_header(blob[: mr.header_len_from_prefix(blob[:8])])
+                meta = container.parse_any(blob)
                 n_frames = meta.tiles_y  # fake: one "frame" per tile row
                 for fno in range(0, n_frames, every_n) or [0]:
                     strip = mr.read_window(

@@ -405,3 +405,142 @@ def write_images_dataset(path: str, n: int, seed: int = 42) -> None:
         partitioning_flavor="hive",
         existing_data_behavior="overwrite_or_ignore",
     )
+
+
+# --- GeoTIFF-backed images table ---------------------------------------------
+# Same row contract as make_image_row, but the blob is a real (Geo)TIFF /
+# BigTIFF written by format/tiffwrite.py — the matrix walks containers,
+# endiannesses, layouts, codecs and predictors so the engine's TIFF read
+# path is exercised end-to-end through the SAME enrichment/zonal pipeline
+# as the mini-raster container.
+_TIFF_MATRIX = [
+    # (fmt, predictor, dtype, tiled, byte_order, bigtiff)
+    ("raw", 1, "uint8", True, "<", False),
+    ("deflate", 2, "uint16", True, "<", False),
+    ("lzw", 2, "int16", False, "<", False),
+    ("deflate", 3, "float32", False, "<", False),
+    ("packbits", 1, "uint8", True, ">", False),
+    ("deflate", 2, "uint16", True, ">", True),
+    ("lzw", 1, "uint16", True, "<", True),
+    ("deflate", 3, "float32", True, ">", False),
+]
+
+_TIFF_COMP_NAME = {"raw": "none", "deflate": "deflate", "lzw": "lzw",
+                   "packbits": "packbits"}
+
+
+def make_tiff_image_row(i: int, seed: int = 42, dup_every: int = 17) -> dict:
+    """One deterministic GeoTIFF-backed row of the images table."""
+    from rasteret_spark.format import tiffwrite
+
+    src_i = i - (i % dup_every) if (i % dup_every) == dup_every - 1 and i >= dup_every else i
+    rng = _rng(seed + 9_000_000, src_i)
+    fmt, predictor, dtype, tiled, order, bigtiff = _TIFF_MATRIX[
+        src_i % len(_TIFF_MATRIX)
+    ]
+    w = int(rng.integers(96, 288))
+    h = int(rng.integers(96, 288))
+    n_bands = 1 + (src_i % 2)  # planar multi-band every other row
+    arr = np.stack([_pixels(rng, h, w, dtype) for _ in range(n_bands)])
+
+    nodata: float | None = None
+    if src_i % 5 == 2:
+        nodata = -9999.0 if np.dtype(dtype).kind != "u" else 0.0
+        bh, bw = max(4, h // 6), max(4, w // 6)
+        r0 = int(rng.integers(0, h - bh))
+        c0 = int(rng.integers(0, w - bw))
+        arr[:, r0 : r0 + bh, c0 : c0 + bw] = nodata
+
+    epsg = EPSG_CHOICES[src_i % len(EPSG_CHOICES)]
+    lon_c, lat_c = _centroid(rng)
+    deg_per_px = float(rng.uniform(1.5e-4, 4e-4))
+    if epsg == 4326:
+        sx = deg_per_px
+        x0 = lon_c - w / 2 * deg_per_px
+        y0 = lat_c + h / 2 * deg_per_px
+    else:
+        m_per_px = deg_per_px * crs.M_PER_DEG_X
+        sx = m_per_px
+        xc, yc = crs.from_lonlat(epsg, lon_c, lat_c)
+        x0 = float(xc) - w / 2 * m_per_px
+        y0 = float(yc) + h / 2 * m_per_px
+    sy = -sx
+    transform = (sx, 0.0, x0, 0.0, sy, y0)
+
+    # every 4th row georeferences via a pixel-CENTER tiepoint + PixelIsPoint
+    # (the parser must shift back to the area convention: GDAL RFC 33)
+    pixel_is_point = src_i % 4 == 1
+    if pixel_is_point:
+        tie = (x0 + sx / 2.0, y0 - sx / 2.0)
+    else:
+        tie = (x0, y0)
+
+    blob = tiffwrite.write_tiff(
+        arr[0] if n_bands == 1 else arr,
+        tile=(64, 64) if tiled else None,
+        rows_per_strip=None if tiled else 48,
+        compression=_TIFF_COMP_NAME[fmt],
+        predictor=predictor,
+        byte_order=order,
+        bigtiff=bigtiff,
+        pixel_scale=(sx, sx),
+        tiepoint=tie,
+        epsg=epsg,
+        raster_type=2 if pixel_is_point else 1,
+        nodata=nodata,
+    )
+
+    cols = np.array([0.0, w, w, 0.0])
+    rows = np.array([0.0, 0.0, h, h])
+    xs = sx * cols + x0
+    ys = sy * rows + y0
+    lons, lats = crs.to_lonlat(epsg, xs, ys)
+    footprint = geom.wkb_polygon([np.column_stack([lons, lats])])
+    xmin, ymin, xmax, ymax = geom.wkb_bbox(footprint)
+
+    if src_i % 23 == 11:
+        caption = ""
+    else:
+        widx = [(src_i * 7 + k * 13) % len(_CAPTION_WORDS) for k in range(3)]
+        caption = " ".join(_CAPTION_WORDS[j] for j in widx) + f" #{src_i}"
+
+    epoch = dt.datetime(2023, 1, 1) + dt.timedelta(
+        hours=float((src_i * 37) % (2 * 365 * 24)), minutes=float(i % 60)
+    )
+    return {
+        "image_id": f"tif-{i:08d}",
+        "bytes": blob,
+        "w": w,
+        "h": h,
+        "n_bands": n_bands,
+        "fmt": fmt,
+        "caption": caption,
+        "phash": phash64(arr[0]),
+        "datetime": epoch,
+        "epsg": epsg,
+        "transform": list(transform),
+        "nodata": nodata,
+        "geometry": footprint,
+        "xmin": xmin,
+        "ymin": ymin,
+        "xmax": xmax,
+        "ymax": ymax,
+        "year": epoch.year,
+        "month": epoch.month,
+    }
+
+
+def tiff_images_table(n: int, seed: int = 42, start: int = 0) -> pa.Table:
+    rows = [make_tiff_image_row(i, seed) for i in range(start, start + n)]
+    cols = {name: [r[name] for r in rows] for name in IMAGES_SCHEMA.names}
+    return pa.Table.from_pydict(cols, schema=IMAGES_SCHEMA)
+
+
+def spark_tiff_images_df(spark, n: int, seed: int = 42):
+    try:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    except Exception:
+        pass
+    pdf = tiff_images_table(n, seed).to_pandas()
+    pdf["transform"] = pdf["transform"].map(list)
+    return spark.createDataFrame(pdf, schema=_spark_images_schema())
