@@ -535,9 +535,36 @@ def _images_df(spark, n=120):
     return syn.spark_images_df(spark, n)
 
 
+def _ensure_images_meta_parquet(n: int = 120, seed: int = 42) -> str:
+    """Materialize the generator-truth image metadata (no blobs, no header
+    parsing — see synthetic.images_meta_pdf) as a deterministic parquet so
+    DuckDB can oracle the SQL-expressible image queries (q40/q43).  Written
+    idempotently from BOTH the query side and oracle_sql(), so whichever
+    the driver calls first creates it."""
+    import os
+
+    path = f"/tmp/rasteret_spark_oracle/images_meta_{n}_{seed}.parquet"
+    if not os.path.exists(path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from rasteret_spark.sources import synthetic as syn
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(
+            pa.Table.from_pandas(syn.images_meta_pdf(n, seed),
+                                 preserve_index=False),
+            tmp,
+        )
+        os.replace(tmp, path)
+    return path
+
+
 def q40_image_enrich(spark, sf_dir):
     from rasteret_spark.operators.enrich import enrich_headers
 
+    _ensure_images_meta_parquet()  # DuckDB oracle side (generator truth)
     img = _images_df(spark)
     return enrich_headers(img).select(
         "image_id", "fmt", "meta.width", "meta.height", "meta.compression",
@@ -588,6 +615,7 @@ def q42_image_point_sample(spark, sf_dir):
 def q43_image_dedup_phash(spark, sf_dir):
     from rasteret_spark.operators.dedup import exact_dedup
 
+    _ensure_images_meta_parquet()  # DuckDB oracle side (generator truth)
     img = _images_df(spark).select("image_id", "phash")
     return exact_dedup(img, "phash", "image_id")
 
@@ -1049,7 +1077,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     ep = _EVENT_POINTS_SQL
     pb = _PART_BOXES_SQL
+    meta_pq = _ensure_images_meta_parquet()
     return {
+        # image queries whose facts are SQL-expressible: the oracle reads
+        # GENERATOR-truth metadata (materialized without touching a single
+        # header byte), the Spark side recovers the same facts by parsing
+        # the encoded blobs — the comparison crosses the encode/parse
+        # boundary
+        "q40_image_enrich": f"""
+            SELECT image_id, fmt, width, height, compression, predictor,
+                   epsg, n_tiles
+            FROM read_parquet('{meta_pq}')
+        """,
+        "q43_image_dedup_phash": f"""
+            SELECT MIN(image_id) AS image_id, phash
+            FROM read_parquet('{meta_pq}')
+            GROUP BY phash
+        """,
         "q01_pricing_summary": """
             -- outer CASTs: DuckDB SUM(BIGINT) yields HUGEINT which pandas
             -- renders float64 -> driver value-hash mismatch vs Spark int64

@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "q49_image_latest_sample", "q50_image_zonal_bands", "q52_ivf_ann",
     "q53_chip_serve", "q54_image_mosaic_average", "q55_rollup_orders",
     "q57_running_total", "q60_image_mosaic_native_grid", "q61_chip_augment",
+    "q62_tiff_enrich_zonal",
 ]
 
 
@@ -152,8 +153,11 @@ def main() -> None:
     import benchguard
 
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
-    ext_max = float(os.environ.get("BENCH_EXT_CORES_MAX", "4"))
-    max_repeats = int(os.environ.get("BENCH_MAX_REPEATS", str(repeats + 3)))
+    # ext_max=2: the r4 official record showed reps at exactly 4.0 external
+    # cores passing a ==4 threshold — tighten so the official artifact only
+    # counts genuinely quiet reps, and allow more retries to find them
+    ext_max = float(os.environ.get("BENCH_EXT_CORES_MAX", "2"))
+    max_repeats = int(os.environ.get("BENCH_MAX_REPEATS", str(repeats + 5)))
     rep_log: dict[str, list] = {}
     n_contended = 0
 
@@ -213,7 +217,26 @@ def main() -> None:
         "contended_reps": n_contended,
         "reps": rep_log,
     }
-    print(json.dumps(out))
+    # self-contained record: the FULL artifact goes to a file (the r4
+    # official record lost its tail to stdout truncation — "parsed": null);
+    # stdout carries the same JSON minus the bulky per-rep log, with a
+    # compact per-label [n_reps, n_contended] summary and a pointer to the
+    # full evidence, printed last and flushed
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    try:
+        os.makedirs(bench_dir, exist_ok=True)
+        with open(os.path.join(bench_dir, "last_bench.json"), "w") as f:
+            json.dump(out, f)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout line still carries the summary
+    line = dict(out)
+    line["reps"] = {
+        k: [len(v), sum(1 for wall_ext in v if wall_ext[1] > ext_max)]
+        for k, v in rep_log.items()
+    }
+    line["reps_file"] = "BENCH/last_bench.json"
+    print(json.dumps(line), flush=True)
 
 
 if __name__ == "__main__":

@@ -73,7 +73,125 @@ def _fetch_file(url: str) -> bytes:
         return f.read()
 
 
-_FETCHERS: dict[str, Callable[[str], bytes]] = {"file": _fetch_file}
+class HTTPStatusError(Exception):
+    """Non-2xx HTTP response.  Carries ``code`` so ``is_transient`` routes
+    408/429/5xx to the retry path and 4xx to fast quarantine."""
+
+    def __init__(self, code: int, url: str):
+        super().__init__(f"HTTP {code} for {url}")
+        self.code = code
+
+
+# one persistent connection per (scheme, host, port) per PROCESS — in Spark
+# that is per Python worker, i.e. the per-executor connection reuse the
+# reference gets from its per-origin pooled clients
+# (`src/rasteret/fetch/cog.py:200-333`).  Python workers are single-threaded,
+# so no locking; a stale keep-alive connection is dropped and replaced once
+# before the failure escalates to the transport retry layer.
+_HTTP_POOL: dict = {}
+_HTTP_TIMEOUT_S = 20.0
+_HTTP_MAX_REDIRECTS = 3
+
+
+def _pooled_conn(scheme: str, host: str, port: int | None):
+    import http.client
+
+    key = (scheme, host, port)
+    conn = _HTTP_POOL.get(key)
+    if conn is None:
+        cls = (
+            http.client.HTTPSConnection
+            if scheme == "https"
+            else http.client.HTTPConnection
+        )
+        conn = cls(host, port, timeout=_HTTP_TIMEOUT_S)
+        _HTTP_POOL[key] = conn
+    return key, conn
+
+
+def _drop_conn(key) -> None:
+    conn = _HTTP_POOL.pop(key, None)
+    if conn is not None:
+        try:
+            conn.close()
+        except Exception:
+            pass
+
+
+def http_request(
+    url: str, headers: dict[str, str] | None = None, _redirects: int = 0
+) -> tuple[int, bytes]:
+    """One GET over the pooled per-origin connection.  Returns (status,
+    body) for 2xx; follows up to 3 redirects; raises ``HTTPStatusError``
+    otherwise.  A dropped keep-alive connection is re-dialed once
+    transparently (normal server behavior, not a failure); a second
+    connection-level error raises ``ConnectionError`` into the transient
+    retry path."""
+    import http.client
+
+    p = urlparse(url)
+    port = p.port
+    path = p.path or "/"
+    if p.query:
+        path += "?" + p.query
+    key, conn = _pooled_conn(p.scheme, p.hostname, port)
+    for dial in range(2):
+        try:
+            conn.request("GET", path, headers=headers or {})
+            resp = conn.getresponse()
+            body = resp.read()  # always drain: required for reuse
+            break
+        except (http.client.HTTPException, ConnectionError, OSError) as e:
+            _drop_conn(key)
+            if dial == 1:
+                raise ConnectionError(f"connection to {p.netloc} failed: {e}") from e
+            key, conn = _pooled_conn(p.scheme, p.hostname, port)
+    status = resp.status
+    if status in (301, 302, 303, 307, 308):
+        loc = resp.getheader("Location")
+        if loc and _redirects < _HTTP_MAX_REDIRECTS:
+            from urllib.parse import urljoin
+
+            return http_request(urljoin(url, loc), headers, _redirects + 1)
+    if not (200 <= status < 300):
+        raise HTTPStatusError(status, url)
+    return status, body
+
+
+def _fetch_http(url: str) -> bytes:
+    return http_request(url)[1]
+
+
+def http_range(url: str, offset: int, size: int) -> bytes:
+    """Ranged GET (``Range: bytes=offset-``) over the pooled connection —
+    the transport primitive behind remote COG header parsing and tile
+    reads.  Servers that ignore Range (status 200) are handled by
+    slicing."""
+    status, body = http_request(
+        url, headers={"Range": f"bytes={offset}-{offset + size - 1}"}
+    )
+    if status == 206:
+        return body
+    return body[offset : offset + size]  # Range-oblivious server
+
+
+def http_ranged_reader(url: str) -> Callable[[int, int], bytes]:
+    """A ``read(offset, size)`` callable over ranged GETs — plugs straight
+    into ``format.tiff.parse_tiff`` so remote COG headers parse for KBs of
+    transfer, never a full download (the reference's core transport design,
+    `src/rasteret/fetch/header_parser.py:239-300`)."""
+
+    def read(offset: int, size: int) -> bytes:
+        return http_range(url, offset, size)
+
+    return read
+
+
+_FETCHERS: dict[str, Callable[[str], bytes]] = {
+    "file": _fetch_file,
+    "http": _fetch_http,
+    "https": _fetch_http,
+}
 
 
 def register_fetcher(scheme: str, fn: Callable[[str], bytes]) -> None:
