@@ -13,13 +13,20 @@ from rasteret_spark.format import miniraster as mr
 from rasteret_spark.format import tiff
 
 
-def parse_any(blob: bytes) -> mr.MiniRasterMeta:
-    """Parse a blob's header into the engine meta, whatever the container."""
-    blob = bytes(blob)
-    if tiff.sniff(blob[:4]) is not None:
-        return tiff.to_engine_meta(tiff.parse_tiff_bytes(blob))
-    need = mr.header_len_from_prefix(blob[:8])
-    return mr.parse_header(blob[:need])
+def parse_any(blob) -> mr.MiniRasterMeta:
+    """Parse a blob's header into the engine meta, whatever the container.
+
+    ``blob`` may be real bytes OR any bytes-like supporting contiguous
+    slicing (e.g. ``sources.fetch.RangedBlob``) — the parse then costs a
+    handful of ranged reads, never a download."""
+    if isinstance(blob, (bytearray, memoryview)):
+        blob = bytes(blob)
+    if tiff.sniff(bytes(blob[:4])) is not None:
+        return tiff.to_engine_meta(
+            tiff.parse_tiff(lambda off, size: bytes(blob[off : off + size]))
+        )
+    need = mr.header_len_from_prefix(bytes(blob[:8]))
+    return mr.parse_header(bytes(blob[:need]))
 
 
 def decode_full_any(blob: bytes, band: int | None = None) -> np.ndarray:

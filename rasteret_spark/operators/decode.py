@@ -282,7 +282,15 @@ def zonal_stats(
         ).alias("_aois")
     )
     has_meta = "meta" in images.columns
-    cols = ["image_id", "bytes", "caption"] + (["meta"] if has_meta else [])
+    has_bytes = "bytes" in images.columns
+    # remote mode: an href column (and no bytes) reads every window through
+    # ranged fetches — header prefix + coalesced tile ranges only, nothing
+    # downloads whole (the reference's COG access pattern; with pre-enriched
+    # ``meta`` the header reads disappear too)
+    payload_col = "bytes" if has_bytes else "href"
+    if payload_col not in images.columns:
+        raise ValueError("images needs a 'bytes' or 'href' column")
+    cols = ["image_id", payload_col, "caption"] + (["meta"] if has_meta else [])
     agg, use_broadcast = grouped_side_choice(agg, broadcast_pairs, "_aois")
     if use_broadcast:
         # the grouped AOI side is small next to the blobs (size-guarded):
@@ -319,11 +327,17 @@ def zonal_stats(
             out = []
             metas = pdf["meta"] if has_meta else [None] * len(pdf)
             for image_id, blob, caption, aois, meta_row in zip(
-                pdf["image_id"], pdf["bytes"], pdf["caption"], pdf["_aois"], metas
+                pdf["image_id"], pdf[payload_col], pdf["caption"], pdf["_aois"], metas
             ):
                 try:
                     meta = mr.MiniRasterMeta.from_row(meta_row) if meta_row is not None else None
-                    reader = mr.CachedReader(bytes(blob), meta)
+                    if not has_bytes:  # href row -> lazy ranged-fetch facade
+                        from rasteret_spark.sources.fetch import RangedBlob
+
+                        blob = RangedBlob(str(blob))
+                    else:
+                        blob = bytes(blob)
+                    reader = mr.CachedReader(blob, meta)
                     meta = reader.meta
                     img_bands = [b for b in want_bands if b < meta.n_bands]
                 except Exception as e:  # header/blob-level failure

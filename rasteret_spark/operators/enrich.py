@@ -103,3 +103,52 @@ def validate_contract(df: DataFrame, required: tuple[str, ...] = (
     if missing:
         raise ValueError(f"input table missing required columns: {missing}")
     return df
+
+
+ENRICH_REMOTE_SCHEMA = T.StructType(
+    [T.StructField("meta", META_STRUCT), T.StructField("enrich_status", T.StringType())]
+)
+
+
+def enrich_headers_remote(
+    df: DataFrame, url_col: str = "href", out_col: str = "meta",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Header-cache enrichment over RANGED fetches: each row's header parses
+    through a handful of ranged reads against its href — KBs per image, no
+    blob column, no downloads (the reference's progressive remote header
+    parse, `src/rasteret/fetch/header_parser.py:239-300`, distributed).
+
+    Adds ``out_col`` (META_STRUCT, null on failure) and ``enrich_status``
+    ('ok' or the quarantined error).  Works for every registered ranged
+    scheme (file://, http(s)://, injected test fakes)."""
+    from rasteret_spark.format import container
+    from rasteret_spark.operators.decode import _decode_parallelism, _err_status
+    from rasteret_spark.sources.fetch import RangedBlob
+
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField(out_col, META_STRUCT),
+            T.StructField("enrich_status", T.StringType()),
+        ]
+    )
+    df = df.repartition(_decode_parallelism(df, parallelism), url_col)
+
+    def run(batches):
+        for pdf in batches:
+            metas, status = [], []
+            for url in pdf[url_col]:
+                try:
+                    em = container.parse_any(RangedBlob(str(url)))
+                    metas.append(em.to_row())
+                    status.append("ok")
+                except Exception as e:  # quarantine row, not task failure
+                    metas.append(None)
+                    status.append(_err_status(e))
+            out = pdf.copy()
+            out[out_col] = metas
+            out["enrich_status"] = status
+            yield out
+
+    return df.mapInPandas(run, schema=schema)

@@ -194,6 +194,65 @@ _FETCHERS: dict[str, Callable[[str], bytes]] = {
 }
 
 
+# --- ranged reads: the no-full-download transport ----------------------------
+def _file_ranged_reader(url: str) -> Callable[[int, int], bytes]:
+    path = urlparse(url).path
+
+    def read(offset: int, size: int) -> bytes:
+        with open(path, "rb") as f:
+            f.seek(offset)
+            return f.read(size)
+
+    return read
+
+
+_RANGED_READERS: dict[str, Callable[[str], Callable[[int, int], bytes]]] = {
+    "file": _file_ranged_reader,
+    "http": http_ranged_reader,
+    "https": http_ranged_reader,
+}
+
+
+def register_ranged_reader(
+    scheme: str, factory: Callable[[str], Callable[[int, int], bytes]]
+) -> None:
+    """Register a ranged-read factory for a scheme: ``factory(url)`` returns
+    ``read(offset, size) -> bytes``.  Must be picklable (executor-side)."""
+    _RANGED_READERS[scheme.lower()] = factory
+
+
+def ranged_reader(url: str) -> Callable[[int, int], bytes]:
+    scheme = urlparse(url).scheme.lower() or "file"
+    fac = _RANGED_READERS.get(scheme)
+    if fac is None:
+        raise ValueError(f"no ranged reader registered for scheme {scheme!r} ({url})")
+    return fac(url)
+
+
+class RangedBlob:
+    """bytes-like facade over ranged reads: ``blob[a:b]`` performs ONE
+    ranged fetch of exactly (b - a) bytes.
+
+    Every blob-consuming decode path in the engine accesses payloads
+    exclusively through contiguous slices (header prefix, coalesced tile
+    ranges), so handing this object to ``CachedReader``/``read_window``
+    yields the reference's no-full-download COG access pattern
+    (`src/rasteret/fetch/cog.py:744-826`) over any registered transport —
+    each slice is a ranged GET, nothing else ever transfers."""
+
+    def __init__(self, url: str):
+        self.url = url
+        self._read = ranged_reader(url)
+
+    def __getitem__(self, sl: slice) -> bytes:
+        if not isinstance(sl, slice) or sl.step not in (None, 1):
+            raise TypeError("RangedBlob supports contiguous slices only")
+        start = int(sl.start or 0)
+        if sl.stop is None:
+            raise ValueError("RangedBlob slice needs an explicit stop")
+        return self._read(start, int(sl.stop) - start)
+
+
 def register_fetcher(scheme: str, fn: Callable[[str], bytes]) -> None:
     """Register/override the fetcher for a URL scheme (e.g. "s3", "http").
     The callable must be picklable (plain function or cloudpickle-able

@@ -189,3 +189,95 @@ def test_fetch_blobs_over_http_with_quarantine(spark, http_server):
     assert out["nope"]["bytes"] is None
     assert "404" in out["nope"]["fetch_status"]
     assert out["nope"]["fetch_attempts"] == 1  # permanent: failed fast
+
+
+def test_remote_zonal_pipeline_no_full_downloads(spark, http_server):
+    """Full remote raster pipeline: hrefs -> ranged header enrichment ->
+    zonal over ranged tile reads.  Results equal the local-bytes pipeline
+    row-for-row, and the server-observed transfer stays far below the blob
+    total — no image ever downloads whole."""
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from rasteret_spark.operators import decode
+    from rasteret_spark.operators import spatial_join as sj
+    from rasteret_spark.operators.enrich import enrich_headers_remote
+    from rasteret_spark.sources import synthetic as syn
+
+    base, H = http_server
+    # mixed containers: mini-raster AND GeoTIFF blobs behind hrefs
+    mrst = syn.images_table(6).to_pandas()
+    tifs = syn.tiff_images_table(6).to_pandas()
+    pdf = pd.concat([mrst, tifs], ignore_index=True)
+    total_bytes = 0
+    for _, row in pdf.iterrows():
+        H.files[f"/{row['image_id']}"] = bytes(row["bytes"])
+        total_bytes += len(row["bytes"])
+    pdf["href"] = pdf["image_id"].map(lambda i: f"{base}/{i}")
+
+    images_local = spark.createDataFrame(pdf[["image_id", "bytes", "caption"]])
+    images_remote = spark.createDataFrame(pdf[["image_id", "href", "caption"]])
+
+    # ranged header enrichment: KBs per image
+    enriched = enrich_headers_remote(images_remote).select(
+        "image_id", "enrich_status", "meta",
+    )
+    rows = enriched.collect()
+    assert all(r["enrich_status"] == "ok" for r in rows)
+    header_bytes = H.stats.get("range_bytes", 0)
+    assert 0 < header_bytes < total_bytes / 20, (header_bytes, total_bytes)
+
+    img_light = spark.createDataFrame(
+        pdf[["image_id", "xmin", "ymin", "xmax", "ymax"]].rename(
+            columns={c: f"img_{c}" for c in ["xmin", "ymin", "xmax", "ymax"]}
+        )
+    )
+    aoi = spark.createDataFrame(syn.aois_table(25).to_pandas()).select(
+        "aoi_id", F.col("geometry").alias("aoi_geometry"),
+        F.col("xmin").alias("aoi_xmin"), F.col("ymin").alias("aoi_ymin"),
+        F.col("xmax").alias("aoi_xmax"), F.col("ymax").alias("aoi_ymax"),
+    )
+    cands = sj.bbox_join(img_light, aoi, res=7)
+    refined = sj.refine_rect_polygon(cands).filter(F.col("intersects")).select(
+        "image_id", "aoi_id", "aoi_geometry",
+        "aoi_xmin", "aoi_ymin", "aoi_xmax", "aoi_ymax",
+    )
+
+    key = ["image_id", "aoi_id", "band"]
+    local = decode.zonal_stats(refined, images_local).toPandas().sort_values(
+        key).reset_index(drop=True)
+    # remote WITH pre-enriched meta: tile ranges only, headers never re-read
+    remote = decode.zonal_stats(
+        refined,
+        images_remote.join(
+            enriched.filter(F.col("enrich_status") == "ok").select("image_id", "meta"),
+            "image_id",
+        ),
+    ).toPandas().sort_values(key).reset_index(drop=True)
+    assert len(local) > 0 and len(local) == len(remote)
+    for col in ["px_count", "valid_count", "v_sum", "v_mean", "status"]:
+        pd.testing.assert_series_equal(local[col], remote[col], check_names=False)
+    assert (remote["status"] == "ok").any()
+    total_fetched = H.stats.get("range_bytes", 0)
+    assert total_fetched < total_bytes / 2, (total_fetched, total_bytes)
+
+    # remote WITHOUT meta: headers parse through ranged reads inside zonal
+    remote2 = decode.zonal_stats(refined, images_remote).toPandas().sort_values(
+        key).reset_index(drop=True)
+    for col in ["px_count", "valid_count", "v_sum", "status"]:
+        pd.testing.assert_series_equal(local[col], remote2[col], check_names=False)
+
+
+def test_remote_enrich_quarantines_bad_href(spark, http_server):
+    base, H = http_server
+    from rasteret_spark.operators.enrich import enrich_headers_remote
+    from rasteret_spark.sources import synthetic as syn
+
+    row = syn.make_image_row(0)
+    H.files["/good"] = bytes(row["bytes"])
+    df = spark.createDataFrame([(f"{base}/good",), (f"{base}/gone",)], ["href"])
+    out = {r["href"].rsplit("/", 1)[1]: r for r in enrich_headers_remote(df).collect()}
+    assert out["good"]["enrich_status"] == "ok"
+    assert out["good"]["meta"]["width"] == row["w"]
+    assert out["gone"]["meta"] is None
+    assert "404" in out["gone"]["enrich_status"]
