@@ -60,11 +60,15 @@ def register_media_magic(prefix: bytes, kind: str) -> None:
     MEDIA_MAGIC = ((bytes(prefix), kind), *MEDIA_MAGIC)
 
 
-def sniff_kind(blob: bytes) -> str:
-    for prefix, kind in MEDIA_MAGIC:
+def _sniff(blob: bytes, magic: tuple[tuple[bytes, str], ...]) -> str:
+    for prefix, kind in magic:
         if blob[: len(prefix)] == prefix:
             return kind
     return "unknown"
+
+
+def sniff_kind(blob: bytes) -> str:
+    return _sniff(blob, MEDIA_MAGIC)
 
 
 try:  # pragma: no cover - PIL absent in this container (declared stub)
@@ -81,16 +85,25 @@ except ImportError:
     pass
 
 
-def classify_media(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+def classify_media(
+    df: DataFrame, bytes_col: str = "bytes",
+    magic: tuple[tuple[bytes, str], ...] | None = None,
+) -> DataFrame:
     """Cheap magic-byte sniffing -> media metadata struct (native exprs).
 
     Prefixes are compared on the BINARY column directly — casting the blob
     to string first would let invalid-UTF8 payload bytes mangle the prefix
     before ``substring`` sees it.  The when-chain is GENERATED from the same
     ``MEDIA_MAGIC`` table ``sniff_kind`` consults, in the same order — the
-    two classifiers cannot drift."""
+    two classifiers cannot drift.
+
+    ``magic`` pins an explicit prefix-table snapshot into the plan; by
+    default the module table is snapshotted AT BUILD TIME (a registration
+    after the plan is built never silently alters it — pass the new
+    snapshot explicitly to opt in)."""
+    magic = MEDIA_MAGIC if magic is None else tuple(magic)
     expr = None
-    for prefix, kind in MEDIA_MAGIC:
+    for prefix, kind in magic:
         cond = F.substring(F.col(bytes_col), 1, len(prefix)) == F.lit(prefix)
         expr = F.when(cond, F.lit(kind)) if expr is None else expr.when(cond, F.lit(kind))
     expr = F.lit("unknown") if expr is None else expr.otherwise(F.lit("unknown"))
@@ -100,7 +113,10 @@ def classify_media(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
 
 
 def decode_resize(
-    df: DataFrame, out_h: int, out_w: int, bytes_col: str = "bytes", id_col: str = "image_id"
+    df: DataFrame, out_h: int, out_w: int, bytes_col: str = "bytes",
+    id_col: str = "image_id",
+    decoders: dict[str, Callable[[bytes], np.ndarray]] | None = None,
+    magic: tuple[tuple[bytes, str], ...] | None = None,
 ) -> DataFrame:
     """Decode + nearest-neighbour resize to (out_h, out_w); emits the resized
     pixels as array<double> plus shape metadata and a status column.  Decode
@@ -109,7 +125,11 @@ def decode_resize(
     schema = (
         f"{id_col} string, out_h int, out_w int, pixels array<double>, status string"
     )
-    decoders = dict(_DECODERS)  # snapshot travels by closure
+    # explicit snapshots beat module globals: both registries are pinned
+    # into the plan AT BUILD TIME (late registrations cannot retroactively
+    # change a built plan; inject updated snapshots to opt in)
+    decoders = dict(_DECODERS) if decoders is None else dict(decoders)
+    magic = MEDIA_MAGIC if magic is None else tuple(magic)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -117,7 +137,7 @@ def decode_resize(
             for rid, blob in zip(pdf[id_col], pdf[bytes_col]):
                 try:
                     blob = bytes(blob)
-                    kind = sniff_kind(blob)
+                    kind = _sniff(blob, magic)
                     fn = decoders.get(kind)
                     if fn is None:
                         raise NotImplementedError(
@@ -153,7 +173,9 @@ FEATURE_DIM = 22  # 6 z-space stats + 4x4 coarse z-mean grid
 
 
 def extract_features(
-    df: DataFrame, bytes_col: str = "bytes", id_col: str = "image_id"
+    df: DataFrame, bytes_col: str = "bytes", id_col: str = "image_id",
+    decoders: dict[str, Callable[[bytes], np.ndarray]] | None = None,
+    magic: tuple[tuple[bytes, str], ...] | None = None,
 ) -> DataFrame:
     """Deterministic fixed-dim feature vector per media row — the
     feature-extract stage of a training-data pipeline (decode -> descriptor
@@ -167,7 +189,8 @@ def extract_features(
     near-parallel).  Rotation-variant by design: dedup wants exact layout
     similarity, not invariance."""
     schema = f"{id_col} string, features array<double>, status string"
-    decoders = dict(_DECODERS)
+    decoders = dict(_DECODERS) if decoders is None else dict(decoders)
+    magic = MEDIA_MAGIC if magic is None else tuple(magic)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -175,10 +198,11 @@ def extract_features(
             for rid, blob in zip(pdf[id_col], pdf[bytes_col]):
                 try:
                     blob = bytes(blob)
-                    fn = decoders.get(sniff_kind(blob))
+                    kind = _sniff(blob, magic)
+                    fn = decoders.get(kind)
                     if fn is None:
                         raise NotImplementedError(
-                            f"no decoder registered for {sniff_kind(blob)!r}"
+                            f"no decoder registered for {kind!r}"
                         )
                     arr = np.asarray(fn(blob), dtype=np.float64)
                     mu = float(arr.mean())

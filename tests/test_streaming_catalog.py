@@ -262,3 +262,46 @@ def test_stateful_user_stats_deterministic_across_arrow_chunks(spark, tmp_path):
         e = v if e is None else 0.25 * v + 0.75 * e
     assert int(got["n"]) == n
     np.testing.assert_allclose(got["ewma"], e, rtol=1e-12)
+
+
+def test_incremental_read_since_snapshot(spark, tmp_path, images_pdf):
+    """Iceberg-style incremental consumption over the hive layout: snapshot
+    the file manifest, append, and read_since returns EXACTLY the appended
+    rows (parity vs full-rebuild anti-join), at a scan planned over only
+    the new files."""
+    from rasteret_spark.sources import synthetic as syn
+
+    path = str(tmp_path / "cat")
+    manifest = str(tmp_path / "snap.manifest")
+    df0 = spark.createDataFrame(images_pdf)
+    catalog.write_images(df0, path)
+
+    # before any snapshot: everything is "new"
+    assert catalog.read_since(spark, path, None).count() == len(images_pdf)
+    n_files = catalog.snapshot_catalog(spark, path, manifest)
+    assert n_files >= 1
+    # nothing appended yet: empty, with the table schema
+    empty = catalog.read_since(spark, path, manifest)
+    assert empty.count() == 0
+    assert set(catalog.load_images(spark, path).columns) == set(empty.columns)
+
+    appended = syn.images_table(10, start=len(images_pdf)).to_pandas()
+    appended["transform"] = appended["transform"].map(list)
+    catalog.write_images(
+        spark.createDataFrame(appended, schema=df0.schema), path, mode="append"
+    )
+
+    inc = catalog.read_since(spark, path, manifest)
+    got_ids = sorted(r["image_id"] for r in inc.select("image_id").collect())
+    assert got_ids == sorted(appended["image_id"])
+    # parity vs full-rebuild: full minus snapshot rows == incremental rows
+    full_ids = {r["image_id"] for r in
+                catalog.load_images(spark, path).select("image_id").collect()}
+    assert full_ids == set(images_pdf["image_id"]) | set(got_ids)
+    # partition columns survive the file-list scan (basePath)
+    assert {"year", "month"} <= set(inc.columns)
+    assert inc.filter(F.col("year").isNull()).count() == 0
+
+    # advancing the snapshot converges to empty again
+    catalog.snapshot_catalog(spark, path, manifest)
+    assert catalog.read_since(spark, path, manifest).count() == 0

@@ -246,6 +246,44 @@ def test_multimodal_decoder_injection(spark):
         del multimodal._DECODERS["jpeg"]
 
 
+def test_registry_snapshots_pin_built_plans(spark):
+    """A plan built BEFORE a registration must not silently change when the
+    module registries mutate afterwards; passing the updated snapshot
+    explicitly is the opt-in (mirrors fetch_blobs(fetchers=...))."""
+    from rasteret_spark.operators import multimodal
+
+    magic_prefix = b"FAKE"
+    stub = spark.createDataFrame(
+        pd.DataFrame([{"image_id": "x-1", "bytes": magic_prefix + b"\x01" * 40}])
+    )
+    built_classify = multimodal.classify_media(stub)
+    built_decode = multimodal.decode_resize(stub, 4, 4)
+    saved_magic = multimodal.MEDIA_MAGIC
+    multimodal.register_media_magic(magic_prefix, "fakekind")
+    multimodal.register_media_decoder(
+        "fakekind", lambda blob: np.full((8, 8), 7.0)
+    )
+    try:
+        # built plans: unchanged (snapshot captured at build)
+        assert built_classify.toPandas().iloc[0]["media_kind"] == "unknown"
+        assert built_decode.toPandas().iloc[0]["pixels"] is None
+        # new plans (and explicit snapshots): see the registration
+        fresh = multimodal.classify_media(stub).toPandas().iloc[0]
+        assert fresh["media_kind"] == "fakekind"
+        explicit = multimodal.decode_resize(
+            stub, 4, 4,
+            decoders=dict(multimodal._DECODERS),
+            magic=multimodal.MEDIA_MAGIC,
+        ).toPandas().iloc[0]
+        assert explicit["status"] == "ok"
+        assert np.asarray(explicit["pixels"]).tolist() == [7.0] * 16
+        feats = multimodal.extract_features(stub).toPandas().iloc[0]
+        assert feats["status"] == "ok"
+    finally:
+        multimodal.MEDIA_MAGIC = saved_magic
+        del multimodal._DECODERS["fakekind"]
+
+
 def test_ivf_topk_recall_and_determinism(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     probes = emb.filter(F.col("vec_id") < 20).select(
