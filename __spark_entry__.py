@@ -911,6 +911,23 @@ def q61_chip_augment(spark, sf_dir):
     )
 
 
+def _tiff_images_cached(spark, n=96, seed=42):
+    """Deterministic TIFF images table, generated once per machine and read
+    back as parquet — input prep (pure-Python LZW encoding is the slow
+    part), kept out of every subsequent query/bench wall like bench.py's
+    ensure_images."""
+    import glob
+    import shutil
+
+    from rasteret_spark.sources import synthetic as syn
+
+    path = f"/tmp/rs_tiff_images_{n}_{seed}.parquet"
+    if not glob.glob(f"{path}/_SUCCESS"):
+        shutil.rmtree(path, ignore_errors=True)  # drop partial writes
+        syn.spark_tiff_images_df(spark, n, seed).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def q62_tiff_enrich_zonal(spark, sf_dir):
     """Real-container path: a table of GeoTIFF/BigTIFF blobs (mixed classic/
     BigTIFF, LE/BE, tiled/stripped, none/deflate/packbits/LZW, predictors
@@ -924,7 +941,7 @@ def q62_tiff_enrich_zonal(spark, sf_dir):
     from rasteret_spark.operators.enrich import enrich_headers
     from rasteret_spark.sources import synthetic as syn
 
-    images = syn.spark_tiff_images_df(spark, 96)
+    images = _tiff_images_cached(spark, 96)
     enriched = enrich_headers(images).select(
         "image_id", "meta.container", "meta.byte_order",
         F.col("meta.compression").alias("codec"), "meta.predictor",
