@@ -132,6 +132,34 @@ def cmd_import(args, spark, out) -> int:
     return 0
 
 
+def cmd_ingest(args, spark, out) -> int:
+    """Build a collection straight from raster FILES (GeoTIFF/BigTIFF/
+    mini-raster) — the `rasteret build` workflow over local scenes."""
+    from rasteret_spark.sources.rasters import ingest_rasters
+
+    dst = _collection_path(args.workspace, args.name)
+    if os.path.exists(dst) and not args.overwrite:
+        print(f"collection {args.name!r} exists (use --overwrite)", file=sys.stderr)
+        return 2
+    df = ingest_rasters(spark, args.pattern, caption=args.caption)
+    bad = df.filter(df.ingest_status != "ok").select("path", "ingest_status")
+    n_bad = bad.count()
+    if n_bad:
+        for r in bad.collect():
+            print(f"skipped {r['path']}: {r['ingest_status']}", file=sys.stderr)
+    ok = df.filter(df.ingest_status == "ok").drop("path", "ingest_status")
+    if ok.limit(1).count() == 0:
+        print(f"no ingestible rasters matched {args.pattern!r}", file=sys.stderr)
+        return 2
+    from rasteret_spark.collection import Collection
+
+    Collection(spark, ok).export(dst)
+    summary = _summary(spark, dst, args.name)
+    summary["skipped_files"] = n_bad
+    _emit(summary, args.json, out)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="rasteret-spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -171,6 +199,16 @@ def build_parser() -> argparse.ArgumentParser:
     im.add_argument("--overwrite", action="store_true")
     common(im)
     im.set_defaults(fn=cmd_import)
+
+    ig = csub.add_parser(
+        "ingest", help="build a collection from raster files (GeoTIFF/BigTIFF)"
+    )
+    ig.add_argument("pattern", help="file glob, e.g. /data/scenes/*.tif")
+    ig.add_argument("name")
+    ig.add_argument("--caption", default="")
+    ig.add_argument("--overwrite", action="store_true")
+    common(ig)
+    ig.set_defaults(fn=cmd_ingest)
     return p
 
 

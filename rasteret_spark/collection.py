@@ -57,14 +57,23 @@ class Collection:
 
     @classmethod
     def from_hrefs(
-        cls, spark: SparkSession, refs: DataFrame, url_col: str = "href"
+        cls, spark: SparkSession, refs: DataFrame, url_col: str = "href",
+        materialize: bool = True,
     ) -> "Collection":
-        """Records whose blobs live behind hrefs: resolve executor-side
-        through the pluggable fetch registry (``sources.fetch``), then
-        behave like any blob-carrying collection (rows whose fetch failed
-        carry ``fetch_status`` != 'ok' and a NULL bytes column)."""
+        """Records whose blobs live behind hrefs.
+
+        ``materialize=True`` resolves every blob executor-side through the
+        pluggable fetch registry (``sources.fetch``) into a ``bytes``
+        column; failed rows carry ``fetch_status`` != 'ok' and NULL bytes.
+        ``materialize=False`` keeps the collection REMOTE: no blob column
+        ever exists, and decode-bearing operators (``zonal``) read each
+        window through ranged fetches against the href — the COG access
+        model, nothing downloads whole."""
         from rasteret_spark.sources.fetch import fetch_blobs
 
+        if not materialize:
+            return cls(spark, refs.withColumnRenamed(url_col, "href")
+                       if url_col != "href" else refs)
         return cls(spark, fetch_blobs(refs, url_col=url_col))
 
     @classmethod
@@ -98,6 +107,20 @@ class Collection:
 
     def where(self, expr: str) -> "Collection":
         return Collection(self.spark, self.records.filter(F.expr(expr)))
+
+    def enrich(self) -> "Collection":
+        """Header-cache enrichment: adds the parsed ``meta`` struct column.
+        Blob collections parse from a JVM-side prefix; remote (href-only)
+        collections parse through ranged fetches — either way, every later
+        decode plans byte ranges from the cached struct and never re-touches
+        a header."""
+        from rasteret_spark.operators import enrich as en
+
+        if "bytes" in self.records.columns:
+            return Collection(self.spark, en.enrich_headers(self.records))
+        if "href" in self.records.columns:
+            return Collection(self.spark, en.enrich_headers_remote(self.records))
+        raise ValueError("enrich needs a 'bytes' or 'href' column")
 
     def head(self, n: int = 5, columns: list[str] | None = None):
         df = self.records.select(*columns) if columns else self.records
@@ -194,9 +217,16 @@ class Collection:
             .select("image_id", "aoi_id", "aoi_geometry",
                     "aoi_xmin", "aoi_ymin", "aoi_xmax", "aoi_ymax")
         )
-        return decode.zonal_stats(
-            pairs, self.records.select("image_id", "bytes", "caption"), bands=bands
-        )
+        # remote collections (from_hrefs(materialize=False)) carry href, not
+        # bytes — zonal_stats then reads windows through ranged fetches
+        recs = self.records
+        if "caption" not in recs.columns:
+            recs = recs.withColumn("caption", F.lit(""))
+        payload = "bytes" if "bytes" in recs.columns else "href"
+        cols = ["image_id", payload, "caption"]
+        if "meta" in recs.columns:  # pre-enriched: skip per-window header reads
+            cols.append("meta")
+        return decode.zonal_stats(pairs, recs.select(*cols), bands=bands)
 
     def sample_points(
         self, points: DataFrame, bands=(0,), max_ring: int = 0,

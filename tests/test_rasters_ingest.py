@@ -1,0 +1,142 @@
+"""Raster-file ingestion (binaryFile -> contract table) and the remote
+(href-only) Collection mode."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F  # noqa: N812
+
+from rasteret_spark.collection import Collection
+from rasteret_spark.format import container
+from rasteret_spark.format import tiffwrite as tw
+from rasteret_spark.sources import rasters, synthetic as syn
+
+
+@pytest.fixture()
+def scene_dir(tmp_path):
+    """A directory of real raster files: 3 GeoTIFF variants, 1 mini-raster,
+    1 junk file."""
+    rng = np.random.default_rng(9)
+    made = {}
+    specs = [
+        ("scene_a", dict(tile=(32, 32), compression="deflate", predictor=2),
+         "uint16", "<", False),
+        ("scene_b", dict(rows_per_strip=20, compression="lzw", predictor=1),
+         "uint8", ">", False),
+        ("scene_c", dict(tile=(32, 32), compression="packbits", predictor=1),
+         "int16", "<", True),
+    ]
+    for name, kw, dt, order, big in specs:
+        if dt == "uint16":
+            a = rng.integers(0, 60000, size=(70, 90)).astype(dt)
+        elif dt == "uint8":
+            a = rng.integers(0, 255, size=(64, 80)).astype(dt)
+        else:
+            a = rng.integers(-3000, 3000, size=(50, 60)).astype(dt)
+        blob = tw.write_tiff(
+            a, byte_order=order, bigtiff=big,
+            pixel_scale=(0.001, 0.001), tiepoint=(13.3, 52.6), epsg=4326,
+            **kw,
+        )
+        (tmp_path / f"{name}.tif").write_bytes(blob)
+        made[name] = a
+    mr_row = syn.make_image_row(3)
+    (tmp_path / "scene_mr.tif").write_bytes(mr_row["bytes"])
+    made["scene_mr"] = None
+    (tmp_path / "junk.tif").write_bytes(b"this is not a raster at all")
+    return str(tmp_path), made
+
+
+def test_ingest_rasters_builds_contract_table(spark, scene_dir):
+    d, made = scene_dir
+    ingested = rasters.ingest_rasters(spark, f"{d}/*.tif")
+    assert ingested.count() == 5
+    junk = ingested.filter(F.col("image_id") == "junk").first()
+    assert junk["ingest_status"] != "ok" and junk["phash"] is None
+    # NOTE: toPandas over the full frame would land phash in float64 (the
+    # quarantined row's null) and round the int64 — pull the ok subset
+    ok = ingested.filter(F.col("ingest_status") == "ok").toPandas().set_index(
+        "image_id"
+    )
+    assert ok["phash"].dtype == np.int64
+    df = ok
+    assert sorted(ok.index) == ["scene_a", "scene_b", "scene_c", "scene_mr"]
+    for name, arr in made.items():
+        if name == "junk" or arr is None:
+            continue
+        row = ok.loc[name]
+        assert (row["h"], row["w"]) == arr.shape
+        em = container.parse_any(bytes(row["bytes"]))
+        assert em.epsg == row["epsg"] == 4326
+        # footprint bbox derives from the raster transform
+        assert row["xmin"] == pytest.approx(13.3, abs=1e-9)
+        assert row["ymax"] == pytest.approx(52.6, abs=1e-9)
+        # phash is the band-0 perceptual hash of the DECODED pixels
+        assert int(row["phash"]) == syn.phash64(
+            np.asarray(container.decode_full_any(bytes(row["bytes"]), band=0),
+                       dtype=np.float64)
+        )
+    # contract: every operator-required column present
+    for c in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash"):
+        assert c in ingested.columns
+
+
+def test_cli_ingest_command(spark, scene_dir, tmp_path):
+    import io
+    import json
+
+    from rasteret_spark import cli
+
+    d, _ = scene_dir
+    ws = str(tmp_path / "ws")
+    out = io.StringIO()
+    rc = cli.main(
+        ["collections", "ingest", f"{d}/*.tif", "scenes",
+         "--workspace", ws, "--json"],
+        spark=spark, out=out,
+    )
+    assert rc == 0
+    summary = json.loads(out.getvalue())
+    assert summary["records"] == 4  # junk skipped
+    assert summary["skipped_files"] == 1
+    back = Collection.from_parquet(spark, f"{ws}/scenes")
+    assert back.count() == 4
+
+
+def test_remote_collection_zonal_matches_materialized(spark, scene_dir):
+    """from_hrefs(materialize=False): an href-only collection runs enrich +
+    zonal through ranged file reads, row-equal to the fully materialized
+    collection."""
+    d, _ = scene_dir
+    ingested = rasters.ingest_rasters(spark, f"{d}/scene_*.tif").filter(
+        F.col("ingest_status") == "ok"
+    )
+    meta_cols = [c for c in ingested.columns if c not in ("bytes", "path",
+                                                          "ingest_status")]
+    refs_pdf = ingested.select(*meta_cols, "path").toPandas()
+    refs_pdf["href"] = "file://" + refs_pdf["path"].str.replace("file:", "", regex=False)
+    refs = spark.createDataFrame(refs_pdf.drop(columns=["path"]))
+
+    aois = spark.createDataFrame(syn.aois_table(25).to_pandas()).select(
+        "aoi_id", F.col("geometry").alias("aoi_geometry"),
+        F.col("xmin").alias("aoi_xmin"), F.col("ymin").alias("aoi_ymin"),
+        F.col("xmax").alias("aoi_xmax"), F.col("ymax").alias("aoi_ymax"),
+    )
+    local = Collection(spark, ingested.drop("path", "ingest_status"))
+    remote = Collection.from_hrefs(spark, refs, materialize=False)
+
+    key = ["image_id", "aoi_id", "band"]
+    a = local.zonal(aois).toPandas().sort_values(key).reset_index(drop=True)
+    b = remote.zonal(aois).toPandas().sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    if len(a):
+        for col in ("px_count", "valid_count", "v_sum", "status"):
+            pd.testing.assert_series_equal(a[col], b[col], check_names=False)
+
+    # pre-enriched remote: meta travels, zonal skips header reads
+    enriched = remote.enrich()
+    assert "meta" in enriched.records.columns
+    stats = enriched.records.select("enrich_status").toPandas()
+    assert (stats["enrich_status"] == "ok").all()
+    c = enriched.zonal(aois).toPandas().sort_values(key).reset_index(drop=True)
+    assert len(c) == len(a)
