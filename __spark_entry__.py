@@ -535,6 +535,20 @@ def _images_df(spark, n=120):
     return syn.spark_images_df(spark, n)
 
 
+def _gen_fingerprint() -> str:
+    """Content hash of the generator + writer sources — keys every /tmp
+    cache so editing the synthetic generators or the TIFF writer can never
+    silently reuse stale cached artifacts (blobs OR oracle truth)."""
+    import hashlib
+    import inspect
+
+    from rasteret_spark.format import tiffwrite
+    from rasteret_spark.sources import synthetic as syn
+
+    src = inspect.getsource(syn) + inspect.getsource(tiffwrite)
+    return hashlib.md5(src.encode()).hexdigest()[:10]
+
+
 def _ensure_images_meta_parquet(n: int = 120, seed: int = 42) -> str:
     """Materialize the generator-truth image metadata (no blobs, no header
     parsing — see synthetic.images_meta_pdf) as a deterministic parquet so
@@ -543,7 +557,10 @@ def _ensure_images_meta_parquet(n: int = 120, seed: int = 42) -> str:
     the driver calls first creates it."""
     import os
 
-    path = f"/tmp/rasteret_spark_oracle/images_meta_{n}_{seed}.parquet"
+    path = (
+        f"/tmp/rasteret_spark_oracle/images_meta_{n}_{seed}_{_gen_fingerprint()}"
+        ".parquet"
+    )
     if not os.path.exists(path):
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -921,7 +938,7 @@ def _tiff_images_cached(spark, n=96, seed=42):
 
     from rasteret_spark.sources import synthetic as syn
 
-    path = f"/tmp/rs_tiff_images_{n}_{seed}.parquet"
+    path = f"/tmp/rs_tiff_images_{n}_{seed}_{_gen_fingerprint()}.parquet"
     if not glob.glob(f"{path}/_SUCCESS"):
         shutil.rmtree(path, ignore_errors=True)  # drop partial writes
         syn.spark_tiff_images_df(spark, n, seed).write.mode("overwrite").parquet(path)

@@ -125,7 +125,15 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    images_path = f"/tmp/rsbench_images_{N_IMAGES}"
+    # fingerprint the generator source into the cache key: a format/codec
+    # change must regenerate, never silently bench stale blobs
+    import hashlib
+    import inspect
+
+    from rasteret_spark.sources import synthetic as _syn
+
+    _fp = hashlib.md5(inspect.getsource(_syn).encode()).hexdigest()[:10]
+    images_path = f"/tmp/rsbench_images_{N_IMAGES}_{_fp}"
     t0 = time.time()
     ensure_images(spark, N_IMAGES, images_path)
     gen_s = time.time() - t0
@@ -136,7 +144,7 @@ def main() -> None:
     zonal_df = headline_pipeline(spark, images_path)
     sample_df = sample_pipeline(spark, images_path)
     enrich_df = enrich_pipeline(spark, images_path)
-    warm_path = f"/tmp/rsbench_images_{N_IMAGES}_warm"
+    warm_path = f"/tmp/rsbench_images_{N_IMAGES}_{_fp}_warm"
     ensure_images(spark, 64, warm_path)
     headline_pipeline(spark, warm_path).count()
     sample_pipeline(spark, warm_path).count()

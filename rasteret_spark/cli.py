@@ -141,21 +141,29 @@ def cmd_ingest(args, spark, out) -> int:
     if os.path.exists(dst) and not args.overwrite:
         print(f"collection {args.name!r} exists (use --overwrite)", file=sys.stderr)
         return 2
-    df = ingest_rasters(spark, args.pattern, caption=args.caption)
-    bad = df.filter(df.ingest_status != "ok").select("path", "ingest_status")
-    n_bad = bad.count()
-    if n_bad:
-        for r in bad.collect():
-            print(f"skipped {r['path']}: {r['ingest_status']}", file=sys.stderr)
-    ok = df.filter(df.ingest_status == "ok").drop("path", "ingest_status")
-    if ok.limit(1).count() == 0:
-        print(f"no ingestible rasters matched {args.pattern!r}", file=sys.stderr)
-        return 2
-    from rasteret_spark.collection import Collection
+    # persist: ingest does per-file parse + full band-0 decode + phash — the
+    # status report, emptiness check and export below must not each re-run it
+    df = ingest_rasters(spark, args.pattern, caption=args.caption).persist()
+    try:
+        bad = [
+            (r["path"], r["ingest_status"])
+            for r in df.filter(df.ingest_status != "ok")
+            .select("path", "ingest_status")
+            .collect()
+        ]
+        for path, status in bad:
+            print(f"skipped {path}: {status}", file=sys.stderr)
+        ok = df.filter(df.ingest_status == "ok").drop("path", "ingest_status")
+        if ok.limit(1).count() == 0:
+            print(f"no ingestible rasters matched {args.pattern!r}", file=sys.stderr)
+            return 2
+        from rasteret_spark.collection import Collection
 
-    Collection(spark, ok).export(dst)
+        Collection(spark, ok).export(dst)
+    finally:
+        df.unpersist()
     summary = _summary(spark, dst, args.name)
-    summary["skipped_files"] = n_bad
+    summary["skipped_files"] = len(bad)
     _emit(summary, args.json, out)
     return 0
 

@@ -125,15 +125,18 @@ def packbits_decode(data: bytes, expected: int) -> bytes:
 
 
 # --- TIFF 6.0 LZW -------------------------------------------------------------
-# Public-spec semantics (TIFF 6.0 §13 + the well-known "early change" quirk
-# real-world writers use): MSB-first variable-width codes starting at 9 bits,
-# ClearCode=256, EOI=257, first table entry 258; the code width grows one
-# code EARLY (when next_code == 2**width - 1) and the table resets via a
-# ClearCode before reaching 4094 entries.  Pure Python per-symbol loops —
-# a declared slow path kept for format-matrix completeness (the reference
-# decodes LZW COGs through imagecodecs, `src/rasteret/fetch/cog.py:843-966`).
+# Public-spec semantics (TIFF 6.0 §13 as real-world writers implement it,
+# VERIFIED against libtiff-produced fixtures under /root/reference/fixtures):
+# MSB-first variable-width codes starting at 9 bits, ClearCode=256, EOI=257,
+# first table entry 258.  Width accounting: the ENCODER widens when the next
+# code to assign no longer fits (next_code == 1<<width); the DECODER — whose
+# table lags one entry behind — widens at len(table) == (1<<width) - 1 (this
+# offset IS the spec's "early change").  The table resets via a ClearCode
+# before reaching 4094 entries.  Pure Python per-symbol loops — a declared
+# slow path kept for format-matrix completeness (the reference decodes LZW
+# COGs through imagecodecs, `src/rasteret/fetch/cog.py:843-966`).
 _LZW_CLEAR, _LZW_EOI, _LZW_FIRST = 256, 257, 258
-_LZW_MAX = 4094  # reset threshold (early-change convention)
+_LZW_MAX = 4094  # reset threshold
 
 
 def lzw_encode(data: bytes) -> bytes:

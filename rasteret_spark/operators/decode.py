@@ -291,6 +291,12 @@ def zonal_stats(
     if payload_col not in images.columns:
         raise ValueError("images needs a 'bytes' or 'href' column")
     cols = ["image_id", payload_col, "caption"] + (["meta"] if has_meta else [])
+    if not has_bytes:
+        from rasteret_spark.sources.fetch import _RANGED_READERS
+
+        # snapshot at plan build: driver-registered schemes travel by
+        # closure (executors import this module fresh)
+        ranged_readers = dict(_RANGED_READERS)
     agg, use_broadcast = grouped_side_choice(agg, broadcast_pairs, "_aois")
     if use_broadcast:
         # the grouped AOI side is small next to the blobs (size-guarded):
@@ -334,7 +340,7 @@ def zonal_stats(
                     if not has_bytes:  # href row -> lazy ranged-fetch facade
                         from rasteret_spark.sources.fetch import RangedBlob
 
-                        blob = RangedBlob(str(blob))
+                        blob = RangedBlob(str(blob), ranged_readers)
                     else:
                         blob = bytes(blob)
                     reader = mr.CachedReader(blob, meta)

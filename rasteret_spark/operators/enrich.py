@@ -39,7 +39,9 @@ META_FIELDS = [
     T.StructField("epsg", T.IntegerType()),
     T.StructField("tile_offsets", T.ArrayType(T.LongType())),
     T.StructField("tile_byte_counts", T.ArrayType(T.LongType())),
-    T.StructField("header_len", T.IntegerType()),
+    # LONG: for TIFFs this is the max file offset the header walk touched
+    # (IFD/tile tables can trail the data past 2^31 in big non-COG files)
+    T.StructField("header_len", T.LongType()),
     T.StructField("container", T.StringType()),
     T.StructField("byte_order", T.StringType()),
 ]
@@ -105,11 +107,6 @@ def validate_contract(df: DataFrame, required: tuple[str, ...] = (
     return df
 
 
-ENRICH_REMOTE_SCHEMA = T.StructType(
-    [T.StructField("meta", META_STRUCT), T.StructField("enrich_status", T.StringType())]
-)
-
-
 def enrich_headers_remote(
     df: DataFrame, url_col: str = "href", out_col: str = "meta",
     parallelism: int | None = None,
@@ -124,7 +121,7 @@ def enrich_headers_remote(
     scheme (file://, http(s)://, injected test fakes)."""
     from rasteret_spark.format import container
     from rasteret_spark.operators.decode import _decode_parallelism, _err_status
-    from rasteret_spark.sources.fetch import RangedBlob
+    from rasteret_spark.sources.fetch import _RANGED_READERS, RangedBlob
 
     schema = T.StructType(
         list(df.schema.fields)
@@ -134,13 +131,15 @@ def enrich_headers_remote(
         ]
     )
     df = df.repartition(_decode_parallelism(df, parallelism), url_col)
+    readers = dict(_RANGED_READERS)  # snapshot: driver-registered schemes
+    # must travel to executors by closure, like fetch_blobs' fetchers
 
     def run(batches):
         for pdf in batches:
             metas, status = [], []
             for url in pdf[url_col]:
                 try:
-                    em = container.parse_any(RangedBlob(str(url)))
+                    em = container.parse_any(RangedBlob(str(url), readers))
                     metas.append(em.to_row())
                     status.append("ok")
                 except Exception as e:  # quarantine row, not task failure

@@ -221,9 +221,18 @@ def register_ranged_reader(
     _RANGED_READERS[scheme.lower()] = factory
 
 
-def ranged_reader(url: str) -> Callable[[int, int], bytes]:
+def ranged_reader(
+    url: str,
+    readers: dict[str, Callable[[str], Callable[[int, int], bytes]]] | None = None,
+) -> Callable[[int, int], bytes]:
+    """``readers`` is a registry SNAPSHOT (plan builders capture
+    ``dict(_RANGED_READERS)`` at build time and ship it by closure, like
+    ``fetch_blobs(fetchers=...)``) — without it, a custom scheme registered
+    on the driver would be missing on executors, where this module imports
+    fresh."""
+    reg = _RANGED_READERS if readers is None else readers
     scheme = urlparse(url).scheme.lower() or "file"
-    fac = _RANGED_READERS.get(scheme)
+    fac = reg.get(scheme)
     if fac is None:
         raise ValueError(f"no ranged reader registered for scheme {scheme!r} ({url})")
     return fac(url)
@@ -238,11 +247,27 @@ class RangedBlob:
     ranges), so handing this object to ``CachedReader``/``read_window``
     yields the reference's no-full-download COG access pattern
     (`src/rasteret/fetch/cog.py:744-826`) over any registered transport —
-    each slice is a ranged GET, nothing else ever transfers."""
+    each slice is a ranged GET, nothing else ever transfers.
 
-    def __init__(self, url: str):
+    TRANSIENT failures (503/429/timeouts/dropped connections) retry with
+    the same bounded deterministic backoff as ``fetch_with_retry`` — a
+    routine object-store hiccup mid-tile-read must cost milliseconds, not a
+    permanently quarantined AOI.  Permanent errors (404, bad scheme) raise
+    on the first attempt."""
+
+    def __init__(
+        self,
+        url: str,
+        readers: dict | None = None,
+        attempts: int = 3,
+        base_delay: float = 0.2,
+        sleep: Callable[[float], None] = time.sleep,
+    ):
         self.url = url
-        self._read = ranged_reader(url)
+        self._read = ranged_reader(url, readers)
+        self._attempts = int(attempts)
+        self._base_delay = float(base_delay)
+        self._sleep = sleep
 
     def __getitem__(self, sl: slice) -> bytes:
         if not isinstance(sl, slice) or sl.step not in (None, 1):
@@ -250,7 +275,17 @@ class RangedBlob:
         start = int(sl.start or 0)
         if sl.stop is None:
             raise ValueError("RangedBlob slice needs an explicit stop")
-        return self._read(start, int(sl.stop) - start)
+        size = int(sl.stop) - start
+        last: BaseException | None = None
+        for i in range(self._attempts):
+            try:
+                return self._read(start, size)
+            except Exception as e:
+                last = e
+                if not is_transient(e) or i == self._attempts - 1:
+                    raise
+                self._sleep(_backoff_s(f"{self.url}#{start}", i, self._base_delay))
+        raise last  # unreachable; keeps type-checkers honest
 
 
 def register_fetcher(scheme: str, fn: Callable[[str], bytes]) -> None:

@@ -71,31 +71,49 @@ def ingest_rasters(
                 rec["year"] = int(pd.Timestamp(mtime).year)
                 rec["month"] = int(pd.Timestamp(mtime).month)
                 try:
+                    from rasteret_spark.format import tiff
+
                     blob = bytes(blob)
-                    em = container.parse_any(blob)
+                    if tiff.sniff(blob[:4]) is not None:
+                        # parse at TIFF fidelity so chunky (interleaved RGB —
+                        # the most common real-world layout) ingests too;
+                        # engine-meta lowering would reject it before decode
+                        tm = tiff.parse_tiff_bytes(blob)
+                        w, h, n_bands = tm.width, tm.height, tm.samples_per_pixel
+                        fmt = codecs.COMP_CODES.get(
+                            tiff.TIFF_COMP_TO_ENGINE.get(tm.compression, -1),
+                            f"tiff-comp-{tm.compression}",
+                        )
+                        epsg, nodata = tm.epsg, tm.nodata
+                        try:
+                            transform = tm.transform6()
+                        except ValueError:  # plain TIFF: pixel-space grid
+                            transform = (1.0, 0.0, 0.0, 0.0, -1.0, 0.0)
+                    else:
+                        em = container.parse_any(blob)
+                        w, h, n_bands = em.width, em.height, em.n_bands
+                        fmt = codecs.COMP_CODES.get(em.compression, "unknown")
+                        epsg, nodata, transform = em.epsg, em.nodata, em.transform
                     arr0 = container.decode_full_any(blob, band=0)
-                    if arr0.ndim == 3:  # chunky multi-sample: first channel
-                        arr0 = arr0[:, :, 0]
-                    a, _, c, _, e, f0 = em.transform
-                    w, h = em.width, em.height
+                    a, _, c, _, e, f0 = transform
                     cols = np.array([0.0, w, w, 0.0])
                     rows = np.array([0.0, 0.0, h, h])
                     xs = a * cols + c
                     ys = e * rows + f0
                     try:
-                        lons, lats = crs.to_lonlat(em.epsg, xs, ys)
+                        lons, lats = crs.to_lonlat(epsg, xs, ys)
                     except Exception:  # unregistered/absent CRS: pixel space
                         lons, lats = xs, ys
                     footprint = geom.wkb_polygon([np.column_stack([lons, lats])])
                     xmin, ymin, xmax, ymax = geom.wkb_bbox(footprint)
                     rec.update(
                         bytes=bytearray(blob),
-                        w=int(w), h=int(h), n_bands=int(em.n_bands),
-                        fmt=codecs.COMP_CODES.get(em.compression, "unknown"),
+                        w=int(w), h=int(h), n_bands=int(n_bands),
+                        fmt=fmt,
                         phash=int(phash64(np.asarray(arr0, dtype=np.float64))),
-                        epsg=int(em.epsg),
-                        transform=[float(v) for v in em.transform],
-                        nodata=None if em.nodata is None else float(em.nodata),
+                        epsg=int(epsg),
+                        transform=[float(v) for v in transform],
+                        nodata=None if nodata is None else float(nodata),
                         geometry=bytearray(footprint),
                         xmin=float(xmin), ymin=float(ymin),
                         xmax=float(xmax), ymax=float(ymax),
@@ -105,12 +123,14 @@ def ingest_rasters(
                     rec["ingest_status"] = _err_status(exc)
                 out.append(rec)
             pdf_out = pd.DataFrame(out, columns=[f.name for f in schema.fields])
-            # a quarantined row's None would make pandas infer float64 for
-            # the int columns — float64 rounds int64 phashes above 2^53 to
-            # multiples of 1024 (silently corrupting the dedup key); pin
-            # nullable Int64 instead
+            # a quarantined row's None makes pandas infer float64 for the
+            # int columns AT CONSTRUCTION — float64 rounds int64 phashes
+            # above 2^53 to multiples of 1024 (silently corrupting the
+            # dedup key).  Rebuild those columns from the raw python values
+            # as nullable Int64 (int -> Int64 is exact; casting the already
+            # -rounded float would not recover the low bits)
             for c in ("phash", "w", "h", "n_bands", "epsg", "year", "month"):
-                pdf_out[c] = pdf_out[c].astype("Int64")
+                pdf_out[c] = pd.array([r[c] for r in out], dtype="Int64")
             yield pdf_out
 
     return raw.select("path", "modificationTime", "content").mapInPandas(

@@ -140,3 +140,89 @@ def test_remote_collection_zonal_matches_materialized(spark, scene_dir):
     assert (stats["enrich_status"] == "ok").all()
     c = enriched.zonal(aois).toPandas().sort_values(key).reset_index(drop=True)
     assert len(c) == len(a)
+
+
+def test_chunky_rgb_tiff_ingests(spark, tmp_path):
+    """Interleaved RGB (PlanarConfiguration=1) — the most common real-world
+    TIFF layout — must ingest, not quarantine (metadata at TIFF fidelity,
+    phash from channel 0)."""
+    rng = np.random.default_rng(4)
+    arr = rng.integers(0, 255, size=(48, 56, 3)).astype(np.uint8)
+    blob = tw.write_tiff(arr, interleaved=True, tile=(32, 32),
+                         compression="lzw", predictor=2,
+                         pixel_scale=(0.01, 0.01), tiepoint=(7.0, 46.0),
+                         epsg=4326)
+    (tmp_path / "rgb.tif").write_bytes(blob)
+    row = rasters.ingest_rasters(spark, f"{tmp_path}/rgb.tif").first()
+    assert row["ingest_status"] == "ok"
+    assert (row["w"], row["h"], row["n_bands"]) == (56, 48, 3)
+    assert row["fmt"] == "lzw" and row["epsg"] == 4326
+    assert int(row["phash"]) == syn.phash64(arr[:, :, 0].astype(np.float64))
+
+
+def test_ranged_reader_snapshot_travels_with_plan(spark, tmp_path):
+    """A custom ranged scheme registered on the driver must reach executors
+    through the plan's snapshot — and deregistration after build must not
+    break the already-built plan."""
+    from rasteret_spark.operators.enrich import enrich_headers_remote
+    from rasteret_spark.sources import fetch as fx
+
+    row = syn.make_image_row(1)
+    p = tmp_path / "img.bin"
+    p.write_bytes(row["bytes"])
+
+    def fake_factory(url):
+        path = url.split("://", 1)[1]
+
+        def read(offset, size):
+            with open(path, "rb") as f:
+                f.seek(offset)
+                return f.read(size)
+
+        return read
+
+    fx.register_ranged_reader("fakefs", fake_factory)
+    try:
+        df = spark.createDataFrame([(f"fakefs://{p}",)], ["href"])
+        plan = enrich_headers_remote(df)  # snapshot captured here
+    finally:
+        del fx._RANGED_READERS["fakefs"]
+    got = plan.collect()[0]
+    assert got["enrich_status"] == "ok"
+    assert got["meta"]["width"] == row["w"]
+
+
+def test_ranged_blob_retries_transient_errors():
+    from rasteret_spark.sources import fetch as fx
+
+    calls = {"n": 0}
+
+    def flaky_factory(url):
+        def read(offset, size):
+            calls["n"] += 1
+            if calls["n"] <= 2:
+                raise fx.TransientFetchError("burst")
+            return b"x" * size
+
+        return read
+
+    blob = fx.RangedBlob("flaky://x", {"flaky": flaky_factory},
+                         attempts=4, base_delay=0.0, sleep=lambda s: None)
+    assert blob[0:5] == b"xxxxx"
+    assert calls["n"] == 3  # two transient failures recovered
+
+    def gone_factory(url):
+        def read(offset, size):
+            calls["n"] += 1
+            raise FileNotFoundError("404")
+
+        return read
+
+    calls["n"] = 0
+    blob = fx.RangedBlob("gone://x", {"gone": gone_factory},
+                         attempts=4, base_delay=0.0, sleep=lambda s: None)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        blob[0:5]
+    assert calls["n"] == 1  # permanent: no retry latency
