@@ -256,8 +256,9 @@ class Collection:
         cands = sj.point_in_bbox_join(points, _light(self.records), res=res).select(
             "point_index", "x", "y", "image_id"
         )
+        payload = "bytes" if "bytes" in self.records.columns else "href"
         return sampling.sample_points(
-            cands, self.records.select("image_id", "bytes"),
+            cands, self.records.select("image_id", payload),
             max_ring=max_ring, bands=bands, neighborhood=neighborhood,
         )
 

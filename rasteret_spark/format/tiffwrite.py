@@ -86,6 +86,7 @@ def write_tiff(
     epsg: int | None = None,
     raster_type: int = 1,
     nodata: float | None = None,
+    overviews: list[int] | tuple[int, ...] | None = None,
 ) -> bytes:
     """Serialize ``arr`` as a TIFF blob.
 
@@ -93,31 +94,110 @@ def write_tiff(
     ``interleaved=True`` for chunky.  ``tile=(tw, th)`` writes a tiled
     layout (edge tiles padded); otherwise strips of ``rows_per_strip``
     (default: whole image, final strip short).  ``tiepoint`` georeferences
-    pixel (0, 0)'s upper-left corner (or center when ``raster_type=2``)."""
+    pixel (0, 0)'s upper-left corner (or center when ``raster_type=2``).
+
+    ``overviews=[2, 4, ...]`` appends a COG-style reduced-resolution
+    pyramid: one extra IFD per decimation factor (nearest-neighbour
+    ``arr[::f, ::f]``), chained through next-IFD pointers and flagged
+    ``NewSubfileType=1``; geo/nodata tags live on the full-resolution IFD
+    only (GDAL convention)."""
     if byte_order not in ("<", ">"):
         raise ValueError("byte_order must be '<' or '>'")
     comp_id = _COMP_IDS.get(compression)
     if comp_id is None:
         raise ValueError(f"unsupported compression {compression!r}")
     arr = np.asarray(arr)
-    if interleaved:
-        if arr.ndim != 3:
-            raise ValueError("interleaved needs (h, w, spp)")
-        h, w, spp = arr.shape
-        planar_cfg = 1
-        planes = None
-    elif arr.ndim == 3:
-        spp, h, w = arr.shape[0], arr.shape[1], arr.shape[2]
-        planar_cfg = 2
-        planes = [arr[b] for b in range(spp)]
-    else:
-        h, w = arr.shape
-        spp, planar_cfg, planes = 1, 1, [arr]
     dt = arr.dtype
     if dt.kind not in _DTYPE_SF:
         raise ValueError(f"unsupported dtype {dt}")
     if predictor == 3 and dt.kind != "f":
         raise ValueError("predictor 3 requires float samples")
+
+    def decimate(a: np.ndarray, f: int) -> np.ndarray:
+        if interleaved:
+            return a[::f, ::f, :]
+        if a.ndim == 3:  # planar (bands, h, w)
+            return a[:, ::f, ::f]
+        return a[::f, ::f]
+
+    levels = [arr] + [decimate(arr, int(f)) for f in (overviews or [])]
+
+    E = byte_order
+    order_mark = b"II" if E == "<" else b"MM"
+    if bigtiff:
+        header = order_mark + struct.pack(f"{E}HHHQ", 43, 8, 0, 16)
+        entry_size, count_size, next_size, inline_cap = 20, 8, 8, 8
+        off_fmt = "Q"
+    else:
+        header = order_mark + struct.pack(f"{E}HI", 42, 8)
+        entry_size, count_size, next_size, inline_cap = 12, 2, 4, 4
+        off_fmt = "I"
+
+    segments: list[bytes] = []
+    next_field_positions: list[int] = []  # absolute file offset of each
+    ifd_bases: list[int] = []             # segment's next-IFD pointer field
+    base = len(header)
+    for li, lv in enumerate(levels):
+        seg, next_pos = _ifd_segment(
+            lv, base, E, bigtiff, entry_size, count_size, next_size,
+            inline_cap, off_fmt, comp_id=comp_id, predictor=predictor,
+            interleaved=interleaved, tile=tile, rows_per_strip=rows_per_strip,
+            pixel_scale=pixel_scale if li == 0 else None,
+            tiepoint=tiepoint if li == 0 else None,
+            epsg=epsg if li == 0 else None,
+            raster_type=raster_type if li == 0 else 1,
+            nodata=nodata if li == 0 else None,
+            is_overview=li > 0,
+        )
+        ifd_bases.append(base)
+        next_field_positions.append(base + next_pos)
+        segments.append(seg)
+        base += len(seg)
+
+    blob = bytearray(header + b"".join(segments))
+    for i in range(len(segments) - 1):  # chain the pyramid
+        struct.pack_into(f"{E}{off_fmt}", blob, next_field_positions[i],
+                         ifd_bases[i + 1])
+    return bytes(blob)
+
+
+def _ifd_segment(
+    arr: np.ndarray,
+    base: int,
+    E: str,
+    bigtiff: bool,
+    entry_size: int,
+    count_size: int,
+    next_size: int,
+    inline_cap: int,
+    off_fmt: str,
+    *,
+    comp_id: int,
+    predictor: int,
+    interleaved: bool,
+    tile: tuple[int, int] | None,
+    rows_per_strip: int | None,
+    pixel_scale,
+    tiepoint,
+    epsg,
+    raster_type: int,
+    nodata,
+    is_overview: bool,
+) -> tuple[bytes, int]:
+    """One complete IFD segment ([IFD block][overflow values][payloads]) laid
+    out at absolute file offset ``base``.  Returns (bytes, relative offset of
+    the next-IFD pointer field) — the caller chains segments by patching
+    those fields once every segment's size is known."""
+    dt = arr.dtype
+    if interleaved:
+        h, w, spp = arr.shape
+        planar_cfg, planes = 1, None
+    elif arr.ndim == 3:
+        spp, h, w = arr.shape
+        planar_cfg, planes = 2, [arr[b] for b in range(spp)]
+    else:
+        h, w = arr.shape
+        spp, planar_cfg, planes = 1, 1, [arr]
 
     if tile is not None:
         tw, th = tile
@@ -156,27 +236,24 @@ def write_tiff(
                         iv = np.ascontiguousarray(blk).view(f"u{dt.itemsize}")
                         d = iv.copy()
                         d[:, 1:, :] = iv[:, 1:, :] - iv[:, :-1, :]
-                        raw = d.astype(f"{byte_order}u{dt.itemsize}").tobytes()
+                        raw = d.astype(f"{E}u{dt.itemsize}").tobytes()
                     else:
                         d = blk.copy()
                         d[:, 1:, :] = blk[:, 1:, :] - blk[:, :-1, :]
-                        raw = d.astype(dt.newbyteorder(byte_order)).tobytes()
+                        raw = d.astype(dt.newbyteorder(E)).tobytes()
                 elif predictor == 3:
                     raw = codecs.apply_predictor(wide, codecs.PRED_FLOAT)
                 else:
-                    raw = wide.astype(dt.newbyteorder(byte_order)).tobytes()
+                    raw = wide.astype(dt.newbyteorder(E)).tobytes()
                 payloads.append(_compress(raw, comp_id))
     else:
         for plane in planes:
             for ty in range(tiles_y):
                 for tx in range(tiles_x):
                     payloads.append(
-                        _tile_payload(cut(plane, ty, tx), comp_id, predictor,
-                                      byte_order)
+                        _tile_payload(cut(plane, ty, tx), comp_id, predictor, E)
                     )
 
-    # ---- IFD assembly -------------------------------------------------------
-    E = byte_order  # struct endianness char works the same way
     entries: list[tuple[int, int, int, bytes]] = []  # (tag, type, count, data)
 
     def add(tag: int, ftype: int, values) -> None:
@@ -188,6 +265,8 @@ def write_tiff(
         entries.append((tag, ftype, len(values) if ftype != 2 else len(data), data))
 
     off_type = 16 if bigtiff else 4  # LONG8 vs LONG for offset arrays
+    if is_overview:
+        add(254, 4, [1])  # NewSubfileType: reduced-resolution subfile
     add(tf.TAG_WIDTH, 4, [w])
     add(tf.TAG_HEIGHT, 4, [h])
     add(tf.TAG_BITS_PER_SAMPLE, 3, [dt.itemsize * 8] * spp)
@@ -231,24 +310,12 @@ def write_tiff(
         add(tf.TAG_GDAL_NODATA, 2, f"{nodata:g}".encode() + b"\x00")
     entries.sort(key=lambda t: t[0])
 
-    order_mark = b"II" if E == "<" else b"MM"
-    if bigtiff:
-        header = order_mark + struct.pack(f"{E}HHHQ", 43, 8, 0, 16)
-        ifd_off = 16
-        entry_size, count_size, next_size, inline_cap = 20, 8, 8, 8
-        off_fmt = "Q"
-    else:
-        header = order_mark + struct.pack(f"{E}HI", 42, 8)
-        ifd_off = 8
-        entry_size, count_size, next_size, inline_cap = 12, 2, 4, 4
-        off_fmt = "I"
-
     ifd_size = count_size + len(entries) * entry_size + next_size
-    overflow_off = ifd_off + ifd_size
+    overflow_off = base + ifd_size
     overflow: list[bytes] = []
     cursor = overflow_off
     packed_entries = []
-    entry_meta = []  # (tag, data_location) for offset patching
+    entry_meta = []  # (tag, ftype, count, data_location) for offset patching
     for tag, ftype, count, data in entries:
         if len(data) <= inline_cap:
             loc = ("inline", len(packed_entries))
@@ -266,7 +333,6 @@ def write_tiff(
         entry_meta.append((tag, ftype, count, loc))
 
     data_start = cursor
-    # patch chunk offsets now that layout is fixed
     offsets = []
     pos = data_start
     for p in payloads:
@@ -296,6 +362,7 @@ def write_tiff(
     body = (
         struct.pack(f"{E}{'Q' if bigtiff else 'H'}", len(entries))
         + b"".join(packed_entries)
-        + struct.pack(f"{E}{off_fmt}", 0)  # no next IFD
+        + struct.pack(f"{E}{off_fmt}", 0)  # next-IFD pointer: caller patches
     )
-    return header + body + b"".join(overflow) + b"".join(payloads)
+    next_field_pos = count_size + len(entries) * entry_size
+    return body + b"".join(overflow) + b"".join(payloads), next_field_pos

@@ -309,6 +309,18 @@ def sample_points(
     )
 
     want_bands = tuple(bands) if bands is not None else (0,)
+    # remote mode (href column, no bytes): windows read through ranged
+    # fetches, mirroring zonal_stats — snapshot the reader registry at
+    # build so driver-registered schemes reach executors
+    has_bytes = "bytes" in images.columns
+    payload_col = "bytes" if has_bytes else "href"
+    if payload_col not in images.columns:
+        raise ValueError("images needs a 'bytes' or 'href' column")
+    ranged_readers = None
+    if not has_bytes:
+        from rasteret_spark.sources.fetch import _RANGED_READERS
+
+        ranged_readers = dict(_RANGED_READERS)
     agg = candidates.groupBy("image_id").agg(
         F.collect_list(F.struct("point_index", "x", "y")).alias("_pts")
     )
@@ -317,9 +329,9 @@ def sample_points(
         # grouped probe side is small next to the blobs (size-guarded):
         # broadcast it so the sampling stage fuses with the image scan (no
         # blob shuffle); above the pair bound: shuffle join on image_id
-        src = images.select("image_id", "bytes").join(F.broadcast(agg), "image_id")
+        src = images.select("image_id", payload_col).join(F.broadcast(agg), "image_id")
     else:
-        src = images.select("image_id", "bytes").join(agg, "image_id")
+        src = images.select("image_id", payload_col).join(agg, "image_id")
         src = src.repartition(_decode_parallelism(src, parallelism), "image_id")
 
     schema = SAMPLES_SCHEMA + (NEIGHBORHOOD_COL if neighborhood > 0 else "")
@@ -328,9 +340,15 @@ def sample_points(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             parts: list[dict] = []
-            for image_id, blob, pts in zip(pdf["image_id"], pdf["bytes"], pdf["_pts"]):
+            for image_id, blob, pts in zip(pdf["image_id"], pdf[payload_col], pdf["_pts"]):
                 try:
-                    reader = mr.CachedReader(bytes(blob))
+                    if not has_bytes:  # href -> lazy ranged-fetch facade
+                        from rasteret_spark.sources.fetch import RangedBlob
+
+                        blob = RangedBlob(str(blob), ranged_readers)
+                    else:
+                        blob = bytes(blob)
+                    reader = mr.CachedReader(blob)
                     parts.append(
                         _sample_image(image_id, reader, pts, max_ring, want_bands, neighborhood)
                     )

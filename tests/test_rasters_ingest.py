@@ -226,3 +226,31 @@ def test_ranged_blob_retries_transient_errors():
     with _pytest.raises(FileNotFoundError):
         blob[0:5]
     assert calls["n"] == 1  # permanent: no retry latency
+
+
+def test_remote_point_sampling_matches_materialized(spark, scene_dir):
+    """sample_points over an href-only collection (ranged window reads)
+    equals the bytes path value-for-value."""
+    from rasteret_spark.sources import synthetic as syn2
+
+    d, _ = scene_dir
+    ingested = rasters.ingest_rasters(spark, f"{d}/scene_*.tif").filter(
+        F.col("ingest_status") == "ok"
+    )
+    meta_cols = [c for c in ingested.columns if c not in ("bytes", "path",
+                                                          "ingest_status")]
+    refs_pdf = ingested.select(*meta_cols, "path").toPandas()
+    refs_pdf["href"] = "file://" + refs_pdf["path"].str.replace(
+        "file:", "", regex=False)
+    refs = spark.createDataFrame(refs_pdf.drop(columns=["path"]))
+
+    pts = spark.createDataFrame(syn2.points_table(600).to_pandas())
+    local = Collection(spark, ingested.drop("path", "ingest_status"))
+    remote = Collection.from_hrefs(spark, refs, materialize=False)
+    key = ["point_index", "image_id", "band"]
+    a = local.sample_points(pts, max_ring=2).toPandas().sort_values(key)
+    b = remote.sample_points(pts, max_ring=2).toPandas().sort_values(key)
+    a, b = a.reset_index(drop=True), b.reset_index(drop=True)
+    assert len(a) == len(b) > 0, "no sampled points — fixture drift"
+    for col in ("value", "status"):
+        pd.testing.assert_series_equal(a[col], b[col], check_names=False)
