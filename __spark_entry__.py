@@ -985,6 +985,80 @@ def q62_tiff_enrich_zonal(spark, sf_dir):
     )
 
 
+def q63_overview_serve(spark, sf_dir):
+    """COG overview serving: for every pyramid-bearing TIFF, read the same
+    centered window at full resolution AND at factor-4 zoom — the coarse
+    read must come from a reduced-resolution IFD (level > 0) and transfer a
+    fraction of the bytes (the zoom economics that make 100 TB browse/chip
+    workloads affordable).  Emits per-image level choice, byte accounting
+    and position-weighted checksums (overview pixels are exact
+    nearest-neighbour decimations, pinned by pytest)."""
+    import pandas as pd
+
+    from rasteret_spark.operators.util import spread_compute
+
+    images = _tiff_images_cached(spark, 96)
+
+    schema = (
+        "image_id string, n_levels int, level_full int, level_ov int, "
+        "bytes_full long, bytes_ov long, win_px_full long, win_px_ov long, "
+        "checksum_ov double, status string"
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from rasteret_spark.format import tiff
+
+        class _Count:
+            def __init__(self, blob):
+                self.blob, self.n = blob, 0
+
+            def __call__(self, off, size):
+                self.n += size
+                return self.blob[off : off + size]
+
+        for pdf in batches:
+            out = []
+            for image_id, blob in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    blob = bytes(blob)
+                    metas = tiff.parse_tiff_chain(tiff.blob_read(blob))
+                    m0 = metas[0]
+                    w, h = m0.width, m0.height
+                    c0, r0 = w // 4, h // 4
+                    ww, wh = w // 2, h // 2
+                    rd = _Count(blob)
+                    win_f, lf = tiff.read_window_at_res(
+                        rd, c0, r0, ww, wh, factor=1.0, metas=metas)
+                    bytes_full = rd.n
+                    rd = _Count(blob)
+                    win_o, lo = tiff.read_window_at_res(
+                        rd, c0, r0, ww, wh, factor=4.0, metas=metas)
+                    v = np.asarray(win_o, dtype=np.float64).ravel()
+                    cks = float(np.nansum(v * np.arange(1, v.size + 1)))
+                    out.append({
+                        "image_id": image_id, "n_levels": len(metas),
+                        "level_full": lf, "level_ov": lo,
+                        "bytes_full": bytes_full, "bytes_ov": rd.n,
+                        "win_px_full": int(win_f.size),
+                        "win_px_ov": int(win_o.size),
+                        "checksum_ov": round(cks, 3), "status": "ok",
+                    })
+                except Exception as e:  # quarantine row
+                    out.append({
+                        "image_id": image_id, "n_levels": None,
+                        "level_full": None, "level_ov": None,
+                        "bytes_full": None, "bytes_ov": None,
+                        "win_px_full": None, "win_px_ov": None,
+                        "checksum_ov": None, "status": str(e)[:80],
+                    })
+            yield pd.DataFrame(out)
+
+    src = spread_compute(images.select("image_id", "bytes"))
+    return src.mapInPandas(run, schema=schema)
+
+
 def q59_bpe_token_stats(spark, sf_dir):
     """BPE-ish regex tokenization (word/number/punct pieces) aggregated per
     source — the second tokenizer surface next to q17's whitespace counts."""
@@ -1105,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_image_mosaic_native_grid": q60_image_mosaic_native_grid,
         "q61_chip_augment": q61_chip_augment,
         "q62_tiff_enrich_zonal": q62_tiff_enrich_zonal,
+        "q63_overview_serve": q63_overview_serve,
     }
 
 

@@ -488,6 +488,8 @@ def make_tiff_image_row(i: int, seed: int = 42, dup_every: int = 17) -> dict:
         epsg=epsg,
         raster_type=2 if pixel_is_point else 1,
         nodata=nodata,
+        # tiled rows carry a COG overview pyramid (q63's serving surface)
+        overviews=[2, 4] if tiled else None,
     )
 
     cols = np.array([0.0, w, w, 0.0])

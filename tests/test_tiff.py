@@ -440,3 +440,24 @@ def test_overviews_on_bigtiff_be_and_planar():
                              0, 0, 48, 48, band=b)
         assert np.array_equal(np.asarray(win, dtype=np.uint8),
                               planar[b, ::2, ::2])
+
+
+def test_q63_overview_serve_invariants(spark):
+    """The q63 driver query: every pyramid-bearing image serves its coarse
+    window from a real overview level at a fraction of the bytes; stripped
+    (single-IFD) images fall back to full resolution."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    pdf = E.q63_overview_serve(spark, "unused").toPandas()
+    assert (pdf["status"] == "ok").all()
+    pyr = pdf[pdf["n_levels"] > 1]
+    flat = pdf[pdf["n_levels"] == 1]
+    assert len(pyr) > 0 and len(flat) > 0
+    assert (pyr["level_ov"] > 0).all()
+    assert (pyr["level_full"] == 0).all()
+    assert (pyr["bytes_ov"] < pyr["bytes_full"] / 2).all()
+    assert (pyr["win_px_ov"] * 4 <= pyr["win_px_full"]).all()
+    assert (flat["level_ov"] == 0).all()
