@@ -536,17 +536,12 @@ def _images_df(spark, n=120):
 
 
 def _gen_fingerprint() -> str:
-    """Content hash of the generator + writer sources — keys every /tmp
-    cache so editing the synthetic generators or the TIFF writer can never
-    silently reuse stale cached artifacts (blobs OR oracle truth)."""
-    import hashlib
-    import inspect
+    """Cache key for /tmp blob/oracle artifacts — hashes the WHOLE encode
+    path (generator + TIFF writer + mini-raster writer + codecs) via the
+    shared helper, so an edit anywhere the bytes come from regenerates."""
+    from rasteret_spark.sources.synthetic import generator_fingerprint
 
-    from rasteret_spark.format import tiffwrite
-    from rasteret_spark.sources import synthetic as syn
-
-    src = inspect.getsource(syn) + inspect.getsource(tiffwrite)
-    return hashlib.md5(src.encode()).hexdigest()[:10]
+    return generator_fingerprint()
 
 
 def _ensure_images_meta_parquet(n: int = 120, seed: int = 42) -> str:

@@ -125,14 +125,12 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # fingerprint the generator source into the cache key: a format/codec
-    # change must regenerate, never silently bench stale blobs
-    import hashlib
-    import inspect
+    # fingerprint the WHOLE encode path (generator + writers + codecs) into
+    # the cache key: a format/codec change must regenerate, never silently
+    # bench stale blobs
+    from rasteret_spark.sources.synthetic import generator_fingerprint
 
-    from rasteret_spark.sources import synthetic as _syn
-
-    _fp = hashlib.md5(inspect.getsource(_syn).encode()).hexdigest()[:10]
+    _fp = generator_fingerprint()
     images_path = f"/tmp/rsbench_images_{N_IMAGES}_{_fp}"
     t0 = time.time()
     ensure_images(spark, N_IMAGES, images_path)

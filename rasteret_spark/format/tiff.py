@@ -320,14 +320,17 @@ def _values(rng: _Ranges, order: str, ftype: int, count: int,
     return np.frombuffer(buf, dtype=order + _TYPE_NP[ftype], count=count)
 
 
-def parse_tiff(read, ifd: int = 0) -> TiffMeta:
+def parse_tiff(read, ifd: int = 0, ifd_offset: int | None = None) -> TiffMeta:
     """Parse one IFD (default: the first = full resolution) through bounded
     ranged reads.
 
     ``read(offset, size) -> bytes`` is the only I/O the parser performs —
     backed by a file, a blob prefix, or a remote ranged fetcher.  ``ifd=k``
     walks the next-IFD chain to the k-th directory (COG overviews live in
-    later IFDs); raises ``ValueError`` past the end of the chain."""
+    later IFDs); raises ``ValueError`` past the end of the chain.
+    ``ifd_offset`` jumps straight to a known directory offset (e.g. a
+    previous meta's ``next_ifd_offset``) — only the 8/16-byte header is
+    re-read for the byte order, no chain walk."""
     rng = _Ranges(read)
     head = rng.get(0, 8)
     if head[:2] == b"II":
@@ -353,6 +356,9 @@ def parse_tiff(read, ifd: int = 0) -> TiffMeta:
         raise ValueError(f"not a TIFF: magic {magic}")
 
     count_dtype = order + ("u2" if count_size == 2 else "u8")
+    if ifd_offset is not None:
+        ifd_off = int(ifd_offset)
+        ifd = 0  # direct jump: no walk
     for _skip in range(int(ifd)):  # walk the chain to the requested IFD
         count_buf = rng.get(ifd_off, count_size)
         n_here = int(np.frombuffer(count_buf, dtype=count_dtype)[0])
@@ -652,8 +658,14 @@ def parse_tiff_chain(read, max_ifds: int = 32) -> list[TiffMeta]:
     ``transform6``/``to_engine_meta`` work at every level."""
     metas = [parse_tiff(read, ifd=0)]
     while metas[-1].next_ifd_offset and len(metas) < max_ifds:
-        metas.append(parse_tiff(read, ifd=len(metas)))
+        # seed each step from the previous meta's next pointer: ONE chain
+        # walk total, not a fresh walk-from-the-start per level (which is
+        # O(k^2) ranged round-trips on exactly the remote path this serves)
+        metas.append(parse_tiff(read, ifd_offset=metas[-1].next_ifd_offset))
     base = metas[0]
+    for m in metas[1:]:  # nodata masks apply at every zoom level,
+        if m.nodata is None:  # georeferenced or not
+            m.nodata = base.nodata
     if base.pixel_scale or base.model_transform:
         try:
             a0, _, c0, _, e0, f0 = base.transform6()
@@ -669,7 +681,6 @@ def parse_tiff_chain(read, max_ifds: int = 32) -> list[TiffMeta]:
                 m.tiepoint = (0.0, 0.0, 0.0, c0, f0, 0.0)
                 m.raster_type = 1  # transform6 already area-based at level 0
                 m.epsg = base.epsg
-                m.nodata = base.nodata if m.nodata is None else m.nodata
     return metas
 
 

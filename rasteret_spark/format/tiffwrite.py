@@ -149,6 +149,8 @@ def write_tiff(
             nodata=nodata if li == 0 else None,
             is_overview=li > 0,
         )
+        if len(seg) % 2:  # TIFF 6.0: directories begin on a word boundary
+            seg += b"\x00"
         ifd_bases.append(base)
         next_field_positions.append(base + next_pos)
         segments.append(seg)
@@ -321,6 +323,8 @@ def _ifd_segment(
             loc = ("inline", len(packed_entries))
             value_field = data + b"\x00" * (inline_cap - len(data))
         else:
+            if len(data) % 2:  # TIFF 6.0: out-of-line values word-aligned
+                data = data + b"\x00"
             loc = ("overflow", cursor)
             overflow.append(data)
             value_field = struct.pack(f"{E}{off_fmt}", cursor)

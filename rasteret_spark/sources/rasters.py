@@ -71,7 +71,7 @@ def ingest_rasters(
                 rec["year"] = int(pd.Timestamp(mtime).year)
                 rec["month"] = int(pd.Timestamp(mtime).month)
                 try:
-                    from rasteret_spark.format import tiff
+                    from rasteret_spark.format import tiff, tiffwrite
 
                     blob = bytes(blob)
                     if tiff.sniff(blob[:4]) is not None:
@@ -89,6 +89,27 @@ def ingest_rasters(
                             transform = tm.transform6()
                         except ValueError:  # plain TIFF: pixel-space grid
                             transform = (1.0, 0.0, 0.0, 0.0, -1.0, 0.0)
+                        if n_bands > 1 and tm.planar_config == 1:
+                            # NORMALIZE interleaved sources to the planar
+                            # layout the decode operators require — an "ok"
+                            # ingest must yield rows every operator can read,
+                            # not rows that quarantine at query time.  Pixels
+                            # identical (transpose), geo carried over.
+                            chunky = tiff.decode_full(blob)  # (h, w, spp)
+                            planar = np.ascontiguousarray(
+                                chunky.transpose(2, 0, 1)
+                            )
+                            a, _, c, _, e, f0 = transform
+                            blob = tiffwrite.write_tiff(
+                                planar,
+                                tile=(min(256, w), min(256, h)),
+                                compression="deflate",
+                                pixel_scale=(a, -e),
+                                tiepoint=(c, f0),
+                                epsg=epsg if epsg else None,
+                                nodata=nodata,
+                            )
+                            fmt = "deflate"
                     else:
                         em = container.parse_any(blob)
                         w, h, n_bands = em.width, em.height, em.n_bands

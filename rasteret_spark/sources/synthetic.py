@@ -587,3 +587,21 @@ def images_meta_pdf(n: int, seed: int = 42):
                  ("phash", "int64")]:
         pdf[c] = pdf[c].astype(t)
     return pdf
+
+
+def generator_fingerprint() -> str:
+    """Content hash of EVERY module on the blob-encode path (this generator,
+    the TIFF writer, the mini-raster writer, the codecs) — the cache key for
+    /tmp blob/oracle artifacts.  Hashing only the generator would leave the
+    stale-cache hole open: an edit to a codec changes the bytes every
+    generator emits without touching the generator's own source."""
+    import hashlib
+    import inspect
+
+    import rasteret_spark.format.codecs as _codecs
+    import rasteret_spark.format.miniraster as _mr
+    import rasteret_spark.format.tiffwrite as _tw
+    import rasteret_spark.sources.synthetic as _self
+
+    src = "".join(inspect.getsource(m) for m in (_self, _tw, _mr, _codecs))
+    return hashlib.md5(src.encode()).hexdigest()[:10]

@@ -156,8 +156,16 @@ def test_chunky_rgb_tiff_ingests(spark, tmp_path):
     row = rasters.ingest_rasters(spark, f"{tmp_path}/rgb.tif").first()
     assert row["ingest_status"] == "ok"
     assert (row["w"], row["h"], row["n_bands"]) == (56, 48, 3)
-    assert row["fmt"] == "lzw" and row["epsg"] == 4326
+    assert row["epsg"] == 4326
     assert int(row["phash"]) == syn.phash64(arr[:, :, 0].astype(np.float64))
+    # interleaved sources NORMALIZE to planar at ingest: the stored blob is
+    # engine-decodable by every operator, channel-for-channel identical
+    em = container.parse_any(bytes(row["bytes"]))
+    assert em.n_bands == 3
+    for b in range(3):
+        got = container.decode_full_any(bytes(row["bytes"]), band=b)
+        assert np.array_equal(np.asarray(got, dtype=np.uint8), arr[:, :, b])
+    assert em.transform[0] == pytest.approx(0.01) and em.epsg == 4326
 
 
 def test_ranged_reader_snapshot_travels_with_plan(spark, tmp_path):

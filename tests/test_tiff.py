@@ -461,3 +461,16 @@ def test_q63_overview_serve_invariants(spark):
     assert (pyr["bytes_ov"] < pyr["bytes_full"] / 2).all()
     assert (pyr["win_px_ov"] * 4 <= pyr["win_px_full"]).all()
     assert (flat["level_ov"] == 0).all()
+
+
+def test_nodata_propagates_to_overviews_without_georef():
+    """nodata masking must be consistent across zoom levels even for plain
+    (non-georeferenced) pyramids."""
+    a = np.full((64, 64), 7, dtype=np.int16)
+    a[:16, :16] = -9999
+    blob = tw.write_tiff(a, tile=(32, 32), nodata=-9999, overviews=[2])
+    metas = tiff.parse_tiff_chain(tiff.blob_read(blob))
+    assert metas[0].nodata == -9999.0
+    assert metas[1].nodata == -9999.0  # derived, no geo tags needed
+    # chain parse is ONE walk: level 1 jumped straight to its known offset
+    assert metas[1].header_bytes_read < metas[0].header_bytes_read * 2
