@@ -32,6 +32,7 @@ COMP_PACKBITS = 4
 COMP_QLOSSY = 5  # deterministic lossy: quantize -> zigzag varint-ish -> deflate
 COMP_LZW = 6  # TIFF 6.0 LZW (pure-Python, spec semantics)
 COMP_ZSTD = 7  # gated: needs the zstandard package (absent here -> clear error)
+COMP_JPEG = 8  # baseline JPEG (T.81), pure numpy/stdlib: format/jpegcodec.py
 
 COMP_NAMES = {
     "raw": COMP_RAW,
@@ -42,9 +43,17 @@ COMP_NAMES = {
     "qlossy": COMP_QLOSSY,
     "lzw": COMP_LZW,
     "zstd": COMP_ZSTD,
+    "jpeg": COMP_JPEG,
 }
 COMP_CODES = {v: k for k, v in COMP_NAMES.items()}
-LOSSY_COMPS = {COMP_QLOSSY}
+LOSSY_COMPS = {COMP_QLOSSY, COMP_JPEG}
+
+
+def _jpeg_quality(qstep: float) -> int:
+    """For COMP_JPEG the header's qstep field carries the JFIF quality
+    (2..100); the format default qstep=1.0 maps to quality 90."""
+    q = int(round(qstep))
+    return q if 2 <= q <= 100 else 90
 
 try:  # optional dependency — the codec id exists either way
     import zstandard as _zstd
@@ -300,6 +309,15 @@ def encode_tile(
     if compression == COMP_QLOSSY:
         q = np.round(tile.astype(np.float64) / qstep).astype(np.int32)
         return zlib.compress(q.tobytes(), 6)
+    if compression == COMP_JPEG:
+        from rasteret_spark.format import jpegcodec
+
+        if tile.dtype != np.uint8:
+            raise ValueError(
+                f"JPEG tiles are 8-bit only; got {tile.dtype} (use qlossy or "
+                "a lossless codec for wider samples)"
+            )
+        return jpegcodec.encode(tile, quality=_jpeg_quality(qstep))
     raw = apply_predictor(tile, predictor)
     if compression == COMP_RAW:
         return raw
@@ -330,10 +348,26 @@ def decode_tile(
     tile_h: int,
     tile_w: int,
     qstep: float = 1.0,
+    jpeg_tables: bytes | None = None,
 ) -> np.ndarray:
     """Decode one stored tile payload back to a (tile_h, tile_w) array."""
     dtype = np.dtype(dtype)
     expected = tile_h * tile_w * dtype.itemsize
+    if compression == COMP_JPEG:
+        from rasteret_spark.format import jpegcodec
+
+        out = jpegcodec.decode(payload, tables=jpeg_tables)
+        if out.ndim != 2:
+            raise ValueError(
+                f"planar tile decode expects grayscale JPEG, got shape "
+                f"{out.shape} (interleaved RGB JPEG goes through "
+                "tiff.decode_chunky_tile/decode_full)"
+            )
+        # JPEG streams carry their own dimensions; TIFF edge tiles may hold
+        # the full padded tile — crop like the short-strip path below
+        if out.shape[0] > tile_h or out.shape[1] > tile_w:
+            out = out[:tile_h, :tile_w]
+        return out.astype(dtype) if np.dtype(dtype) != out.dtype else out
     if compression == COMP_QLOSSY:
         q = np.frombuffer(zlib.decompress(payload), dtype=np.int32).reshape(tile_h, tile_w)
         vals = q.astype(np.float64) * qstep

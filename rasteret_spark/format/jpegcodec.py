@@ -1,0 +1,704 @@
+"""Baseline JPEG (ITU-T T.81) codec: pure numpy + stdlib, no external libs.
+
+Re-implements, from the public JPEG spec, the lossy codec the reference
+engine reaches through imagecodecs for JPEG-in-COG tiles
+(rasteret `src/rasteret/fetch/cog.py:843-966` declares the JPEG branch).
+Scope — the baseline sequential DCT process real COG writers emit:
+
+- decoder: SOF0 (baseline), 8-bit, 1 or 3 components, interleaved scan,
+  arbitrary sampling factors with max 2 (4:4:4 / 4:2:2 / 4:2:0), restart
+  markers (DRI/RSTn), JFIF YCbCr -> RGB, and TIFF-style abbreviated
+  streams (tables supplied separately via the JPEGTables tag).  SOF2
+  progressive raises a clear error.
+- encoder: grayscale or RGB 4:4:4, Annex K quantization tables scaled by
+  the IJG quality formula, Annex K Huffman tables, optional abbreviated
+  output (tables stream + per-tile entropy streams) for TIFF tag 347.
+
+Entropy (de)coding is a per-symbol Python loop — a declared slow path kept
+for format-matrix completeness, same policy as the LZW codec
+(`format/codecs.py:127`).  Everything block-shaped (DCT/IDCT, quantize,
+level shift, chroma upsampling, colorspace) is vectorized numpy across all
+blocks at once.  Interop is pinned by decoding real libjpeg-produced
+baseline files shipped with the Apache Spark distribution
+(`data/mllib/images/`, see tests/test_jpeg.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+# --- constants from the public spec (T.81 Annex K) ---------------------------
+
+# zigzag position i -> raster index within the 8x8 block
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+QTBL_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+
+QTBL_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# standard Huffman tables: (bits[1..16], values)
+HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+# markers
+_SOI, _EOI, _SOS, _DQT, _DHT, _DRI, _SOF0, _SOF2 = (
+    0xD8, 0xD9, 0xDA, 0xDB, 0xC4, 0xDD, 0xC0, 0xC2)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix C: coefficients = C @ block @ C.T."""
+    k = np.arange(8, dtype=np.float64)
+    c = np.cos((2.0 * k[None, :] + 1.0) * k[:, None] * np.pi / 16.0) * 0.5
+    c[0, :] *= 1.0 / np.sqrt(2.0)
+    return c
+
+
+_DCT = _dct_matrix()
+
+
+def scaled_qtable(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling (public libjpeg formula): 1..100 -> table."""
+    quality = int(quality)
+    if not 1 <= quality <= 100:
+        raise ValueError(f"JPEG quality must be 1..100, got {quality}")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+# --- Huffman table machinery --------------------------------------------------
+def _canonical_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) for the canonical table (encoder side)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+@dataclass
+class _DecTable:
+    """Canonical Huffman decode table (T.81 F.2.2.3 mincode/maxcode/valptr)."""
+
+    mincode: list[int] = field(default_factory=lambda: [0] * 17)
+    maxcode: list[int] = field(default_factory=lambda: [-1] * 17)
+    valptr: list[int] = field(default_factory=lambda: [0] * 17)
+    values: list[int] = field(default_factory=list)
+
+
+def _dec_table(bits: list[int], values: list[int]) -> _DecTable:
+    t = _DecTable(values=list(values))
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        n = bits[length - 1]
+        if n == 0:
+            t.maxcode[length] = -1
+        else:
+            t.valptr[length] = k
+            t.mincode[length] = code
+            code += n
+            k += n
+            t.maxcode[length] = code - 1
+        code <<= 1
+    return t
+
+
+# --- bit IO ------------------------------------------------------------------
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:  # pad with 1-bits per spec
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+def _receive_extend(bits: list[int], pos: int, s: int) -> tuple[int, int]:
+    """Read s magnitude bits at pos, sign-extend per T.81 F.2.2.1."""
+    v = 0
+    for _ in range(s):
+        v = (v << 1) | bits[pos]
+        pos += 1
+    if s and v < (1 << (s - 1)):
+        v -= (1 << s) - 1
+    return v, pos
+
+
+def _bit_size(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+# --- encoder -----------------------------------------------------------------
+def _blocks_of(plane: np.ndarray) -> np.ndarray:
+    """(h, w) -> (n_blocks, 8, 8) in raster block order, edge-padded."""
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    by, bx = ph // 8, pw // 8
+    return (
+        padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(by * bx, 8, 8),
+        by,
+        bx,
+    )
+
+
+def _quantize_plane(plane: np.ndarray, qtbl_raster: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """uint8 plane -> (n_blocks, 64) zigzag-ordered quantized coefficients."""
+    blocks, by, bx = _blocks_of(plane)
+    shifted = blocks.astype(np.float64) - 128.0
+    coefs = np.einsum("ij,njk,lk->nil", _DCT, shifted, _DCT)
+    q = np.round(coefs / qtbl_raster.reshape(8, 8)).astype(np.int64)
+    return q.reshape(-1, 64)[:, ZIGZAG], by, bx
+
+
+def _encode_block(
+    w: _BitWriter, zz: np.ndarray, pred: int,
+    dc_codes: dict, ac_codes: dict,
+) -> int:
+    dc = int(zz[0])
+    diff = dc - pred
+    s = _bit_size(diff)
+    code, length = dc_codes[s]
+    w.put(code, length)
+    if s:
+        val = diff if diff >= 0 else diff + (1 << s) - 1
+        w.put(val, s)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = int(nz[-1]) + 1 if nz.size else 0
+    for i in range(1, last + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            w.put(code, length)
+            run -= 16
+        s = _bit_size(v)
+        code, length = ac_codes[(run << 4) | s]
+        w.put(code, length)
+        val = v if v >= 0 else v + (1 << s) - 1
+        w.put(val, s)
+        run = 0
+    if last < 63:
+        code, length = ac_codes[0x00]  # EOB
+        w.put(code, length)
+    return dc
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+def _dqt_seg(tid: int, qtbl_raster: np.ndarray) -> bytes:
+    zz = qtbl_raster[ZIGZAG].astype(np.uint8)
+    return _seg(_DQT, bytes([tid]) + zz.tobytes())
+
+
+def _dht_seg(tclass: int, tid: int, table: tuple[list[int], list[int]]) -> bytes:
+    bits, values = table
+    return _seg(_DHT, bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(values))
+
+
+def _table_segments(qt: list[np.ndarray], color: bool) -> bytes:
+    out = _dqt_seg(0, qt[0])
+    if color:
+        out += _dqt_seg(1, qt[1])
+    out += _dht_seg(0, 0, HUFF_DC_LUMA) + _dht_seg(1, 0, HUFF_AC_LUMA)
+    if color:
+        out += _dht_seg(0, 1, HUFF_DC_CHROMA) + _dht_seg(1, 1, HUFF_AC_CHROMA)
+    return out
+
+
+def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """JFIF full-range BT.601, float64 out (h, w, 3)."""
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y = ycc[..., 0].astype(np.float64)
+    cb = ycc[..., 1].astype(np.float64) - 128.0
+    cr = ycc[..., 2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def encode(
+    img: np.ndarray, quality: int = 90, include_tables: bool = True,
+) -> bytes:
+    """uint8 (h, w) grayscale or (h, w, 3) RGB -> baseline JFIF bytes.
+
+    Color is written 4:4:4 (no subsampling).  ``include_tables=False``
+    emits a TIFF-abbreviated stream (no DQT/DHT; pair it with the stream
+    from :func:`encode_tables` via the JPEGTables tag)."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        raise ValueError(f"JPEG encoder takes uint8, got {img.dtype}")
+    color = img.ndim == 3
+    if color and img.shape[2] != 3:
+        raise ValueError(f"expected (h, w) or (h, w, 3), got {img.shape}")
+    h, w = img.shape[:2]
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError(f"bad JPEG dimensions {h}x{w}")
+    qt = [scaled_qtable(QTBL_LUMA, quality), scaled_qtable(QTBL_CHROMA, quality)]
+
+    if color:
+        ycc = rgb_to_ycbcr(img)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        qids = [0, 1, 1]
+    else:
+        planes = [img.astype(np.float64)]
+        qids = [0]
+
+    # clip float planes back to sample range, quantize each fully vectorized
+    comp_zz = []
+    by = bx = 0
+    for p, qid in zip(planes, qids):
+        p8 = np.clip(np.round(p), 0, 255).astype(np.uint8)
+        zz, by, bx = _quantize_plane(p8, qt[qid])
+        comp_zz.append(zz)
+
+    dc_l = _canonical_codes(*HUFF_DC_LUMA)
+    ac_l = _canonical_codes(*HUFF_AC_LUMA)
+    dc_c = _canonical_codes(*HUFF_DC_CHROMA)
+    ac_c = _canonical_codes(*HUFF_AC_CHROMA)
+    huffs = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (len(planes) - 1)
+
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    for n in range(by * bx):  # 4:4:4 => one block per component per MCU
+        for ci, zz in enumerate(comp_zz):
+            preds[ci] = _encode_block(bw, zz[n], preds[ci], *huffs[ci])
+    entropy = bw.flush()
+
+    out = bytearray([0xFF, _SOI])
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if include_tables:
+        out += _table_segments(qt, color)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([len(planes)])
+    for ci in range(len(planes)):
+        sof += bytes([ci + 1, 0x11, qids[ci]])
+    out += _seg(_SOF0, sof)
+    sos = bytes([len(planes)])
+    for ci in range(len(planes)):
+        t = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += _seg(_SOS, sos)
+    out += entropy
+    out += bytes([0xFF, _EOI])
+    return bytes(out)
+
+
+def encode_tables(quality: int = 90, color: bool = False) -> bytes:
+    """Tables-only stream for the TIFF JPEGTables tag (tag 347): SOI,
+    DQT/DHT segments, EOI — the abbreviated-table format of T.81 B.5."""
+    qt = [scaled_qtable(QTBL_LUMA, quality), scaled_qtable(QTBL_CHROMA, quality)]
+    return bytes([0xFF, _SOI]) + _table_segments(qt, color) + bytes([0xFF, _EOI])
+
+
+# --- decoder -----------------------------------------------------------------
+@dataclass
+class _Component:
+    cid: int
+    h: int
+    v: int
+    qid: int
+    dc_tid: int = 0
+    ac_tid: int = 0
+
+
+class _ParseState:
+    def __init__(self) -> None:
+        self.qtables: dict[int, np.ndarray] = {}  # tid -> zigzag-order int64[64]
+        self.htables: dict[tuple[int, int], _DecTable] = {}
+        self.restart_interval = 0
+        self.frame: tuple[int, int, list[_Component]] | None = None
+
+
+def _parse_segments(buf: bytes, st: _ParseState) -> int | None:
+    """Walk markers from SOI; fill tables/frame; return offset of SOS payload
+    start (scan header), or None if the stream ends (tables-only)."""
+    n = len(buf)
+    if n < 2 or buf[0] != 0xFF or buf[1] != _SOI:
+        raise ValueError("not a JPEG stream (missing SOI)")
+    i = 2
+    while i < n:
+        # skip fill bytes
+        while i < n and buf[i] != 0xFF:
+            i += 1
+        while i < n and buf[i] == 0xFF:
+            i += 1
+        if i >= n:
+            break
+        m = buf[i]
+        i += 1
+        if m == _EOI:
+            return None
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            continue  # standalone markers
+        if i + 2 > n:
+            raise ValueError("truncated JPEG segment")
+        ln = int.from_bytes(buf[i : i + 2], "big")
+        payload = buf[i + 2 : i + ln]
+        if m == _DQT:
+            p = 0
+            while p < len(payload):
+                pq, tid = payload[p] >> 4, payload[p] & 15
+                p += 1
+                if pq == 0:
+                    st.qtables[tid] = np.frombuffer(
+                        payload[p : p + 64], dtype=np.uint8
+                    ).astype(np.int64)
+                    p += 64
+                else:  # 16-bit precision (not baseline, but parse it)
+                    st.qtables[tid] = np.frombuffer(
+                        payload[p : p + 128], dtype=">u2"
+                    ).astype(np.int64)
+                    p += 128
+        elif m == _DHT:
+            p = 0
+            while p < len(payload):
+                tclass, tid = payload[p] >> 4, payload[p] & 15
+                bits = list(payload[p + 1 : p + 17])
+                nv = sum(bits)
+                values = list(payload[p + 17 : p + 17 + nv])
+                st.htables[(tclass, tid)] = _dec_table(bits, values)
+                p += 17 + nv
+        elif m == _DRI:
+            st.restart_interval = int.from_bytes(payload[:2], "big")
+        elif m == _SOF2 or m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                                 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"JPEG SOF{m - 0xC0} (progressive/extended) not supported; "
+                "baseline SOF0 only"
+            )
+        elif m == _SOF0:
+            if payload[0] != 8:
+                raise ValueError(f"only 8-bit JPEG supported, got {payload[0]}-bit")
+            fh = int.from_bytes(payload[1:3], "big")
+            fw = int.from_bytes(payload[3:5], "big")
+            nc = payload[5]
+            comps = []
+            for c in range(nc):
+                cid = payload[6 + 3 * c]
+                hv = payload[7 + 3 * c]
+                comps.append(_Component(cid, hv >> 4, hv & 15, payload[8 + 3 * c]))
+            st.frame = (fh, fw, comps)
+        elif m == _SOS:
+            ns = payload[0]
+            assert st.frame is not None, "SOS before SOF"
+            by_id = {c.cid: c for c in st.frame[2]}
+            for c in range(ns):
+                comp = by_id[payload[1 + 2 * c]]
+                tt = payload[2 + 2 * c]
+                comp.dc_tid, comp.ac_tid = tt >> 4, tt & 15
+            return i + ln  # entropy data starts here
+        # APPn / COM / anything else: skip
+        i += ln
+    return None
+
+
+def parse_tables(buf: bytes) -> _ParseState:
+    """Parse an abbreviated tables-only stream (TIFF JPEGTables content)."""
+    st = _ParseState()
+    _parse_segments(buf, st)
+    return st
+
+
+def _decode_entropy(
+    data: bytes, st: _ParseState,
+) -> tuple[list[np.ndarray], int, int, list[_Component]]:
+    """Entropy-decode the interleaved scan into per-component zigzag
+    coefficient arrays (n_blocks, 64)."""
+    assert st.frame is not None
+    fh, fw, comps = st.frame
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+    n_mcus = mcus_x * mcus_y
+    for c in comps:
+        for key in ((0, c.dc_tid), (1, c.ac_tid)):
+            if key not in st.htables:
+                raise ValueError(
+                    f"JPEG stream references Huffman table {key} that was "
+                    "never defined (abbreviated stream? pass tables=...)"
+                )
+
+    # per-component block grids (MCU-padded)
+    out = [
+        np.zeros((mcus_y * c.v * mcus_x * c.h, 64), dtype=np.int64) for c in comps
+    ]
+
+    # split on restart markers (0xFFD0-0xFFD7); destuff each segment
+    segments: list[bytes] = []
+    start = 0
+    i = 0
+    n = len(data)
+    while i < n - 1:
+        if data[i] == 0xFF:
+            nxt = data[i + 1]
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(data[start:i])
+                i += 2
+                start = i
+                continue
+            if nxt == _EOI:
+                break
+            i += 2  # stuffed 0x00 or fill
+            continue
+        i += 1
+    segments.append(data[start : min(i, n)])
+
+    mcu = 0
+    for seg in segments:
+        destuffed = seg.replace(b"\xff\x00", b"\xff")
+        bits = np.unpackbits(np.frombuffer(destuffed, dtype=np.uint8)).tolist()
+        pos = 0
+        nbits = len(bits)
+        preds = [0] * len(comps)
+        limit = (
+            min(mcu + st.restart_interval, n_mcus)
+            if st.restart_interval
+            else n_mcus
+        )
+        while mcu < limit:
+            mcu_y, mcu_x = divmod(mcu, mcus_x)
+            for ci, c in enumerate(comps):
+                dc_t = st.htables[(0, c.dc_tid)]
+                ac_t = st.htables[(1, c.ac_tid)]
+                for v in range(c.v):
+                    for hh in range(c.h):
+                        if pos >= nbits:
+                            raise ValueError("JPEG entropy data truncated")
+                        # block index within this component's padded grid
+                        brow = mcu_y * c.v + v
+                        bcol = mcu_x * c.h + hh
+                        bi = brow * (mcus_x * c.h) + bcol
+                        zz = out[ci][bi]
+                        # DC
+                        s, pos = _huff_decode(bits, pos, dc_t)
+                        diff, pos = _receive_extend(bits, pos, s)
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        # AC
+                        k = 1
+                        while k < 64:
+                            rs, pos = _huff_decode(bits, pos, ac_t)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("corrupt JPEG: AC index > 63")
+                            val, pos = _receive_extend(bits, pos, s)
+                            zz[k] = val
+                            k += 1
+            mcu += 1
+        if st.restart_interval and mcu < n_mcus:
+            continue  # next segment resets predictors
+    if mcu < n_mcus:
+        raise ValueError(f"JPEG scan ended early: {mcu}/{n_mcus} MCUs")
+    return out, mcus_x, mcus_y, comps
+
+
+def _huff_decode(bits: list[int], pos: int, t: _DecTable) -> tuple[int, int]:
+    code = 0
+    for length in range(1, 17):
+        if pos >= len(bits):
+            raise ValueError("JPEG entropy data truncated mid-symbol")
+        code = (code << 1) | bits[pos]
+        pos += 1
+        # canonical decode (T.81 F.2.2.3): a code that fits at this length
+        # is this length's — shorter prefixes would have matched earlier
+        if code <= t.maxcode[length]:
+            return t.values[t.valptr[length] + code - t.mincode[length]], pos
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _idct_plane(
+    zz: np.ndarray, qtbl_zz: np.ndarray, blocks_x: int, blocks_y: int,
+) -> np.ndarray:
+    """(n_blocks, 64) zigzag coefs -> (blocks_y*8, blocks_x*8) float plane."""
+    deq = (zz * qtbl_zz[None, :]).astype(np.float64)
+    raster = np.zeros_like(deq)
+    raster[:, ZIGZAG] = deq
+    blocks = raster.reshape(-1, 8, 8)
+    pix = np.einsum("ji,njk,kl->nil", _DCT, blocks, _DCT) + 128.0
+    return (
+        pix.reshape(blocks_y, blocks_x, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(blocks_y * 8, blocks_x * 8)
+    )
+
+
+def decode(buf: bytes, tables: bytes | None = None) -> np.ndarray:
+    """Baseline JPEG bytes -> uint8 (h, w) gray or (h, w, 3) RGB.
+
+    ``tables``: optional abbreviated tables stream (TIFF JPEGTables tag
+    content) consulted for DQT/DHT ids the main stream doesn't define."""
+    st = parse_tables(tables) if tables is not None else _ParseState()
+    scan_off = _parse_segments(bytes(buf), st)
+    if scan_off is None:
+        raise ValueError("JPEG stream has no scan (SOS)")
+    if st.frame is None:
+        raise ValueError("JPEG stream has no frame (SOF0)")
+    coefs, mcus_x, mcus_y, comps = _decode_entropy(bytes(buf)[scan_off:], st)
+    fh, fw, _ = st.frame
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    planes = []
+    for ci, c in enumerate(comps):
+        if c.qid not in st.qtables:
+            raise ValueError(
+                f"JPEG stream references quant table {c.qid} that was never "
+                "defined (abbreviated stream? pass tables=...)"
+            )
+        p = _idct_plane(
+            coefs[ci], st.qtables[c.qid], mcus_x * c.h, mcus_y * c.v
+        )
+        # upsample to full resolution (sample replication), crop to frame
+        ry, rx = vmax // c.v, hmax // c.h
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        planes.append(p[:fh, :fw])
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    if len(planes) == 3:
+        return ycbcr_to_rgb(np.stack(planes, axis=-1))
+    raise ValueError(f"unsupported JPEG component count {len(planes)}")
+
+
+def decode_coefficients(
+    buf: bytes, tables: bytes | None = None
+) -> list[np.ndarray]:
+    """Entropy-decode only: per-component (n_blocks, 64) quantized zigzag
+    coefficients.  The entropy layer is lossless, so for a stream produced
+    by :func:`encode` these match the encoder's quantized coefficients
+    EXACTLY — the internal-consistency oracle in tests/test_jpeg.py."""
+    st = parse_tables(tables) if tables is not None else _ParseState()
+    scan_off = _parse_segments(bytes(buf), st)
+    if scan_off is None or st.frame is None:
+        raise ValueError("JPEG stream has no scan/frame")
+    coefs, _, _, _ = _decode_entropy(bytes(buf)[scan_off:], st)
+    return coefs

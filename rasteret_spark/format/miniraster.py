@@ -84,6 +84,9 @@ class MiniRasterMeta:
     # dtype property carries it so every downstream decode is order-correct.
     container: str = "miniraster"
     byte_order: str = "<"
+    # TIFF tag 347 content for abbreviated JPEG tile streams (None for
+    # self-contained streams and every non-JPEG codec)
+    jpeg_tables: bytes | None = None
 
     @property
     def tiles_x(self) -> int:
@@ -137,6 +140,9 @@ class MiniRasterMeta:
             n_bands=int(d.get("n_bands", 1) or 1),
             container=str(d.get("container") or "miniraster"),
             byte_order=str(d.get("byte_order") or "<"),
+            jpeg_tables=None
+            if d.get("jpeg_tables") is None
+            else bytes(d["jpeg_tables"]),
         )
 
 
@@ -362,6 +368,7 @@ def read_window(
             meta.tile_h,
             meta.tile_w,
             meta.qstep,
+            jpeg_tables=meta.jpeg_tables,
         )
         # tile's pixel-space origin
         px0, py0 = tx * meta.tile_w, ty * meta.tile_h
@@ -422,6 +429,7 @@ class CachedReader:
             t = codecs.decode_tile(
                 self.blob[off : off + cnt], m.compression, m.predictor,
                 m.dtype, m.tile_h, m.tile_w, m.qstep,
+                jpeg_tables=m.jpeg_tables,
             )
             self._tiles[t_idx] = t
         return t

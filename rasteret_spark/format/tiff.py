@@ -76,6 +76,7 @@ TAG_TILE_OFFSETS = 324
 TAG_TILE_BYTE_COUNTS = 325
 TAG_EXTRA_SAMPLES = 338
 TAG_SAMPLE_FORMAT = 339
+TAG_JPEG_TABLES = 347  # shared DQT/DHT for abbreviated JPEG tile streams
 TAG_MODEL_PIXEL_SCALE = 33550
 TAG_MODEL_TIEPOINT = 33922
 TAG_MODEL_TRANSFORM = 34264
@@ -90,6 +91,7 @@ _WANTED_TAGS = {
     TAG_ROWS_PER_STRIP, TAG_STRIP_BYTE_COUNTS, TAG_PLANAR_CONFIG,
     TAG_PREDICTOR, TAG_TILE_WIDTH, TAG_TILE_HEIGHT, TAG_TILE_OFFSETS,
     TAG_TILE_BYTE_COUNTS, TAG_EXTRA_SAMPLES, TAG_SAMPLE_FORMAT,
+    TAG_JPEG_TABLES,
     TAG_MODEL_PIXEL_SCALE, TAG_MODEL_TIEPOINT, TAG_MODEL_TRANSFORM,
     TAG_GEO_KEY_DIRECTORY, TAG_GDAL_NODATA,
 }
@@ -107,6 +109,7 @@ TIFF_COMP_TO_ENGINE = {
     32946: codecs.COMP_DEFLATE,   # legacy deflate
     32773: codecs.COMP_PACKBITS,
     50000: codecs.COMP_ZSTD,      # GDAL zstd (gated on the zstandard package)
+    7: codecs.COMP_JPEG,          # new-style JPEG (format/jpegcodec.py)
 }
 
 # (SampleFormat, BitsPerSample) -> numpy dtype name
@@ -216,6 +219,8 @@ class TiffMeta:
     geokeys: dict[int, int] = field(default_factory=dict)
     subfile_type: int = 0  # tag 254; bit 0 set = reduced-resolution overview
     next_ifd_offset: int = 0  # 0 = last IFD in the chain
+    # tag 347 content (SOI + DQT/DHT + EOI) when tile streams are abbreviated
+    jpeg_tables: bytes | None = None
 
     @property
     def dtype_name(self) -> str:
@@ -471,6 +476,13 @@ def parse_tiff(read, ifd: int = 0, ifd_offset: int | None = None) -> TiffMeta:
     tp = tags.get(TAG_MODEL_TIEPOINT)
     mt = tags.get(TAG_MODEL_TRANSFORM)
     extra = tags.get(TAG_EXTRA_SAMPLES)
+    jt = tags.get(TAG_JPEG_TABLES)
+    if jt is not None:
+        jt = bytes(jt) if isinstance(jt, bytes) else np.asarray(
+            jt, dtype=np.uint8
+        ).tobytes()
+        if len(jt) < 4:  # degenerate/empty tag: treat as absent
+            jt = None
 
     return TiffMeta(
         container=container,
@@ -501,6 +513,7 @@ def parse_tiff(read, ifd: int = 0, ifd_offset: int | None = None) -> TiffMeta:
         geokeys=geokeys,
         subfile_type=int(one(TAG_NEW_SUBFILE_TYPE, 0)),
         next_ifd_offset=next_ifd_off,
+        jpeg_tables=jt,
     )
 
 
@@ -520,9 +533,13 @@ def to_engine_meta(m: TiffMeta) -> MiniRasterMeta:
     engine_comp = TIFF_COMP_TO_ENGINE.get(m.compression)
     if engine_comp is None:
         raise ValueError(
-            f"unsupported TIFF compression {m.compression} (JPEG/LERC and "
-            "exotic codecs are out of scope; supported: none/LZW/deflate/"
-            "packbits/zstd)"
+            f"unsupported TIFF compression {m.compression} (LERC and exotic "
+            "codecs are out of scope; supported: none/LZW/deflate/packbits/"
+            "zstd/JPEG)"
+        )
+    if engine_comp == codecs.COMP_JPEG and m.dtype_name != "uint8":
+        raise ValueError(
+            f"JPEG-compressed TIFF must be 8-bit, got {m.dtype_name}"
         )
     if m.samples_per_pixel > 1 and m.planar_config != 2:
         raise ValueError(
@@ -559,6 +576,7 @@ def to_engine_meta(m: TiffMeta) -> MiniRasterMeta:
         n_bands=n_bands,
         container=m.container,
         byte_order=m.byte_order,
+        jpeg_tables=m.jpeg_tables,
     )
 
 
@@ -572,6 +590,20 @@ def decode_chunky_tile(raw: bytes, m: TiffMeta) -> np.ndarray:
     engine_comp = TIFF_COMP_TO_ENGINE.get(m.compression)
     if engine_comp is None:
         raise ValueError(f"unsupported TIFF compression {m.compression}")
+    if engine_comp == codecs.COMP_JPEG:
+        from rasteret_spark.format import jpegcodec
+
+        # JPEG carries its own layout: gray -> (h, w); 3-component YCbCr
+        # (photometric 6, the layout real COG writers emit) -> RGB (h, w, 3).
+        # Predictor never applies to JPEG tiles.
+        out = jpegcodec.decode(raw, tables=m.jpeg_tables)
+        want = 1 if out.ndim == 2 else out.shape[2]
+        if want != spp:
+            raise ValueError(
+                f"JPEG tile decodes to {want} component(s); IFD says "
+                f"SamplesPerPixel={spp}"
+            )
+        return out[: m.tile_h, : m.tile_w]
     if spp == 1:
         return codecs.decode_tile(
             raw, engine_comp, m.predictor, m.dtype, m.tile_h, m.tile_w

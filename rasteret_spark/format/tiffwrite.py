@@ -29,7 +29,7 @@ _DTYPE_SF = {  # numpy kind -> TIFF SampleFormat
     "u": 1, "i": 2, "f": 3,
 }
 
-_COMP_IDS = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
+_COMP_IDS = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773, "jpeg": 7}
 
 
 def _pred_bytes(tile: np.ndarray, predictor: int, order: str) -> bytes:
@@ -87,6 +87,8 @@ def write_tiff(
     raster_type: int = 1,
     nodata: float | None = None,
     overviews: list[int] | tuple[int, ...] | None = None,
+    jpeg_quality: int = 90,
+    jpeg_tables_mode: int = 0,
 ) -> bytes:
     """Serialize ``arr`` as a TIFF blob.
 
@@ -112,6 +114,14 @@ def write_tiff(
         raise ValueError(f"unsupported dtype {dt}")
     if predictor == 3 and dt.kind != "f":
         raise ValueError("predictor 3 requires float samples")
+    if comp_id == 7:  # new-style JPEG (baseline, 8-bit)
+        if dt != np.uint8:
+            raise ValueError("JPEG compression requires uint8 samples")
+        if predictor != 1:
+            raise ValueError("JPEG compression does not take a predictor")
+        if jpeg_tables_mode not in (0, 1):
+            raise ValueError("jpeg_tables_mode must be 0 (self-contained "
+                             "streams) or 1 (shared JPEGTables tag)")
 
     def decimate(a: np.ndarray, f: int) -> np.ndarray:
         if interleaved:
@@ -141,6 +151,7 @@ def write_tiff(
         seg, next_pos = _ifd_segment(
             lv, base, E, bigtiff, entry_size, count_size, next_size,
             inline_cap, off_fmt, comp_id=comp_id, predictor=predictor,
+            jpeg_quality=jpeg_quality, jpeg_tables_mode=jpeg_tables_mode,
             interleaved=interleaved, tile=tile, rows_per_strip=rows_per_strip,
             pixel_scale=pixel_scale if li == 0 else None,
             tiepoint=tiepoint if li == 0 else None,
@@ -176,6 +187,8 @@ def _ifd_segment(
     *,
     comp_id: int,
     predictor: int,
+    jpeg_quality: int = 90,
+    jpeg_tables_mode: int = 0,
     interleaved: bool,
     tile: tuple[int, int] | None,
     rows_per_strip: int | None,
@@ -220,8 +233,33 @@ def _ifd_segment(
             return out
         return np.ascontiguousarray(blk)
 
+    jpeg_self_contained = comp_id == 7 and jpeg_tables_mode == 0
+
+    def jpeg_payload(blk: np.ndarray) -> bytes:
+        from rasteret_spark.format import jpegcodec
+
+        return jpegcodec.encode(
+            blk, quality=jpeg_quality, include_tables=jpeg_self_contained
+        )
+
     payloads: list[bytes] = []
-    if interleaved:
+    if comp_id == 7:
+        if interleaved:
+            for ty in range(tiles_y):
+                for tx in range(tiles_x):
+                    y0, x0 = ty * th, tx * tw
+                    blk = arr[y0 : min(y0 + th, h), x0 : min(x0 + tw, w), :]
+                    if tiled:
+                        full = np.zeros((th, tw, spp), dtype=dt)
+                        full[: blk.shape[0], : blk.shape[1]] = blk
+                        blk = full
+                    payloads.append(jpeg_payload(np.ascontiguousarray(blk)))
+        else:
+            for plane in planes:
+                for ty in range(tiles_y):
+                    for tx in range(tiles_x):
+                        payloads.append(jpeg_payload(cut(plane, ty, tx)))
+    elif interleaved:
         for ty in range(tiles_y):
             for tx in range(tiles_x):
                 y0, x0 = ty * th, tx * tw
@@ -259,7 +297,7 @@ def _ifd_segment(
     entries: list[tuple[int, int, int, bytes]] = []  # (tag, type, count, data)
 
     def add(tag: int, ftype: int, values) -> None:
-        if ftype == 2:  # ASCII with NUL
+        if ftype in (2, 7):  # ASCII with NUL / UNDEFINED byte blob
             data = bytes(values)
         else:
             fmt = {1: "B", 3: "H", 4: "I", 12: "d", 16: "Q"}[ftype]
@@ -273,7 +311,16 @@ def _ifd_segment(
     add(tf.TAG_HEIGHT, 4, [h])
     add(tf.TAG_BITS_PER_SAMPLE, 3, [dt.itemsize * 8] * spp)
     add(tf.TAG_COMPRESSION, 3, [comp_id])
-    add(tf.TAG_PHOTOMETRIC, 3, [2 if (interleaved and spp >= 3) else 1])
+    if comp_id == 7 and interleaved and spp >= 3:
+        photometric = 6  # YCbCr: the JPEG streams store transformed samples
+    else:
+        photometric = 2 if (interleaved and spp >= 3) else 1
+    add(tf.TAG_PHOTOMETRIC, 3, [photometric])
+    if comp_id == 7 and jpeg_tables_mode == 1:
+        from rasteret_spark.format import jpegcodec
+
+        add(tf.TAG_JPEG_TABLES, 7, jpegcodec.encode_tables(
+            jpeg_quality, color=interleaved and spp >= 3))
     add(tf.TAG_SAMPLES_PER_PIXEL, 3, [spp])
     add(tf.TAG_PLANAR_CONFIG, 3, [planar_cfg])
     if predictor != 1:

@@ -44,6 +44,8 @@ META_FIELDS = [
     T.StructField("header_len", T.LongType()),
     T.StructField("container", T.StringType()),
     T.StructField("byte_order", T.StringType()),
+    # TIFF tag 347 for abbreviated JPEG tile streams (null otherwise)
+    T.StructField("jpeg_tables", T.BinaryType()),
 ]
 META_STRUCT = T.StructType(META_FIELDS)
 

@@ -423,10 +423,14 @@ _TIFF_MATRIX = [
     ("deflate", 2, "uint16", True, ">", True),
     ("lzw", 1, "uint16", True, "<", True),
     ("deflate", 3, "float32", True, ">", False),
+    # baseline JPEG (format/jpegcodec.py): tiled rows share tables via the
+    # JPEGTables tag (GDAL's default layout), stripped rows self-contain
+    ("jpeg", 1, "uint8", True, "<", False),
+    ("jpeg", 1, "uint8", False, ">", True),
 ]
 
 _TIFF_COMP_NAME = {"raw": "none", "deflate": "deflate", "lzw": "lzw",
-                   "packbits": "packbits"}
+                   "packbits": "packbits", "jpeg": "jpeg"}
 
 
 def make_tiff_image_row(i: int, seed: int = 42, dup_every: int = 17) -> dict:
@@ -490,6 +494,8 @@ def make_tiff_image_row(i: int, seed: int = 42, dup_every: int = 17) -> dict:
         nodata=nodata,
         # tiled rows carry a COG overview pyramid (q63's serving surface)
         overviews=[2, 4] if tiled else None,
+        jpeg_quality=92,
+        jpeg_tables_mode=1 if (fmt == "jpeg" and tiled) else 0,
     )
 
     cols = np.array([0.0, w, w, 0.0])
