@@ -160,14 +160,44 @@ class Collection:
         more = "" if len(self.records.columns) <= 8 else ", ..."
         return f"Collection(lazy; columns=[{cols}{more}])"
 
-    def describe(self) -> dict:
-        n = self.count()
-        return {
-            "records": n,
-            "bands": self.bands(),
-            "bounds": self.bounds() if n else None,
-            "epsg": self.epsg() if "epsg" in self.records.columns else [],
-        }
+    def describe(self):
+        """Eager one-job summary, rendered richly.
+
+        Returns a ``display.DescribeResult`` — a Mapping (``d["records"]``,
+        ``dict(d)``, ``**d`` all work) that renders as an aligned table in
+        terminals and styled HTML in notebooks (the reference's
+        ``describe()`` surface, `core/display.py:153-246`).  Every
+        property — count, band max, spatial extent, CRS set, date range —
+        comes from a SINGLE aggregation pass over the light columns, not
+        one Spark job per property."""
+        from rasteret_spark.display import DescribeResult
+
+        cols = set(self.records.columns)
+        aggs = [F.count(F.lit(1)).alias("records")]
+        if "n_bands" in cols:
+            aggs.append(F.max("n_bands").alias("bands"))
+        if {"xmin", "ymin", "xmax", "ymax"} <= cols:
+            aggs += [F.min("xmin").alias("bxmin"), F.min("ymin").alias("bymin"),
+                     F.max("xmax").alias("bxmax"), F.max("ymax").alias("bymax")]
+        if "epsg" in cols:
+            aggs.append(F.collect_set("epsg").alias("epsg_set"))
+        if "datetime" in cols:
+            aggs += [F.min("datetime").alias("dt_min"),
+                     F.max("datetime").alias("dt_max")]
+        r = self.records.agg(*aggs).first()
+        n = int(r["records"])
+        d: dict = {"records": n}
+        d["bands"] = int(r["bands"]) if "n_bands" in cols and r["bands"] is not None else 1
+        if {"xmin", "ymin", "xmax", "ymax"} <= cols and n and r["bxmin"] is not None:
+            d["bounds"] = (float(r["bxmin"]), float(r["bymin"]),
+                           float(r["bxmax"]), float(r["bymax"]))
+        else:
+            d["bounds"] = None
+        d["epsg"] = (sorted(int(e) for e in r["epsg_set"] if e is not None)
+                     if "epsg" in cols else [])
+        if "datetime" in cols and r["dt_min"] is not None:
+            d["dates"] = (str(r["dt_min"])[:10], str(r["dt_max"])[:10])
+        return DescribeResult(d)
 
     # --- sinks -----------------------------------------------------------------
     def export(self, path: str, geoparquet: bool = False) -> None:

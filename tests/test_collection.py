@@ -158,3 +158,38 @@ def test_sample_points_resume_dir_facade(spark, coll, points_pdf, tmp_path):
     )
     with pytest.raises(ValueError, match="band 0"):
         coll.sample_points(pts, bands=(0, 1), resume_dir=str(tmp_path / "x"))
+
+
+def test_describe_result_renders_and_maps(coll, images_pdf):
+    """describe() is a Mapping (dict-compatible for the CLI's **d) AND a
+    rich renderable (terminal table + notebook HTML), computed in one
+    aggregation pass — the reference's display surface
+    (`src/rasteret/core/display.py:153-246`), Spark-first."""
+    d = coll.describe()
+    # Mapping protocol: dict(d), **d, membership
+    as_dict = dict(d)
+    assert as_dict["records"] == len(images_pdf)
+    assert {**d}["bands"] == int(images_pdf["n_bands"].max())
+    assert "bounds" in d and len(d) >= 4
+    assert d.data == as_dict
+    # date range comes from the same single pass
+    assert d["dates"][0] <= d["dates"][1]
+    # terminal rendering: aligned table with every property present
+    text = repr(d)
+    assert "Property" in text and "records" in text and "EPSG:" in text
+    # notebook rendering: valid-ish HTML with escaped content and both
+    # mime types offered through the display protocol
+    html = d._repr_html_()
+    assert html.startswith("<div") and "<table" in html
+    bundle = d._repr_mimebundle_()
+    assert set(bundle) == {"text/plain", "text/html"}
+
+
+def test_describe_empty_collection(spark, coll):
+    from rasteret_spark.collection import Collection
+
+    empty = Collection(spark, coll.records.filter("1=0"))
+    d = empty.describe()
+    assert d["records"] == 0 and d["bounds"] is None
+    assert "dates" not in d
+    assert "(empty)" not in repr(d)  # still renders the table scaffold
