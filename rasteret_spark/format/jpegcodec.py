@@ -3,13 +3,15 @@
 Re-implements, from the public JPEG spec, the lossy codec the reference
 engine reaches through imagecodecs for JPEG-in-COG tiles
 (rasteret `src/rasteret/fetch/cog.py:843-966` declares the JPEG branch).
-Scope — the baseline sequential DCT process real COG writers emit:
+Scope — the DCT processes real-world writers emit:
 
-- decoder: SOF0 (baseline), 8-bit, 1 or 3 components, interleaved scan,
-  arbitrary sampling factors with max 2 (4:4:4 / 4:2:2 / 4:2:0), restart
-  markers (DRI/RSTn), JFIF YCbCr -> RGB, and TIFF-style abbreviated
-  streams (tables supplied separately via the JPEGTables tag).  SOF2
-  progressive raises a clear error.
+- decoder: baseline SOF0 / extended-sequential SOF1 AND progressive SOF2
+  (spectral selection + successive approximation, DC/AC first and
+  refinement passes, EOB runs — T.81 G.2), 8-bit, 1 or 3 components,
+  sampling factors with max 2 (4:4:4 / 4:2:2 / 4:2:0), restart markers
+  (DRI/RSTn), JFIF YCbCr -> RGB, and TIFF-style abbreviated streams
+  (tables supplied separately via the JPEGTables tag).  Lossless /
+  arithmetic / hierarchical SOFs raise a clear error.
 - encoder: grayscale or RGB 4:4:4, Annex K quantization tables scaled by
   the IJG quality formula, Annex K Huffman tables, optional abbreviated
   output (tables stream + per-tile entropy streams) for TIFF tag 347.
@@ -430,15 +432,25 @@ class _ParseState:
         self.htables: dict[tuple[int, int], _DecTable] = {}
         self.restart_interval = 0
         self.frame: tuple[int, int, list[_Component]] | None = None
+        self.progressive = False
+        # last SOS header: (ordered component ids, Ss, Se, Ah, Al)
+        self.last_scan: tuple[list[int], int, int, int, int] | None = None
 
 
-def _parse_segments(buf: bytes, st: _ParseState) -> int | None:
-    """Walk markers from SOI; fill tables/frame; return offset of SOS payload
-    start (scan header), or None if the stream ends (tables-only)."""
+def _parse_segments(
+    buf: bytes, st: _ParseState, start: int = 0, expect_soi: bool = True,
+) -> int | None:
+    """Walk markers; fill tables/frame/scan header; return offset of the
+    next scan's entropy data, or None at EOI / end (tables-only stream).
+    ``start``/``expect_soi`` let progressive decoders resume between
+    scans."""
     n = len(buf)
-    if n < 2 or buf[0] != 0xFF or buf[1] != _SOI:
-        raise ValueError("not a JPEG stream (missing SOI)")
-    i = 2
+    if expect_soi:
+        if n < 2 or buf[0] != 0xFF or buf[1] != _SOI:
+            raise ValueError("not a JPEG stream (missing SOI)")
+        i = 2
+    else:
+        i = start
     while i < n:
         # skip fill bytes
         while i < n and buf[i] != 0xFF:
@@ -483,15 +495,16 @@ def _parse_segments(buf: bytes, st: _ParseState) -> int | None:
                 p += 17 + nv
         elif m == _DRI:
             st.restart_interval = int.from_bytes(payload[:2], "big")
-        elif m == _SOF2 or m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                                 0xCD, 0xCE, 0xCF):
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE,
+                   0xCF):
             raise ValueError(
-                f"JPEG SOF{m - 0xC0} (progressive/extended) not supported; "
-                "baseline SOF0 only"
+                f"JPEG SOF{m - 0xC0} (lossless/arithmetic/hierarchical) not "
+                "supported; baseline SOF0/SOF1 and progressive SOF2 only"
             )
-        elif m == _SOF0:
+        elif m in (_SOF0, 0xC1, _SOF2):  # baseline / extended seq / progressive
             if payload[0] != 8:
                 raise ValueError(f"only 8-bit JPEG supported, got {payload[0]}-bit")
+            st.progressive = m == _SOF2
             fh = int.from_bytes(payload[1:3], "big")
             fw = int.from_bytes(payload[3:5], "big")
             nc = payload[5]
@@ -505,10 +518,15 @@ def _parse_segments(buf: bytes, st: _ParseState) -> int | None:
             ns = payload[0]
             assert st.frame is not None, "SOS before SOF"
             by_id = {c.cid: c for c in st.frame[2]}
+            ids = []
             for c in range(ns):
-                comp = by_id[payload[1 + 2 * c]]
+                cid = payload[1 + 2 * c]
+                comp = by_id[cid]
                 tt = payload[2 + 2 * c]
                 comp.dc_tid, comp.ac_tid = tt >> 4, tt & 15
+                ids.append(cid)
+            ss, se, ahl = payload[1 + 2 * ns], payload[2 + 2 * ns], payload[3 + 2 * ns]
+            st.last_scan = (ids, ss, se, ahl >> 4, ahl & 15)
             return i + ln  # entropy data starts here
         # APPn / COM / anything else: skip
         i += ln
@@ -520,6 +538,265 @@ def parse_tables(buf: bytes) -> _ParseState:
     st = _ParseState()
     _parse_segments(buf, st)
     return st
+
+
+def _find_scan_end(buf: bytes, off: int) -> int:
+    """Offset of the first real marker after ``off`` (skips stuffed 0xFF00
+    and RSTn, which live inside entropy data)."""
+    i = off
+    n = len(buf)
+    while i < n - 1:
+        if buf[i] != 0xFF:
+            i += 1
+            continue
+        nxt = buf[i + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            i += 2
+            continue
+        return i
+    return n
+
+
+def _split_restart_segments(data: bytes) -> list[bytes]:
+    """Split one scan's entropy bytes on RSTn markers; destuff each part."""
+    segments: list[bytes] = []
+    start = 0
+    i = 0
+    n = len(data)
+    while i < n - 1:
+        if data[i] == 0xFF:
+            nxt = data[i + 1]
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(data[start:i])
+                i += 2
+                start = i
+                continue
+            if nxt == _EOI:
+                n = i  # trailing marker: entropy data ends here
+                break
+            i += 2  # stuffed 0x00 (or fill)
+            continue
+        i += 1
+    segments.append(data[start:n])
+    return [s.replace(b"\xff\x00", b"\xff") for s in segments]
+
+
+def _receive_raw(bits: list[int], pos: int, r: int) -> tuple[int, int]:
+    """Read r raw bits (EOB-run length extension — no sign extension)."""
+    v = 0
+    for _ in range(r):
+        v = (v << 1) | bits[pos]
+        pos += 1
+    return v, pos
+
+
+def _need_table(st: _ParseState, tclass: int, tid: int) -> _DecTable:
+    t = st.htables.get((tclass, tid))
+    if t is None:
+        raise ValueError(
+            f"JPEG stream references Huffman table ({tclass}, {tid}) that "
+            "was never defined (abbreviated stream? pass tables=...)"
+        )
+    return t
+
+
+def _ac_first(
+    bits: list[int], pos: int, zz: np.ndarray, ss: int, se: int, al: int,
+    ac_t: _DecTable, eobrun: int,
+) -> tuple[int, int]:
+    """Progressive AC first pass for one block (T.81 G.1.2.2)."""
+    if eobrun > 0:
+        return eobrun - 1, pos
+    k = ss
+    while k <= se:
+        rs, pos = _huff_decode(bits, pos, ac_t)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r < 15:  # EOBn: run of (1<<r)-1+bits end-of-band blocks
+                eobrun = (1 << r) - 1
+                if r:
+                    v, pos = _receive_raw(bits, pos, r)
+                    eobrun += v
+                return eobrun, pos
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("corrupt progressive JPEG: AC index past band")
+        v, pos = _receive_extend(bits, pos, s)
+        zz[k] = v << al
+        k += 1
+    return 0, pos
+
+
+def _ac_refine(
+    bits: list[int], pos: int, zz: np.ndarray, ss: int, se: int, al: int,
+    ac_t: _DecTable, eobrun: int,
+) -> tuple[int, int]:
+    """Progressive AC refinement for one block (T.81 G.1.2.3): one new
+    ±1<<Al coefficient per symbol, plus correction bits for every already-
+    nonzero coefficient passed along the way."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs, pos = _huff_decode(bits, pos, ac_t)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    # NOT minus one here: the EOB tail below runs for THIS
+                    # block too and does the one decrement
+                    eobrun = 1 << r
+                    if r:
+                        v, pos = _receive_raw(bits, pos, r)
+                        eobrun += v
+                    break
+                # r == 15: ZRL — advance over 16 zero-history coefficients
+            else:
+                # refinement symbols carry exactly one magnitude bit
+                newval = p1 if bits[pos] else m1
+                pos += 1
+            while k <= se:
+                if zz[k] != 0:
+                    bit = bits[pos]
+                    pos += 1
+                    if bit and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                zz[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # EOB region still corrects existing coefficients
+            if zz[k] != 0:
+                bit = bits[pos]
+                pos += 1
+                if bit and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun, pos
+
+
+def _decode_progressive_scan(
+    data: bytes, st: _ParseState, out: list[np.ndarray],
+    mcus_x: int, mcus_y: int,
+) -> None:
+    """One progressive scan (DC or AC band, first or refinement pass) folded
+    into the per-component coefficient accumulators."""
+    assert st.frame is not None and st.last_scan is not None
+    fh, fw, comps = st.frame
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    ids, ss, se, ah, al = st.last_scan
+    by_id = {c.cid: (ci, c) for ci, c in enumerate(comps)}
+    scan = [by_id[cid] for cid in ids]
+    dc_scan = ss == 0
+    if not dc_scan and len(scan) != 1:
+        raise ValueError("progressive AC scans must be single-component")
+
+    if dc_scan and len(scan) > 1:  # interleaved DC: walk MCUs
+        n_units = mcus_x * mcus_y
+    else:  # single-component: walk that component's own block grid
+        _, c0 = scan[0]
+        comp_w = -(-fw * c0.h // hmax)
+        comp_h = -(-fh * c0.v // vmax)
+        bw = -(-comp_w // 8)
+        bh = -(-comp_h // 8)
+        n_units = bw * bh
+
+    ri = st.restart_interval
+    unit = 0
+    for seg in _split_restart_segments(data):
+        bits = np.unpackbits(np.frombuffer(seg, dtype=np.uint8)).tolist()
+        pos = 0
+        preds = {ci: 0 for ci, _ in scan}
+        eobrun = 0
+        limit = min(unit + ri, n_units) if ri else n_units
+        while unit < limit:
+            if dc_scan and len(scan) > 1:
+                mcu_y, mcu_x = divmod(unit, mcus_x)
+                for ci, c in scan:
+                    dc_t = _need_table(st, 0, c.dc_tid) if ah == 0 else None
+                    for v in range(c.v):
+                        for hh in range(c.h):
+                            bi = (mcu_y * c.v + v) * (mcus_x * c.h) + (
+                                mcu_x * c.h + hh
+                            )
+                            zz = out[ci][bi]
+                            if ah == 0:
+                                s, pos = _huff_decode(bits, pos, dc_t)
+                                diff, pos = _receive_extend(bits, pos, s)
+                                preds[ci] += diff
+                                zz[0] = preds[ci] << al
+                            else:
+                                if bits[pos]:
+                                    zz[0] |= 1 << al
+                                pos += 1
+            else:
+                ci, c = scan[0]
+                by, bx = divmod(unit, bw)
+                bi = by * (mcus_x * c.h) + bx
+                zz = out[ci][bi]
+                if dc_scan:
+                    if ah == 0:
+                        dc_t = _need_table(st, 0, c.dc_tid)
+                        s, pos = _huff_decode(bits, pos, dc_t)
+                        diff, pos = _receive_extend(bits, pos, s)
+                        preds[ci] += diff
+                        zz[0] = preds[ci] << al
+                    else:
+                        if bits[pos]:
+                            zz[0] |= 1 << al
+                        pos += 1
+                else:
+                    ac_t = _need_table(st, 1, c.ac_tid)
+                    if ah == 0:
+                        eobrun, pos = _ac_first(
+                            bits, pos, zz, ss, se, al, ac_t, eobrun
+                        )
+                    else:
+                        eobrun, pos = _ac_refine(
+                            bits, pos, zz, ss, se, al, ac_t, eobrun
+                        )
+            unit += 1
+    if unit < n_units:
+        raise ValueError(
+            f"progressive JPEG scan ended early: {unit}/{n_units} units"
+        )
+
+
+def _decode_all_scans(
+    buf: bytes, scan_off: int, st: _ParseState,
+) -> tuple[list[np.ndarray], int, int, list[_Component]]:
+    """Decode every scan in the stream into coefficient arrays — one scan
+    for baseline/extended-sequential frames, many for progressive."""
+    assert st.frame is not None
+    if not st.progressive:
+        return _decode_entropy(buf[scan_off:], st)
+    fh, fw, comps = st.frame
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+    out = [
+        np.zeros((mcus_y * c.v * mcus_x * c.h, 64), dtype=np.int64)
+        for c in comps
+    ]
+    while True:
+        end = _find_scan_end(buf, scan_off)
+        _decode_progressive_scan(buf[scan_off:end], st, out, mcus_x, mcus_y)
+        nxt = _parse_segments(buf, st, start=end, expect_soi=False)
+        if nxt is None:
+            break
+        scan_off = nxt
+    return out, mcus_x, mcus_y, comps
 
 
 def _decode_entropy(
@@ -547,30 +824,9 @@ def _decode_entropy(
         np.zeros((mcus_y * c.v * mcus_x * c.h, 64), dtype=np.int64) for c in comps
     ]
 
-    # split on restart markers (0xFFD0-0xFFD7); destuff each segment
-    segments: list[bytes] = []
-    start = 0
-    i = 0
-    n = len(data)
-    while i < n - 1:
-        if data[i] == 0xFF:
-            nxt = data[i + 1]
-            if 0xD0 <= nxt <= 0xD7:
-                segments.append(data[start:i])
-                i += 2
-                start = i
-                continue
-            if nxt == _EOI:
-                break
-            i += 2  # stuffed 0x00 or fill
-            continue
-        i += 1
-    segments.append(data[start : min(i, n)])
-
     mcu = 0
-    for seg in segments:
-        destuffed = seg.replace(b"\xff\x00", b"\xff")
-        bits = np.unpackbits(np.frombuffer(destuffed, dtype=np.uint8)).tolist()
+    for seg in _split_restart_segments(data):
+        bits = np.unpackbits(np.frombuffer(seg, dtype=np.uint8)).tolist()
         pos = 0
         nbits = len(bits)
         preds = [0] * len(comps)
@@ -657,13 +913,14 @@ def decode(buf: bytes, tables: bytes | None = None) -> np.ndarray:
 
     ``tables``: optional abbreviated tables stream (TIFF JPEGTables tag
     content) consulted for DQT/DHT ids the main stream doesn't define."""
+    buf = bytes(buf)
     st = parse_tables(tables) if tables is not None else _ParseState()
-    scan_off = _parse_segments(bytes(buf), st)
+    scan_off = _parse_segments(buf, st)
     if scan_off is None:
         raise ValueError("JPEG stream has no scan (SOS)")
     if st.frame is None:
         raise ValueError("JPEG stream has no frame (SOF0)")
-    coefs, mcus_x, mcus_y, comps = _decode_entropy(bytes(buf)[scan_off:], st)
+    coefs, mcus_x, mcus_y, comps = _decode_all_scans(buf, scan_off, st)
     fh, fw, _ = st.frame
     hmax = max(c.h for c in comps)
     vmax = max(c.v for c in comps)
@@ -696,9 +953,10 @@ def decode_coefficients(
     coefficients.  The entropy layer is lossless, so for a stream produced
     by :func:`encode` these match the encoder's quantized coefficients
     EXACTLY — the internal-consistency oracle in tests/test_jpeg.py."""
+    buf = bytes(buf)
     st = parse_tables(tables) if tables is not None else _ParseState()
-    scan_off = _parse_segments(bytes(buf), st)
+    scan_off = _parse_segments(buf, st)
     if scan_off is None or st.frame is None:
         raise ValueError("JPEG stream has no scan/frame")
-    coefs, _, _, _ = _decode_entropy(bytes(buf)[scan_off:], st)
+    coefs, _, _, _ = _decode_all_scans(buf, scan_off, st)
     return coefs

@@ -101,7 +101,7 @@ class TestLibjpegInterop:
         return sorted(
             p
             for p in glob.glob(f"{SPARK_IMAGES}/**/*.jpg", recursive=True)
-            if "grayscale" not in p  # that one is progressive (SOF2)
+            if "grayscale" not in p  # that one is progressive — own tests below
         )
 
     def test_decodes_real_420_files(self):
@@ -116,10 +116,71 @@ class TestLibjpegInterop:
             out2 = J.decode(J.encode(out, quality=95))
             assert codecs.psnr(out, out2, peak=255) >= 40.0
 
-    def test_progressive_rejected_clearly(self):
+    def test_progressive_gray_decodes(self):
+        """The distribution's one progressive (SOF2) file: 6 scans with DC
+        first+refine, AC band first passes, and AC+DC refinement."""
         p = f"{SPARK_IMAGES}/multi-channel/grayscale.jpg"
-        with pytest.raises(ValueError, match="SOF2|progressive"):
-            J.decode(open(p, "rb").read())
+        out = J.decode(open(p, "rb").read())
+        assert out.shape == (215, 300) and out.dtype == np.uint8
+        assert out.std() > 20
+
+    def test_progressive_gray_matches_java_imageio(self, spark):
+        """Progressive pixels vs javax.imageio's independent decoder: for a
+        grayscale file (no chroma-upsampling ambiguity) the two must agree
+        to within ±1 at every pixel."""
+        p = f"{SPARK_IMAGES}/multi-channel/grayscale.jpg"
+        r = (
+            spark.read.format("image").load(p)
+            .select("image.height", "image.width", "image.nChannels",
+                    "image.data")
+            .first()
+        )
+        ref = np.frombuffer(bytes(r.data), dtype=np.uint8).reshape(
+            r.height, r.width, r.nChannels
+        )[..., 0]
+        mine = J.decode(open(p, "rb").read())
+        assert int(np.abs(mine.astype(int) - ref.astype(int)).max()) <= 1
+
+    def test_progressive_color_roundtrip_via_imageio_writer(self, spark, tmp_path):
+        """Full multi-component progressive coverage: have javax.imageio
+        WRITE a progressive color JPEG (interleaved DC scan + per-component
+        AC band/refinement scans), then require this decoder to match
+        ImageIO's own decode of it to within ±1 per pixel."""
+        jvm = spark._jvm
+        src = f"{SPARK_IMAGES}/kittens/54893.jpg"
+        dst = str(tmp_path / "progressive_color.jpg")
+        File = jvm.java.io.File
+        ImageIO = jvm.javax.imageio.ImageIO
+        img = ImageIO.read(File(src))
+        writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+        params = writer.getDefaultWriteParam()
+        params.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+        ios = ImageIO.createImageOutputStream(File(dst))
+        writer.setOutput(ios)
+        writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), params)
+        ios.close()
+        writer.dispose()
+        blob = open(dst, "rb").read()
+        assert blob.find(b"\xff\xc2") > 0  # really SOF2
+        r = (
+            spark.read.format("image").load(dst)
+            .select("image.height", "image.width", "image.nChannels",
+                    "image.data")
+            .first()
+        )
+        ref = np.frombuffer(bytes(r.data), dtype=np.uint8).reshape(
+            r.height, r.width, r.nChannels
+        )[..., ::-1]  # BGR -> RGB
+        mine = J.decode(blob)
+        assert mine.shape == ref.shape
+        assert int(np.abs(mine.astype(int) - ref.astype(int)).max()) <= 1
+
+    def test_unsupported_sof_rejected_clearly(self):
+        # craft an SOF3 (lossless) header: must fail loudly, not garble
+        sof3 = bytes([0xFF, 0xD8, 0xFF, 0xC3, 0x00, 0x0B, 8, 0, 16, 0, 16,
+                      1, 1, 0x11, 0])
+        with pytest.raises(ValueError, match="SOF3|not\\s+supported"):
+            J.decode(sof3 + bytes([0xFF, 0xD9]))
 
     def test_pixels_match_java_imageio(self, spark):
         """Cross-implementation oracle: Spark's `image` source decodes JPEG
