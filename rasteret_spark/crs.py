@@ -16,6 +16,13 @@ rasters (the reference reprojects via pyproj/rasterio,
                      (order n^4, public math: Krueger 1912 / Karney 2011 as
                      summarized on the Transverse Mercator flattening-series
                      literature) — k0=0.9996, FE=500 km, FN=10 000 km.
+    EPSG:3035        real ellipsoidal Lambert Azimuthal Equal-Area
+                     (ETRS89-LAEA Europe; Snyder §24, GRS80) — pinned by the
+                     published EPSG worked example + an equal-area Jacobian
+                     invariant (tests/test_crs_real.py).
+    EPSG:3413/3031   real ellipsoidal polar stereographic variant B (NSIDC
+                     North / Antarctic; Snyder §21) — conformality and
+                     unit-scale-on-standard-parallel invariants.
 
 ``register_crs`` injects arbitrary additional codes (mirroring rasteret's
 runtime registries, `src/rasteret/constants.py:49-88`); ``make_utm`` builds
@@ -159,6 +166,138 @@ def make_utm(zone: int, north: bool = True):
         return tm_forward(lon, lat, _lon0, 0.9996, 500_000.0, _fn)
 
     return to_ll, from_ll
+
+
+# --- ellipsoidal Lambert Azimuthal Equal-Area (Snyder 1987 §24) ---------------
+GRS80_A = 6378137.0
+GRS80_F = 1.0 / 298.257222101
+
+
+def _authalic_q(sinphi, e: float, e2: float):
+    """Snyder eq. 3-12: the authalic-latitude auxiliary q(φ)."""
+    es = e * sinphi
+    return (1.0 - e2) * (
+        sinphi / (1.0 - e2 * sinphi * sinphi)
+        - (1.0 / (2.0 * e)) * np.log((1.0 - es) / (1.0 + es))
+    )
+
+
+def make_laea(
+    lat0: float, lon0: float, fe: float, fn: float,
+    a: float = GRS80_A, f: float = GRS80_F,
+):
+    """(to_lonlat, from_lonlat) for the ellipsoidal oblique Lambert
+    Azimuthal Equal-Area projection (Snyder 1987 eq. 24-2..24-21 + the
+    authalic-to-geodetic series 3-18) — the method behind ETRS89-LAEA
+    Europe (EPSG:3035) and the EASE grids."""
+    e2 = 2.0 * f - f * f
+    e = float(np.sqrt(e2))
+    qp = float(_authalic_q(1.0, e, e2))
+    rq = a * float(np.sqrt(qp / 2.0))
+    phi0 = float(np.radians(lat0))
+    b1 = float(np.arcsin(np.clip(_authalic_q(np.sin(phi0), e, e2) / qp, -1, 1)))
+    m1 = float(np.cos(phi0) / np.sqrt(1.0 - e2 * np.sin(phi0) ** 2))
+    d = a * m1 / (rq * np.cos(b1)) if abs(np.cos(b1)) > 1e-12 else 1.0
+    sb1, cb1 = float(np.sin(b1)), float(np.cos(b1))
+    # authalic -> geodetic series coefficients (Snyder 3-18)
+    c1 = e2 / 3.0 + 31.0 * e2**2 / 180.0 + 517.0 * e2**3 / 5040.0
+    c2 = 23.0 * e2**2 / 360.0 + 251.0 * e2**3 / 3780.0
+    c3 = 761.0 * e2**3 / 45360.0
+
+    def from_ll(lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        b = np.arcsin(np.clip(_authalic_q(np.sin(phi), e, e2) / qp, -1.0, 1.0))
+        sb, cb = np.sin(b), np.cos(b)
+        denom = 1.0 + sb1 * sb + cb1 * cb * np.cos(lam)
+        bigb = rq * np.sqrt(2.0 / denom)
+        x = bigb * d * cb * np.sin(lam) + fe
+        y = (bigb / d) * (cb1 * sb - sb1 * cb * np.cos(lam)) + fn
+        return x, y
+
+    def to_ll(x, y):
+        xp = np.asarray(x, dtype=np.float64) - fe
+        yp = np.asarray(y, dtype=np.float64) - fn
+        rho = np.sqrt((xp / d) ** 2 + (d * yp) ** 2)
+        ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * rq), -1.0, 1.0))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sinb = np.where(
+                rho == 0.0,
+                sb1,
+                np.cos(ce) * sb1 + d * yp * np.sin(ce) * cb1 / rho,
+            )
+        b = np.arcsin(np.clip(sinb, -1.0, 1.0))
+        phi = b + c1 * np.sin(2 * b) + c2 * np.sin(4 * b) + c3 * np.sin(6 * b)
+        lam = np.arctan2(
+            xp * np.sin(ce),
+            d * rho * cb1 * np.cos(ce) - d * d * yp * sb1 * np.sin(ce),
+        )
+        lam = np.where(rho == 0.0, 0.0, lam)
+        return lon0 + np.degrees(lam), np.degrees(phi)
+
+    return to_ll, from_ll
+
+
+# --- ellipsoidal polar stereographic (Snyder 1987 §21, EPSG method 9829) -------
+def make_polar_stereo(
+    lat_ts: float, lon0: float, fe: float = 0.0, fn: float = 0.0,
+    south: bool = False, a: float = WGS84_A, f: float = WGS84_F,
+):
+    """(to_lonlat, from_lonlat) for ellipsoidal polar stereographic,
+    variant B (standard parallel given) — EPSG:3413 (NSIDC North),
+    EPSG:3031 (Antarctic).  ``south=True`` for the south aspect; pass
+    ``lat_ts`` as the (signed) standard parallel."""
+    e2 = 2.0 * f - f * f
+    e = float(np.sqrt(e2))
+
+    def tfun(phi):
+        es = e * np.sin(phi)
+        return np.tan(np.pi / 4.0 - phi / 2.0) * ((1.0 + es) / (1.0 - es)) ** (
+            e / 2.0
+        )
+
+    phi_ts = float(np.radians(abs(lat_ts)))
+    tc = float(tfun(phi_ts))
+    mc = float(np.cos(phi_ts) / np.sqrt(1.0 - e2 * np.sin(phi_ts) ** 2))
+    # conformal -> geodetic series (Snyder 3-5)
+    ca = e2 / 2.0 + 5.0 * e2**2 / 24.0 + e2**3 / 12.0 + 13.0 * e2**4 / 360.0
+    cb = 7.0 * e2**2 / 48.0 + 29.0 * e2**3 / 240.0 + 811.0 * e2**4 / 11520.0
+    cc = 7.0 * e2**3 / 120.0 + 81.0 * e2**4 / 1120.0
+    cd = 4279.0 * e2**4 / 161280.0
+    sgn = -1.0 if south else 1.0
+
+    def from_ll(lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+        phi = sgn * np.radians(np.asarray(lat, dtype=np.float64))
+        rho = a * mc * tfun(phi) / tc
+        x = rho * np.sin(lam) + fe
+        y = -sgn * rho * np.cos(lam) + fn  # north: -ρcosΔλ, south: +ρcosΔλ
+        return x, y
+
+    def to_ll(x, y):
+        xp = np.asarray(x, dtype=np.float64) - fe
+        yp = -sgn * (np.asarray(y, dtype=np.float64) - fn)
+        rho = np.hypot(xp, yp)
+        t = rho * tc / (a * mc)
+        chi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        phi = (
+            chi
+            + ca * np.sin(2 * chi)
+            + cb * np.sin(4 * chi)
+            + cc * np.sin(6 * chi)
+            + cd * np.sin(8 * chi)
+        )
+        lam = np.where(rho == 0.0, 0.0, np.arctan2(xp, yp))
+        return lon0 + np.degrees(lam), sgn * np.degrees(phi)
+
+    return to_ll, from_ll
+
+
+# builtin real-world codes beyond UTM/Mercator: registered at import so real
+# GeoTIFFs carrying these GeoKeys reproject with no user setup
+register_crs(3035, *make_laea(52.0, 10.0, 4_321_000.0, 3_210_000.0))
+register_crs(3413, *make_polar_stereo(70.0, -45.0))
+register_crs(3031, *make_polar_stereo(-71.0, 0.0, south=True))
 
 
 # --- dispatch ------------------------------------------------------------------
@@ -372,3 +511,56 @@ def bbox_from_lonlat(
     )
     bx, by = from_lonlat(epsg, lons, lats)
     return float(bx.min()), float(by.min()), float(bx.max()), float(by.max())
+
+
+# --- WKT2 for the builtin real-world codes beyond UTM/Mercator -----------------
+_ETRS89_DATUM_WKT = (
+    'DATUM["European Terrestrial Reference System 1989",'
+    'ELLIPSOID["GRS 1980",6378137,298.257222101,LENGTHUNIT["metre",1]]],'
+    'PRIMEM["Greenwich",0,ANGLEUNIT["degree",0.0174532925199433]]'
+)
+
+register_crs_wkt(3035, (
+    'PROJCRS["ETRS89-extended / LAEA Europe",'
+    'BASEGEOGCRS["ETRS89",' + _ETRS89_DATUM_WKT + "],"
+    'CONVERSION["Europe Equal Area 2001",'
+    'METHOD["Lambert Azimuthal Equal Area",ID["EPSG",9820]],'
+    'PARAMETER["Latitude of natural origin",52,'
+    'ANGLEUNIT["degree",0.0174532925199433]],'
+    'PARAMETER["Longitude of natural origin",10,'
+    'ANGLEUNIT["degree",0.0174532925199433]],'
+    'PARAMETER["False easting",4321000,LENGTHUNIT["metre",1]],'
+    'PARAMETER["False northing",3210000,LENGTHUNIT["metre",1]]],'
+    + _CARTESIAN_CS_WKT + ','
+    'ID["EPSG",3035]]'
+))
+
+register_crs_wkt(3413, (
+    'PROJCRS["WGS 84 / NSIDC Sea Ice Polar Stereographic North",'
+    'BASEGEOGCRS["WGS 84",' + _WGS84_DATUM_WKT + "],"
+    'CONVERSION["US NSIDC Sea Ice polar stereographic north",'
+    'METHOD["Polar Stereographic (variant B)",ID["EPSG",9829]],'
+    'PARAMETER["Latitude of standard parallel",70,'
+    'ANGLEUNIT["degree",0.0174532925199433]],'
+    'PARAMETER["Longitude of origin",-45,'
+    'ANGLEUNIT["degree",0.0174532925199433]],'
+    'PARAMETER["False easting",0,LENGTHUNIT["metre",1]],'
+    'PARAMETER["False northing",0,LENGTHUNIT["metre",1]]],'
+    + _CARTESIAN_CS_WKT + ','
+    'ID["EPSG",3413]]'
+))
+
+register_crs_wkt(3031, (
+    'PROJCRS["WGS 84 / Antarctic Polar Stereographic",'
+    'BASEGEOGCRS["WGS 84",' + _WGS84_DATUM_WKT + "],"
+    'CONVERSION["Antarctic Polar Stereographic",'
+    'METHOD["Polar Stereographic (variant B)",ID["EPSG",9829]],'
+    'PARAMETER["Latitude of standard parallel",-71,'
+    'ANGLEUNIT["degree",0.0174532925199433]],'
+    'PARAMETER["Longitude of origin",0,'
+    'ANGLEUNIT["degree",0.0174532925199433]],'
+    'PARAMETER["False easting",0,LENGTHUNIT["metre",1]],'
+    'PARAMETER["False northing",0,LENGTHUNIT["metre",1]]],'
+    + _CARTESIAN_CS_WKT + ','
+    'ID["EPSG",3031]]'
+))

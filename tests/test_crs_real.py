@@ -364,3 +364,103 @@ class TestCrsWkt:
         row["grid_epsg"] = 32733
         _, attrs = assemble.chip_to_array(row)
         assert "UTM zone 33S" in attrs["crs_wkt"]
+
+
+# --- builtin real-world codes beyond UTM/Mercator (round 5) -------------------
+class TestLAEAandPolar:
+    """EPSG:3035 (ellipsoidal LAEA) and EPSG:3413/3031 (polar stereographic
+    variant B) — Snyder-formula implementations pinned by the published
+    EPSG worked example, projection-defining invariants (equal-area
+    Jacobian, conformal isotropy, unit scale on the standard parallel),
+    and tight roundtrips."""
+
+    def test_laea_epsg_worked_example(self):
+        # EPSG Guidance Note 7-2, Lambert Azimuthal Equal Area example
+        # (ETRS89-LAEA): lat 50N lon 5E -> E 3962799.45 N 2999718.85
+        x, y = crs.from_lonlat(3035, 5.0, 50.0)
+        assert abs(float(x) - 3962799.45) < 0.01
+        assert abs(float(y) - 2999718.85) < 0.01
+        # the natural origin maps to the false origin exactly
+        x0, y0 = crs.from_lonlat(3035, 10.0, 52.0)
+        assert abs(float(x0) - 4321000.0) < 1e-6
+        assert abs(float(y0) - 3210000.0) < 1e-6
+
+    @pytest.mark.parametrize("epsg,lons,lats", [
+        (3035, np.linspace(-10, 30, 9), np.linspace(35, 70, 8)),
+        (3413, np.linspace(-180, 179, 13), np.linspace(60, 89.5, 7)),
+        (3031, np.linspace(-180, 179, 13), np.linspace(-89.5, -60, 7)),
+    ])
+    def test_roundtrip(self, epsg, lons, lats):
+        lo, la = np.meshgrid(lons, lats)
+        x, y = crs.from_lonlat(epsg, lo, la)
+        lo2, la2 = crs.to_lonlat(epsg, x, y)
+        dlon = np.abs(((lo2 - lo + 180.0) % 360.0) - 180.0)
+        assert float(dlon.max()) < 1e-7
+        assert float(np.abs(la2 - la).max()) < 1e-7
+        assert not crs.is_separable(epsg)
+
+    def test_laea_preserves_area(self):
+        """The defining property: the Jacobian determinant of (lon,lat)->
+        (x,y) equals the ellipsoidal area element a^2(1-e^2)cosφ/
+        (1-e^2 sin^2 φ)^2 everywhere (per radian^2)."""
+        a, f = crs.GRS80_A, crs.GRS80_F
+        e2 = 2 * f - f * f
+        h = 1e-6
+        for lon, lat in [(10.0, 52.0), (-5.0, 40.0), (25.0, 65.0), (0.0, 36.0)]:
+            x0, y0 = crs.from_lonlat(3035, lon, lat)
+            xdlon, ydlon = crs.from_lonlat(3035, lon + h, lat)
+            xdlat, ydlat = crs.from_lonlat(3035, lon, lat + h)
+            hr = np.radians(h)
+            jac = abs(
+                (xdlon - x0) / hr * (ydlat - y0) / hr
+                - (xdlat - x0) / hr * (ydlon - y0) / hr
+            )
+            phi = np.radians(lat)
+            want = a * a * (1 - e2) * np.cos(phi) / (1 - e2 * np.sin(phi) ** 2) ** 2
+            assert abs(jac / want - 1.0) < 1e-5, (lon, lat, jac, want)
+
+    @pytest.mark.parametrize("epsg,pts", [
+        (3413, [(-45.0, 80.0), (10.0, 70.0), (120.0, 85.0)]),
+        (3031, [(0.0, -80.0), (90.0, -71.0), (-140.0, -85.0)]),
+    ])
+    def test_polar_stereo_is_conformal(self, epsg, pts):
+        """Stereographic projections are conformal: the local Jacobian must
+        be a similarity (isotropic scale, no shear) at every point."""
+        h = 1e-7
+        for lon, lat in pts:
+            x0, y0 = crs.from_lonlat(epsg, lon, lat)
+            x1, y1 = crs.from_lonlat(epsg, lon + h, lat)
+            x2, y2 = crs.from_lonlat(epsg, lon, lat + h)
+            # scale per unit ground distance along parallel/meridian
+            phi = np.radians(lat)
+            a, f = crs.WGS84_A, crs.WGS84_F
+            e2 = 2 * f - f * f
+            nrad = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+            mrad = a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+            dpar = np.hypot(x1 - x0, y1 - y0) / (np.radians(h) * nrad * np.cos(phi))
+            dmer = np.hypot(x2 - x0, y2 - y0) / (np.radians(h) * mrad)
+            assert abs(dpar / dmer - 1.0) < 1e-4, (lon, lat, dpar, dmer)
+
+    @pytest.mark.parametrize("epsg,lat_ts", [(3413, 70.0), (3031, -71.0)])
+    def test_polar_stereo_unit_scale_on_standard_parallel(self, epsg, lat_ts):
+        h = 1e-7
+        for lon in (-120.0, 0.0, 60.0):
+            x0, y0 = crs.from_lonlat(epsg, lon, lat_ts)
+            x1, y1 = crs.from_lonlat(epsg, lon + h, lat_ts)
+            phi = np.radians(lat_ts)
+            a, f = crs.WGS84_A, crs.WGS84_F
+            e2 = 2 * f - f * f
+            nrad = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+            k = np.hypot(x1 - x0, y1 - y0) / (np.radians(h) * nrad * np.cos(phi))
+            assert abs(k - 1.0) < 1e-6
+
+    def test_poles_map_to_origin(self):
+        x, y = crs.from_lonlat(3413, 37.0, 90.0)
+        assert abs(float(x)) < 1e-6 and abs(float(y)) < 1e-6
+        x, y = crs.from_lonlat(3031, -12.0, -90.0)
+        assert abs(float(x)) < 1e-6 and abs(float(y)) < 1e-6
+
+    def test_wkt2_spelled(self):
+        assert 'ID["EPSG",9820]' in crs.crs_wkt(3035)  # LAEA method
+        assert 'ID["EPSG",9829]' in crs.crs_wkt(3413)  # polar stereo B
+        assert "Antarctic" in crs.crs_wkt(3031)
