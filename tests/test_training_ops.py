@@ -216,14 +216,20 @@ def test_multimodal_decode_resize_and_frames(spark, images_df):
     frames = multimodal.frame_sample(sub, every_n=1).toPandas()
     assert (frames.groupby("image_id").size() >= 2).all()
 
-    # no decoder registered for jpeg in this container -> quarantine row,
-    # not a task failure (R12 policy)
+    # a TRUNCATED jpeg (real decoder registered, stream garbage) and a kind
+    # with no registered decoder (bare ID3 audio) both quarantine -> rows
+    # with status, never task failures (R12 policy)
     stub = spark.createDataFrame(
-        pd.DataFrame([{"image_id": "jpeg-1", "bytes": b"\xff\xd8\xff" + b"\x00" * 50}])
+        pd.DataFrame([
+            {"image_id": "jpeg-1", "bytes": b"\xff\xd8\xff" + b"\x00" * 50},
+            {"image_id": "mp3-1", "bytes": b"ID3" + b"\x00" * 50},
+        ])
     )
-    q = multimodal.decode_resize(stub, 8, 8).toPandas()
-    assert len(q) == 1 and q.iloc[0]["pixels"] is None
-    assert "image codec library" in q.iloc[0]["status"]
+    q = multimodal.decode_resize(stub, 8, 8).toPandas().set_index("image_id")
+    assert q.loc["jpeg-1", "pixels"] is None
+    assert q.loc["jpeg-1", "status"] != "ok"
+    assert q.loc["mp3-1", "pixels"] is None
+    assert "no decoder registered" in q.loc["mp3-1", "status"]
 
 
 def test_multimodal_decoder_injection(spark):
@@ -234,6 +240,7 @@ def test_multimodal_decoder_injection(spark):
     def fake_jpeg(blob: bytes) -> np.ndarray:
         return np.full((32, 32), float(len(blob)))
 
+    real_jpeg = multimodal._DECODERS["jpeg"]  # builtin — restore after
     multimodal.register_media_decoder("jpeg", fake_jpeg)
     try:
         stub = spark.createDataFrame(
@@ -243,7 +250,7 @@ def test_multimodal_decoder_injection(spark):
         assert got["status"] == "ok"
         assert np.asarray(got["pixels"]).tolist() == [53.0] * 64
     finally:
-        del multimodal._DECODERS["jpeg"]
+        multimodal._DECODERS["jpeg"] = real_jpeg
 
 
 def test_registry_snapshots_pin_built_plans(spark):
