@@ -5,8 +5,10 @@ that the reference engine decodes (rasteret `src/rasteret/fetch/cog.py:843-966`
 dispatches raw/deflate/LZW/PackBits/LZMA/ZSTD with predictor 2 horizontal
 delta and predictor 3 float byte-shuffle).  The lossless set here is raw /
 deflate(zlib) / lzma / bz2 / packbits / LZW (TIFF 6.0 semantics, pure
-Python), plus zstd gated behind the optional ``zstandard`` package (absent
-in this container -> clear ModuleNotFoundError) and a deterministic
+Python), plus zstd — RFC 8878 implemented from scratch in
+``format/zstd.py`` (pure-Python reference decoder validated against the
+reference's libtiff fixture and live libzstd streams; a ctypes libzstd
+fast path is used when the system library is present) — and a deterministic
 quantizing "qlossy" codec standing in for JPEG-style lossy formats
 (exercises the PSNR>=40dB gate).
 
@@ -31,7 +33,7 @@ COMP_BZ2 = 3
 COMP_PACKBITS = 4
 COMP_QLOSSY = 5  # deterministic lossy: quantize -> zigzag varint-ish -> deflate
 COMP_LZW = 6  # TIFF 6.0 LZW (pure-Python, spec semantics)
-COMP_ZSTD = 7  # gated: needs the zstandard package (absent here -> clear error)
+COMP_ZSTD = 7  # RFC 8878: format/zstd.py (pure-Python + optional libzstd fast path)
 COMP_JPEG = 8  # baseline JPEG (T.81), pure numpy/stdlib: format/jpegcodec.py
 
 COMP_NAMES = {
@@ -55,10 +57,6 @@ def _jpeg_quality(qstep: float) -> int:
     q = int(round(qstep))
     return q if 2 <= q <= 100 else 90
 
-try:  # optional dependency — the codec id exists either way
-    import zstandard as _zstd
-except ImportError:  # pragma: no cover - absent in this container
-    _zstd = None
 
 PRED_NONE = 1
 PRED_HORIZONTAL = 2  # TIFF predictor 2: per-row sample differencing
@@ -332,11 +330,9 @@ def encode_tile(
     if compression == COMP_LZW:
         return lzw_encode(raw)
     if compression == COMP_ZSTD:
-        if _zstd is None:
-            raise ModuleNotFoundError(
-                "zstd tiles need the 'zstandard' package (not in this container)"
-            )
-        return _zstd.ZstdCompressor(level=3).compress(raw)
+        from rasteret_spark.format import zstd as _zstdmod
+
+        return _zstdmod.compress_fast(raw, level=3)
     raise ValueError(f"unknown compression {compression}")
 
 
@@ -388,11 +384,9 @@ def decode_tile(
     elif compression == COMP_LZW:
         raw = lzw_decode(payload, expected)
     elif compression == COMP_ZSTD:
-        if _zstd is None:
-            raise ModuleNotFoundError(
-                "zstd tiles need the 'zstandard' package (not in this container)"
-            )
-        raw = _zstd.ZstdDecompressor().decompress(payload, max_output_size=expected)
+        from rasteret_spark.format import zstd as _zstdmod
+
+        raw = _zstdmod.decompress_fast(payload, expected=expected)
     else:
         raise ValueError(f"unknown compression {compression}")
     if len(raw) != expected:

@@ -108,7 +108,7 @@ TIFF_COMP_TO_ENGINE = {
     8: codecs.COMP_DEFLATE,       # Adobe deflate
     32946: codecs.COMP_DEFLATE,   # legacy deflate
     32773: codecs.COMP_PACKBITS,
-    50000: codecs.COMP_ZSTD,      # GDAL zstd (gated on the zstandard package)
+    50000: codecs.COMP_ZSTD,      # GDAL zstd (format/zstd.py, from-scratch RFC 8878)
     7: codecs.COMP_JPEG,          # new-style JPEG (format/jpegcodec.py)
 }
 

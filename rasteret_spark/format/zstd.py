@@ -1,0 +1,667 @@
+"""From-scratch Zstandard (RFC 8878) decoder + minimal encoder, pure Python.
+
+Closes the engine's last gated codec: the reference declares zstd for COG
+tiles (``src/rasteret/fetch/cog.py:843-966`` routes compression id 50000
+to the zstandard library) but this container has no ``zstandard`` package,
+so the wire format itself is implemented here from the public RFC.
+
+Decoder covers the full single-frame format actually produced by real
+encoders: frame header (all FCS/window/dict-id layouts), raw / RLE /
+compressed blocks, literals in all four forms (raw, RLE, Huffman with
+FSE-compressed or direct weights, treeless repeat), 1- and 4-stream
+literal bitstreams, sequences under predefined / RLE / FSE-compressed /
+repeat modes, repeat-offset history, and overlapping match copies.
+Content checksums are skipped, not verified (XXH64 is out of scope).
+
+Encoder emits legal frames from RAW/RLE blocks only (no entropy search) —
+enough for bit-exact roundtrips through ANY conformant decoder and for
+writing zstd-tagged TIFFs other tools can read.
+
+Wire-format validation (the round-5 LZW lesson: roundtripping your own
+pair proves nothing about the format) is against a REAL third-party
+artifact: the reference's ``fixtures/int16_zstd.tif`` strip, produced by
+libtiff+libzstd, decodes through this module bit-exactly — see
+``tests/test_zstd.py``.
+"""
+
+from __future__ import annotations
+
+import struct
+
+MAGIC = 0xFD2FB528
+_SKIPPABLE_LO = 0x184D2A50
+_MAX_WEIGHT_SYMBOLS = 256
+_BLOCK_MAX = 128 * 1024
+
+
+class ZstdError(ValueError):
+    pass
+
+
+# --- bit readers -------------------------------------------------------------
+class _BackStream:
+    """zstd's backward bitstream: a little-endian integer read from the
+    high end, starting just below the 1-bit sentinel in the last byte."""
+
+    __slots__ = ("big", "pos")
+
+    def __init__(self, data: bytes):
+        if not data or data[-1] == 0:
+            raise ZstdError("backward bitstream missing sentinel bit")
+        self.big = int.from_bytes(data, "little")
+        self.pos = self.big.bit_length() - 1  # strip the sentinel
+
+    def read(self, n: int) -> int:
+        """Consume n bits; past-start reads zero-pad from the low side
+        (mirrors libzstd's tolerated final-state reads)."""
+        if n == 0:
+            return 0
+        self.pos -= n
+        if self.pos >= 0:
+            return (self.big >> self.pos) & ((1 << n) - 1)
+        avail = self.pos + n
+        v = self.big & ((1 << avail) - 1) if avail > 0 else 0
+        return v << -self.pos
+
+    def peek(self, n: int) -> int:
+        p = self.pos - n
+        if p >= 0:
+            return (self.big >> p) & ((1 << n) - 1)
+        avail = n + p
+        v = self.big & ((1 << avail) - 1) if avail > 0 else 0
+        return v << -p
+
+    @property
+    def exhausted(self) -> bool:
+        return self.pos <= 0
+
+
+class _FwdStream:
+    """Forward little-endian bitstream (FSE table descriptions)."""
+
+    __slots__ = ("big", "pos", "nbits")
+
+    def __init__(self, data: bytes):
+        self.big = int.from_bytes(data, "little")
+        self.pos = 0
+        self.nbits = 8 * len(data)
+
+    def read(self, n: int) -> int:
+        v = (self.big >> self.pos) & ((1 << n) - 1)
+        self.pos += n
+        return v
+
+    def byte_offset(self) -> int:
+        return (self.pos + 7) // 8
+
+
+# --- FSE ---------------------------------------------------------------------
+def read_fse_distribution(fw: _FwdStream, max_symbol: int) -> tuple[list[int], int]:
+    """RFC 8878 §4.1.1 normalized-count parse -> (probs, accuracy_log).
+    probs[i] in {-1, 0, 1, ...}; -1 is the 'less than one' probability."""
+    accuracy_log = fw.read(4) + 5
+    if accuracy_log > 9:
+        raise ZstdError(f"FSE accuracy log {accuracy_log} > 9")
+    remaining = (1 << accuracy_log) + 1
+    threshold = 1 << accuracy_log
+    nbits = accuracy_log + 1
+    probs: list[int] = []
+    while remaining > 1:
+        if len(probs) > max_symbol:
+            raise ZstdError("FSE distribution has too many symbols")
+        # short-read scheme: nbits-1 bits if the low value is unambiguous,
+        # else one more top bit (FSE_readNCount in the reference spec)
+        low = fw.read(nbits - 1)
+        maxv = (2 * threshold - 1) - remaining
+        if low < maxv:
+            count = low
+        else:
+            hi = fw.read(1)
+            full = low | (hi << (nbits - 1))
+            count = full - maxv if full >= threshold else full
+        count -= 1  # -1 means "less than one"
+        remaining -= -count if count < 0 else count
+        probs.append(count)
+        if count == 0:
+            while True:
+                rep = fw.read(2)
+                probs.extend([0] * rep)
+                if rep != 3:
+                    break
+        while remaining > 1 and remaining < threshold:
+            threshold >>= 1
+            nbits -= 1
+    if remaining != 1:
+        raise ZstdError("FSE distribution does not sum to table size")
+    return probs, accuracy_log
+
+
+class _FseTable:
+    __slots__ = ("symbol", "nbits", "base", "log")
+
+    def __init__(self, probs: list[int], accuracy_log: int):
+        size = 1 << accuracy_log
+        self.log = accuracy_log
+        symbol = [0] * size
+        hi = size - 1
+        for s, p in enumerate(probs):
+            if p == -1:
+                symbol[hi] = s
+                hi -= 1
+        step = (size >> 1) + (size >> 3) + 3
+        mask = size - 1
+        pos = 0
+        for s, p in enumerate(probs):
+            for _ in range(max(p, 0)):
+                symbol[pos] = s
+                pos = (pos + step) & mask
+                while pos > hi:
+                    pos = (pos + step) & mask
+        if pos != 0:
+            raise ZstdError("FSE table spread did not close")
+        # state numbering (FSE_buildDTable): each symbol's cells, in table
+        # order, take consecutive counters starting at its probability
+        # (-1 probs start at 1, landing on nbBits=log, baseline 0)
+        symbol_next = [1 if p == -1 else max(p, 0) for p in probs]
+        nbits = [0] * size
+        base = [0] * size
+        for i in range(size):
+            s = symbol[i]
+            x = symbol_next[s]
+            symbol_next[s] += 1
+            nb = accuracy_log - (x.bit_length() - 1)
+            nbits[i] = nb
+            base[i] = (x << nb) - size
+        self.symbol = symbol
+        self.nbits = nbits
+        self.base = base
+
+
+def _build_fse(probs: list[int], accuracy_log: int) -> _FseTable:
+    return _FseTable(probs, accuracy_log)
+
+
+def _fse_decode_weights(data: bytes) -> list[int]:
+    """FSE-compressed Huffman weights: table description (forward) then a
+    two-state interleaved stream read backward."""
+    fw = _FwdStream(data)
+    probs, log = read_fse_distribution(fw, 255)
+    table = _build_fse(probs, log)
+    rest = data[fw.byte_offset() :]
+    bs = _BackStream(rest)
+    s1 = bs.read(log)
+    s2 = bs.read(log)
+    out: list[int] = []
+    states = [s1, s2]
+    i = 0
+    while len(out) <= _MAX_WEIGHT_SYMBOLS:
+        st = states[i]
+        out.append(table.symbol[st])
+        nb = table.nbits[st]
+        if bs.pos - nb < 0:
+            out.append(table.symbol[states[1 - i]])
+            return out
+        states[i] = table.base[st] + bs.read(nb)
+        i ^= 1
+    raise ZstdError("runaway Huffman weight stream")
+
+
+# --- Huffman -----------------------------------------------------------------
+class _HufTable:
+    __slots__ = ("symbol", "nbits", "max_bits")
+
+    def __init__(self, weights: list[int]):
+        total = sum((1 << (w - 1)) for w in weights if w > 0)
+        if total == 0:
+            raise ZstdError("empty Huffman weights")
+        # implied last weight completes the next power of two
+        max_bits = total.bit_length()  # smallest 2^k > total has k = bit_length
+        size = 1 << max_bits
+        rem = size - total
+        if rem & (rem - 1):
+            raise ZstdError("Huffman weights do not complete a power of two")
+        weights = [*weights, rem.bit_length()]
+        # rank layout: weight ascending, symbol ascending within a weight
+        rank_count = [0] * (max_bits + 2)
+        for w in weights:
+            if w > 0:
+                rank_count[w] += 1
+        rank_start = [0] * (max_bits + 2)
+        acc = 0
+        for w in range(1, max_bits + 1):
+            rank_start[w] = acc
+            acc += rank_count[w] << (w - 1)
+        if acc != size:
+            raise ZstdError("Huffman table does not fill")
+        symbol = bytearray(size)
+        nbits = bytearray(size)
+        for s, w in enumerate(weights):
+            if w == 0:
+                continue
+            run = 1 << (w - 1)
+            start = rank_start[w]
+            symbol[start : start + run] = bytes([s]) * run
+            nbits[start : start + run] = bytes([max_bits + 1 - w]) * run
+            rank_start[w] += run
+        self.symbol = symbol
+        self.nbits = nbits
+        self.max_bits = max_bits
+
+
+def _read_huffman(data: bytes) -> tuple[_HufTable, int]:
+    """Huffman_Tree_Description -> (table, bytes consumed)."""
+    if not data:
+        raise ZstdError("missing Huffman description")
+    hb = data[0]
+    if hb < 128:  # FSE-compressed weights, hb = compressed size
+        weights = _fse_decode_weights(data[1 : 1 + hb])
+        return _HufTable(weights), 1 + hb
+    n = hb - 127  # direct 4-bit weights
+    nbytes = (n + 1) // 2
+    raw = data[1 : 1 + nbytes]
+    weights = []
+    for i in range(n):
+        b = raw[i // 2]
+        weights.append((b >> 4) if i % 2 == 0 else (b & 0xF))
+    return _HufTable(weights), 1 + nbytes
+
+
+def _huf_decode_stream(data: bytes, table: _HufTable, n_out: int) -> bytearray:
+    bs = _BackStream(data)
+    out = bytearray(n_out)
+    mb = table.max_bits
+    sym = table.symbol
+    nbits = table.nbits
+    big = bs.big
+    pos = bs.pos
+    mask = (1 << mb) - 1
+    for i in range(n_out):
+        if pos >= mb:
+            idx = (big >> (pos - mb)) & mask
+        else:
+            idx = (big << (mb - pos)) & mask if pos > 0 else 0
+        out[i] = sym[idx]
+        pos -= nbits[idx]
+        if pos < -mb:
+            raise ZstdError("Huffman stream underrun")
+    return out
+
+
+# --- sequences: predefined tables + code semantics ---------------------------
+_LL_DEFAULTS = ([4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 2, 2, 2, 2,
+                 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1], 6)
+_ML_DEFAULTS = ([1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+                 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+                 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1, -1, -1], 6)
+_OF_DEFAULTS = ([1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+                 1, 1, 1, 1, -1, -1, -1, -1, -1], 5)
+
+_LL_BASE = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 18,
+            20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024, 2048, 4096,
+            8192, 16384, 32768, 65536]
+_LL_BITS = [0] * 16 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12,
+                       13, 14, 15, 16]
+_ML_BASE = [3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20,
+            21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35, 37,
+            39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027, 2051,
+            4099, 8195, 16387, 32771, 65539]
+_ML_BITS = [0] * 32 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11, 12,
+                       13, 14, 15, 16]
+
+_MODE_PREDEF, _MODE_RLE, _MODE_FSE, _MODE_REPEAT = 0, 1, 2, 3
+
+
+def _rle_table(symbol: int) -> _FseTable:
+    t = _FseTable.__new__(_FseTable)
+    t.log = 0
+    t.symbol = [symbol]
+    t.nbits = [0]
+    t.base = [0]
+    return t
+
+
+def _seq_table(mode, fw_data, offset, defaults, max_symbol, prev):
+    """Resolve one of LL/OF/ML tables; returns (table, bytes_consumed)."""
+    if mode == _MODE_PREDEF:
+        return _build_fse(*defaults), 0
+    if mode == _MODE_RLE:
+        return _rle_table(fw_data[offset]), 1
+    if mode == _MODE_FSE:
+        fw = _FwdStream(fw_data[offset:])
+        probs, log = read_fse_distribution(fw, max_symbol)
+        return _build_fse(probs, log), fw.byte_offset()
+    if prev is None:
+        raise ZstdError("repeat mode with no previous table")
+    return prev, 0
+
+
+# --- frame / block decode ----------------------------------------------------
+class _FrameCtx:
+    """Cross-block state inside one frame."""
+
+    def __init__(self):
+        self.huf: _HufTable | None = None
+        self.ll: _FseTable | None = None
+        self.of: _FseTable | None = None
+        self.ml: _FseTable | None = None
+        self.rep = [1, 4, 8]
+
+
+def _decode_literals(block: bytes, ctx: _FrameCtx) -> tuple[bytes, int]:
+    """Literals_Section -> (literals, bytes consumed from block)."""
+    b0 = block[0]
+    ltype = b0 & 3
+    sf = (b0 >> 2) & 3
+    if ltype in (0, 1):  # raw / RLE
+        if sf in (0, 2):
+            regen = b0 >> 3
+            off = 1
+        elif sf == 1:
+            regen = (b0 >> 4) | (block[1] << 4)
+            off = 2
+        else:
+            regen = (b0 >> 4) | (block[1] << 4) | (block[2] << 12)
+            off = 3
+        if ltype == 0:
+            return bytes(block[off : off + regen]), off + regen
+        return bytes([block[off]]) * regen, off + 1
+    # compressed (2) / treeless (3)
+    if sf == 0:
+        streams, regen, comp, off = 1, (b0 >> 4) | ((block[1] & 0x3F) << 4), (block[1] >> 6) | (block[2] << 2), 3
+    elif sf == 1:
+        streams, regen, comp, off = 4, (b0 >> 4) | ((block[1] & 0x3F) << 4), (block[1] >> 6) | (block[2] << 2), 3
+    elif sf == 2:
+        streams = 4
+        regen = (b0 >> 4) | (block[1] << 4) | ((block[2] & 3) << 12)
+        comp = (block[2] >> 2) | (block[3] << 6)
+        off = 4
+    else:
+        streams = 4
+        regen = (b0 >> 4) | (block[1] << 4) | ((block[2] & 0x3F) << 12)
+        comp = (block[2] >> 6) | (block[3] << 2) | (block[4] << 10)
+        off = 5
+    payload = block[off : off + comp]
+    if len(payload) != comp:
+        raise ZstdError("truncated literals payload")
+    pos = 0
+    if ltype == 2:
+        ctx.huf, consumed = _read_huffman(payload)
+        pos = consumed
+    elif ctx.huf is None:
+        raise ZstdError("treeless literals with no previous Huffman table")
+    table = ctx.huf
+    if streams == 1:
+        lits = _huf_decode_stream(payload[pos:], table, regen)
+    else:
+        if comp - pos < 6:
+            raise ZstdError("missing 4-stream jump table")
+        s1, s2, s3 = struct.unpack_from("<3H", payload, pos)
+        pos += 6
+        sizes = [s1, s2, s3, comp - pos - s1 - s2 - s3]
+        if sizes[3] < 0:
+            raise ZstdError("bad jump table")
+        per = (regen + 3) // 4
+        counts = [per, per, per, regen - 3 * per]
+        if counts[3] < 0:
+            raise ZstdError("bad 4-stream split")
+        lits = bytearray()
+        for sz, cnt in zip(sizes, counts):
+            lits += _huf_decode_stream(payload[pos : pos + sz], table, cnt)
+            pos += sz
+    return bytes(lits), off + comp
+
+
+def _decode_sequences(rest: bytes, ctx: _FrameCtx):
+    """Sequences_Section -> list of (ll, ml, offset_value)."""
+    if not rest:
+        raise ZstdError("missing sequences section")
+    b0 = rest[0]
+    if b0 == 0:
+        return [], ctx
+    if b0 < 128:
+        n, off = b0, 1
+    elif b0 < 255:
+        n, off = ((b0 - 128) << 8) | rest[1], 2
+    else:
+        n, off = rest[1] | (rest[2] << 8) | 0x7F00, 3
+    modes = rest[off]
+    off += 1
+    ll_mode, of_mode, ml_mode = (modes >> 6) & 3, (modes >> 4) & 3, (modes >> 2) & 3
+    ctx.ll, c = _seq_table(ll_mode, rest, off, _LL_DEFAULTS, 35, ctx.ll)
+    off += c
+    ctx.of, c = _seq_table(of_mode, rest, off, _OF_DEFAULTS, 31, ctx.of)
+    off += c
+    ctx.ml, c = _seq_table(ml_mode, rest, off, _ML_DEFAULTS, 52, ctx.ml)
+    off += c
+    bs = _BackStream(rest[off:])
+    ll_state = bs.read(ctx.ll.log)
+    of_state = bs.read(ctx.of.log)
+    ml_state = bs.read(ctx.ml.log)
+    seqs = []
+    for i in range(n):
+        of_code = ctx.of.symbol[of_state]
+        if of_code > 31:
+            raise ZstdError(f"offset code {of_code} too large")
+        ofv = (1 << of_code) + bs.read(of_code)
+        ml_code = ctx.ml.symbol[ml_state]
+        ml = _ML_BASE[ml_code] + bs.read(_ML_BITS[ml_code])
+        ll_code = ctx.ll.symbol[ll_state]
+        ll = _LL_BASE[ll_code] + bs.read(_LL_BITS[ll_code])
+        seqs.append((ll, ml, ofv))
+        if i + 1 < n:  # no state update after the final sequence
+            ll_state = ctx.ll.base[ll_state] + bs.read(ctx.ll.nbits[ll_state])
+            ml_state = ctx.ml.base[ml_state] + bs.read(ctx.ml.nbits[ml_state])
+            of_state = ctx.of.base[of_state] + bs.read(ctx.of.nbits[of_state])
+    return seqs, ctx
+
+
+def _execute(literals: bytes, seqs, ctx: _FrameCtx, out: bytearray):
+    rep = ctx.rep
+    lpos = 0
+    for ll, ml, ofv in seqs:
+        out += literals[lpos : lpos + ll]
+        lpos += ll
+        if ofv > 3:
+            offset = ofv - 3
+            rep[2] = rep[1]
+            rep[1] = rep[0]
+            rep[0] = offset
+        else:
+            idx = ofv - 1 + (1 if ll == 0 else 0)
+            if idx == 0:
+                offset = rep[0]
+            elif idx == 1:
+                offset = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+            elif idx == 2:
+                offset = rep[2]
+                rep[2] = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+            else:
+                offset = rep[0] - 1
+                if offset == 0:
+                    raise ZstdError("repeat offset underflow")
+                rep[2] = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+        if offset > len(out):
+            raise ZstdError(f"match offset {offset} beyond window")
+        start = len(out) - offset
+        if offset >= ml:
+            out += out[start : start + ml]
+        else:  # overlapping copy extends byte-wise
+            for k in range(ml):
+                out.append(out[start + k])
+    out += literals[lpos:]
+
+
+def _decode_block(block: bytes, ctx: _FrameCtx, out: bytearray):
+    literals, consumed = _decode_literals(block, ctx)
+    seqs, ctx = _decode_sequences(block[consumed:], ctx)
+    _execute(literals, seqs, ctx, out)
+
+
+def decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
+    """Zstandard frame(s) -> original bytes (skippable frames skipped)."""
+    data = bytes(data)
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        (magic,) = struct.unpack_from("<I", data, pos)
+        if (magic & 0xFFFFFFF0) == _SKIPPABLE_LO:
+            (sz,) = struct.unpack_from("<I", data, pos + 4)
+            pos += 8 + sz
+            continue
+        if magic != MAGIC:
+            raise ZstdError(f"bad zstd magic 0x{magic:08X}")
+        pos += 4
+        fhd = data[pos]
+        pos += 1
+        fcs_flag = fhd >> 6
+        single = (fhd >> 5) & 1
+        checksum = (fhd >> 2) & 1
+        did_flag = fhd & 3
+        if not single:
+            pos += 1  # window descriptor (we keep the whole output anyway)
+        pos += (0, 1, 2, 4)[did_flag]
+        fcs_len = (1 if single else 0, 2, 4, 8)[fcs_flag]
+        fcs = None
+        if fcs_len:
+            fcs = int.from_bytes(data[pos : pos + fcs_len], "little")
+            if fcs_len == 2:
+                fcs += 256
+            pos += fcs_len
+        ctx = _FrameCtx()
+        frame_start = len(out)
+        while True:
+            bh = data[pos] | (data[pos + 1] << 8) | (data[pos + 2] << 16)
+            pos += 3
+            last = bh & 1
+            btype = (bh >> 1) & 3
+            bsize = bh >> 3
+            if btype == 0:  # raw
+                out += data[pos : pos + bsize]
+                pos += bsize
+            elif btype == 1:  # RLE
+                out += bytes([data[pos]]) * bsize
+                pos += 1
+            elif btype == 2:
+                _decode_block(data[pos : pos + bsize], ctx, out)
+                pos += bsize
+            else:
+                raise ZstdError("reserved block type")
+            if len(out) > max_output:
+                raise ZstdError("output exceeds max_output")
+            if last:
+                break
+        if checksum:
+            pos += 4  # XXH64 low 32 bits — skipped, not verified
+        if fcs is not None and len(out) - frame_start != fcs:
+            raise ZstdError(
+                f"frame content size mismatch: {len(out) - frame_start} != {fcs}"
+            )
+    return bytes(out)
+
+
+# --- optional C fast path ----------------------------------------------------
+# The pure-Python implementation above is the always-available correctness
+# reference; at engine scale (zstd COG tiles on executors) a system
+# libzstd, when present, is ~100x faster.  The ctypes probe is cached per
+# process and failure simply falls back to pure Python.
+_LIB: object = None
+
+
+def _libzstd():
+    global _LIB
+    if _LIB is None:
+        try:
+            import ctypes
+            import ctypes.util
+
+            name = ctypes.util.find_library("zstd")
+            lib = ctypes.CDLL(name) if name else None
+            if lib is not None:
+                lib.ZSTD_compressBound.restype = ctypes.c_size_t
+                lib.ZSTD_compress.restype = ctypes.c_size_t
+                lib.ZSTD_decompress.restype = ctypes.c_size_t
+                lib.ZSTD_isError.restype = ctypes.c_uint
+                lib.ZSTD_getFrameContentSize.restype = ctypes.c_ulonglong
+            _LIB = lib if lib is not None else False
+        except Exception:  # pragma: no cover - platform without ctypes/lib
+            _LIB = False
+    return _LIB if _LIB else None
+
+
+def decompress_fast(data: bytes, expected: int | None = None) -> bytes:
+    """libzstd when available, else the pure-Python decoder.  ``expected``
+    sizes the output buffer when the frame omits its content size."""
+    lib = _libzstd()
+    if lib is None:
+        return decompress(data)
+    import ctypes
+
+    data = bytes(data)
+    size = int(lib.ZSTD_getFrameContentSize(data, len(data)))
+    # ZSTD_CONTENTSIZE_UNKNOWN (-1) / _ERROR (-2) come back huge unsigned
+    if size >= (1 << 62):
+        if expected is None:
+            return decompress(data)
+        size = expected
+    dst = ctypes.create_string_buffer(max(size, 1))
+    n = lib.ZSTD_decompress(dst, size, data, len(data))
+    if lib.ZSTD_isError(n):
+        raise ZstdError("libzstd decompress error")
+    return dst.raw[: int(n)]
+
+
+def compress_fast(data: bytes, level: int = 3) -> bytes:
+    """libzstd when available (real entropy coding), else the raw-block
+    pure-Python encoder (legal frame, no compression)."""
+    lib = _libzstd()
+    if lib is None:
+        return compress(data)
+    import ctypes
+
+    data = bytes(data)
+    bound = int(lib.ZSTD_compressBound(len(data)))
+    dst = ctypes.create_string_buffer(max(bound, 1))
+    n = lib.ZSTD_compress(dst, bound, data, len(data), level)
+    if lib.ZSTD_isError(n):
+        raise ZstdError("libzstd compress error")
+    return dst.raw[: int(n)]
+
+
+# --- minimal encoder ---------------------------------------------------------
+def compress(data: bytes) -> bytes:
+    """Legal zstd frame from RAW blocks (RLE when a block is constant).
+    No entropy coding — bit-exact through any conformant decoder."""
+    data = bytes(data)
+    out = bytearray(struct.pack("<I", MAGIC))
+    # single-segment frame, FCS present, no checksum, no dict
+    n = len(data)
+    if n < 256:
+        out.append((0 << 6) | 0x20)
+        out.append(n)
+    elif n <= 65791 and n >= 256:
+        out.append((1 << 6) | 0x20)
+        out += struct.pack("<H", n - 256)
+    else:
+        out.append((2 << 6) | 0x20)
+        out += struct.pack("<I", n)
+    if n == 0:
+        out += (1 | (0 << 1) | (0 << 3)).to_bytes(3, "little")
+        return bytes(out)
+    pos = 0
+    while pos < n:
+        chunk = data[pos : pos + _BLOCK_MAX]
+        pos += len(chunk)
+        last = 1 if pos >= n else 0
+        if len(chunk) > 1 and chunk.count(chunk[0]) == len(chunk):
+            out += (last | (1 << 1) | (len(chunk) << 3)).to_bytes(3, "little")
+            out.append(chunk[0])
+        else:
+            out += (last | (0 << 1) | (len(chunk) << 3)).to_bytes(3, "little")
+            out += chunk
+    return bytes(out)

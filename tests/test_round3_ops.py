@@ -60,20 +60,15 @@ def test_lzw_image_through_format():
     )
 
 
-def test_zstd_gated_with_clear_error():
-    tile = np.zeros((8, 8), dtype="uint8")
-    try:
-        import zstandard  # noqa: F401
-
-        enc = codecs.encode_tile(tile, codecs.COMP_ZSTD)
-        dec = codecs.decode_tile(enc, codecs.COMP_ZSTD, codecs.PRED_NONE,
-                                 np.dtype("uint8"), 8, 8)
-        np.testing.assert_array_equal(dec, tile)
-    except ModuleNotFoundError as e:
-        assert "zstandard" in str(e)
-    except ImportError:
-        with pytest.raises(ModuleNotFoundError, match="zstandard"):
-            codecs.encode_tile(tile, codecs.COMP_ZSTD)
+def test_zstd_codec_roundtrips():
+    """zstd is no longer gated: format/zstd.py implements RFC 8878 from
+    scratch (pure Python) with an optional libzstd fast path."""
+    rng = np.random.default_rng(11)
+    tile = rng.integers(-1000, 1000, size=(32, 48), dtype=np.int16)
+    enc = codecs.encode_tile(tile, codecs.COMP_ZSTD)
+    dec = codecs.decode_tile(enc, codecs.COMP_ZSTD, codecs.PRED_NONE,
+                             np.dtype("int16"), 32, 48)
+    np.testing.assert_array_equal(dec, tile)
 
 
 # --- driver-side assembly (R10) ------------------------------------------------

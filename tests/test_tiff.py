@@ -98,11 +98,17 @@ class TestReferenceFixtures:
         with pytest.raises(ValueError, match="chunky"):
             tiff.to_engine_meta(m)
 
-    def test_zstd_fixture_is_cleanly_gated(self):
+    def test_zstd_fixture_decodes(self):
+        """The libtiff+libzstd-produced strip decodes through the
+        from-scratch RFC 8878 decoder (format/zstd.py); stats pinned from
+        two independent decoders agreeing (pure Python vs libzstd)."""
         m = tiff.parse_tiff(tiff.file_read(f"{FIX}/int16_zstd.tif"))
         assert m.compression == 50000 and m.dtype_name == "int16"
-        with pytest.raises(ModuleNotFoundError, match="zstandard"):
-            tiff.decode_full(f"{FIX}/int16_zstd.tif")
+        a = tiff.decode_full(f"{FIX}/int16_zstd.tif")
+        assert a.shape == (64, 64) and a.dtype == np.int16
+        assert int(a.min()) == -5000 and int(a.max()) == 4998
+        assert a[0, :6].tolist() == [1071, 2253, 3381, -2149, 867, -506]
+        assert abs(float(a.mean()) - 86.5224609375) < 1e-9
 
     def test_header_parse_cost_is_bounded(self):
         """Header-cache economics: parsing metadata must cost KBs of ranged
