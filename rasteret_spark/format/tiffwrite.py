@@ -29,7 +29,8 @@ _DTYPE_SF = {  # numpy kind -> TIFF SampleFormat
     "u": 1, "i": 2, "f": 3,
 }
 
-_COMP_IDS = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773, "jpeg": 7}
+_COMP_IDS = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773, "jpeg": 7,
+             "zstd": 50000}
 
 
 def _pred_bytes(tile: np.ndarray, predictor: int, order: str) -> bytes:
@@ -64,6 +65,10 @@ def _compress(raw: bytes, comp_id: int) -> bytes:
         return zlib.compress(raw, 6)
     if comp_id == 32773:
         return codecs.packbits_encode(raw)
+    if comp_id == 50000:  # GDAL zstd (format/zstd.py, RFC 8878)
+        from rasteret_spark.format import zstd
+
+        return zstd.compress_fast(raw, level=3)
     raise ValueError(f"unsupported compression id {comp_id}")
 
 

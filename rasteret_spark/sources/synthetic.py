@@ -427,10 +427,14 @@ _TIFF_MATRIX = [
     # JPEGTables tag (GDAL's default layout), stripped rows self-contain
     ("jpeg", 1, "uint8", True, "<", False),
     ("jpeg", 1, "uint8", False, ">", True),
+    # GDAL zstd (compression 50000, format/zstd.py): tiled w/ horizontal
+    # predictor and stripped big-endian int16 (the reference fixture's shape)
+    ("zstd", 2, "uint16", True, "<", False),
+    ("zstd", 1, "int16", False, ">", False),
 ]
 
 _TIFF_COMP_NAME = {"raw": "none", "deflate": "deflate", "lzw": "lzw",
-                   "packbits": "packbits", "jpeg": "jpeg"}
+                   "packbits": "packbits", "jpeg": "jpeg", "zstd": "zstd"}
 
 
 def make_tiff_image_row(i: int, seed: int = 42, dup_every: int = 17) -> dict:
@@ -605,9 +609,13 @@ def generator_fingerprint() -> str:
     import inspect
 
     import rasteret_spark.format.codecs as _codecs
+    import rasteret_spark.format.jpegcodec as _jpeg
     import rasteret_spark.format.miniraster as _mr
     import rasteret_spark.format.tiffwrite as _tw
+    import rasteret_spark.format.zstd as _zstd
     import rasteret_spark.sources.synthetic as _self
 
-    src = "".join(inspect.getsource(m) for m in (_self, _tw, _mr, _codecs))
+    src = "".join(
+        inspect.getsource(m) for m in (_self, _tw, _mr, _codecs, _jpeg, _zstd)
+    )
     return hashlib.md5(src.encode()).hexdigest()[:10]

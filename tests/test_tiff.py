@@ -125,7 +125,8 @@ class TestReferenceFixtures:
 @pytest.mark.parametrize("dtype", ["uint8", "uint16", "int8", "int16",
                                    "uint32", "int32", "float16", "float32",
                                    "float64"])
-@pytest.mark.parametrize("comp", ["none", "deflate", "packbits", "lzw"])
+@pytest.mark.parametrize("comp", ["none", "deflate", "packbits", "lzw",
+                                  "zstd"])
 def test_roundtrip_matrix(dtype, comp):
     rng = np.random.default_rng(hash((dtype, comp)) % 2**31)
     preds = [1, 2, 3] if dtype.startswith("float") else [1, 2]
