@@ -10,8 +10,9 @@ encoders: frame header (all FCS/window/dict-id layouts), raw / RLE /
 compressed blocks, literals in all four forms (raw, RLE, Huffman with
 FSE-compressed or direct weights, treeless repeat), 1- and 4-stream
 literal bitstreams, sequences under predefined / RLE / FSE-compressed /
-repeat modes, repeat-offset history, and overlapping match copies.
-Content checksums are skipped, not verified (XXH64 is out of scope).
+repeat modes, repeat-offset history, and overlapping match copies.  Frame content
+checksums ARE verified: ``xxh64`` below implements the public xxHash
+spec and the decoder compares its low 32 bits against the stored value.
 
 Encoder emits legal frames from RAW/RLE blocks only (no entropy search) —
 enough for bit-exact roundtrips through ANY conformant decoder and for
@@ -557,12 +558,78 @@ def decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
             if last:
                 break
         if checksum:
-            pos += 4  # XXH64 low 32 bits — skipped, not verified
+            if pos + 4 > len(data):
+                raise ZstdError("frame truncated inside content checksum")
+            (want,) = struct.unpack_from("<I", data, pos)
+            pos += 4
+            got = xxh64(memoryview(out)[frame_start:]) & 0xFFFFFFFF
+            if got != want:
+                raise ZstdError(
+                    f"content checksum mismatch: 0x{got:08X} != 0x{want:08X}"
+                )
         if fcs is not None and len(out) - frame_start != fcs:
             raise ZstdError(
                 f"frame content size mismatch: {len(out) - frame_start} != {fcs}"
             )
     return bytes(out)
+
+
+# --- XXH64 (frame content checksums) ------------------------------------------
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _round(acc: int, lane: int) -> int:
+    return (_rotl((acc + lane * _P2) & _M64, 31) * _P1) & _M64
+
+
+def xxh64(data, seed: int = 0) -> int:
+    """XXH64 (public xxHash spec) — zstd stores the low 32 bits of this
+    over the decoded frame content, seed 0.  Pure Python; validated against
+    libzstd-emitted checksummed frames in tests/test_zstd.py."""
+    n = len(data)
+    pos = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while pos + 32 <= n:
+            l1, l2, l3, l4 = struct.unpack_from("<QQQQ", data, pos)
+            v1, v2 = _round(v1, l1), _round(v2, l2)
+            v3, v4 = _round(v3, l3), _round(v4, l4)
+            pos += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ _round(0, v)) * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while pos + 8 <= n:
+        (lane,) = struct.unpack_from("<Q", data, pos)
+        h = ((_rotl(h ^ _round(0, lane), 27) * _P1) + _P4) & _M64
+        pos += 8
+    if pos + 4 <= n:
+        (lane,) = struct.unpack_from("<I", data, pos)
+        h = ((_rotl(h ^ (lane * _P1) & _M64, 23) * _P2) + _P3) & _M64
+        pos += 4
+    while pos < n:
+        h = ((_rotl(h ^ (data[pos] * _P5) & _M64, 11)) * _P1) & _M64
+        pos += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
 
 
 # --- optional C fast path ----------------------------------------------------

@@ -166,6 +166,44 @@ def test_codec_dispatch_roundtrips_with_predictor():
         np.testing.assert_array_equal(dec, tile)
 
 
+def test_xxh64_public_vectors():
+    """Canonical xxHash spec vectors (seed 0)."""
+    assert zstd.xxh64(b"") == 0xEF46DB3751D8E999
+    assert zstd.xxh64(b"a") == 0xD24EC4F1A98C6E5B
+    assert zstd.xxh64(b"abc") == 0x44BC2CF5AD770999
+
+
+@needs_lib
+def test_content_checksum_verified_and_corruption_caught():
+    """libzstd emits a checksummed frame (ZSTD_c_checksumFlag); our XXH64
+    must agree with the stored low-32 bits, and a flipped checksum byte
+    must raise instead of silently returning data."""
+    import ctypes
+
+    lib = zstd._libzstd()
+    lib.ZSTD_createCCtx.restype = ctypes.c_void_p
+    lib.ZSTD_compress2.restype = ctypes.c_size_t
+    lib.ZSTD_freeCCtx.restype = ctypes.c_size_t
+    cctx = ctypes.c_void_p(lib.ZSTD_createCCtx())
+    try:
+        lib.ZSTD_CCtx_setParameter(cctx, 201, 1)  # ZSTD_c_checksumFlag
+        # 60007 bytes: NOT a multiple of 32, exercising the 8-, 4- and
+        # 1-byte xxh64 tail lanes against libzstd's stored checksum
+        data = (b"checksum me " * 5000) + b"tail567"
+        bound = int(lib.ZSTD_compressBound(len(data)))
+        dst = ctypes.create_string_buffer(bound)
+        n = int(lib.ZSTD_compress2(cctx, dst, bound, data, len(data)))
+        assert not lib.ZSTD_isError(n)
+        frame = dst.raw[:n]
+    finally:
+        lib.ZSTD_freeCCtx(cctx)
+    assert zstd.decompress(frame) == data
+    bad = bytearray(frame)
+    bad[-1] ^= 0xFF
+    with pytest.raises(zstd.ZstdError, match="checksum"):
+        zstd.decompress(bytes(bad))
+
+
 @needs_lib
 def test_fast_path_agrees_with_pure():
     rng = np.random.default_rng(3)
