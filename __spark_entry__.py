@@ -1054,6 +1054,33 @@ def q63_overview_serve(spark, sf_dir):
     return src.mapInPandas(run, schema=schema)
 
 
+def q64_band_index(spark, sf_dir):
+    """Distributed NDVI-family band math: two-band first-valid mosaic ->
+    normalized difference (band1 vs band0) evaluated JVM-side with zip_with
+    (operators/band_math.py — no Python UDF, one pivot shuffle) -> per-chip
+    index stats + a vegetation-style threshold count.  The reference runs
+    this arithmetic driver-side on assembled xarrays
+    (`examples/landsat_xarray.py:58`); here it runs where the pixels are.
+    Pinned vs a numpy oracle over the same mosaic rows in
+    tests/test_band_math.py."""
+    from rasteret_spark.operators import band_math as bm
+    from rasteret_spark.operators import raster_mosaic as rmo
+
+    mosaic = rmo.first_valid_mosaic_pixels(
+        _chip_pairs(spark), bands=(0, 1), max_images_per_chip=None
+    )
+    nd = bm.normalized_difference(mosaic, 1, 0)
+    masked = bm.threshold_mask(nd, "nd", lo=0.0)
+    return masked.select(
+        "chip_id",
+        "nd_filled",
+        F.round("nd_mean", 4).alias("nd_mean_r4"),
+        F.round("nd_min", 4).alias("nd_min_r4"),
+        F.round("nd_max", 4).alias("nd_max_r4"),
+        F.col("mask_count").alias("n_nonneg"),
+    )
+
+
 def q59_bpe_token_stats(spark, sf_dir):
     """BPE-ish regex tokenization (word/number/punct pieces) aggregated per
     source — the second tokenizer surface next to q17's whitespace counts."""
@@ -1175,6 +1202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_chip_augment": q61_chip_augment,
         "q62_tiff_enrich_zonal": q62_tiff_enrich_zonal,
         "q63_overview_serve": q63_overview_serve,
+        "q64_band_index": q64_band_index,
     }
 
 

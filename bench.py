@@ -111,7 +111,7 @@ BENCH_QUERIES = [
     "q49_image_latest_sample", "q50_image_zonal_bands", "q52_ivf_ann",
     "q53_chip_serve", "q54_image_mosaic_average", "q55_rollup_orders",
     "q57_running_total", "q60_image_mosaic_native_grid", "q61_chip_augment",
-    "q62_tiff_enrich_zonal", "q63_overview_serve",
+    "q62_tiff_enrich_zonal", "q63_overview_serve", "q64_band_index",
 ]
 
 

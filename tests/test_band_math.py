@@ -1,0 +1,189 @@
+"""Distributed band math (operators/band_math.py): numpy-oracle exactness,
+null/zero-denominator semantics, end-to-end over real mosaic output, and
+the plan contract (pure Catalyst: no Python nodes, exactly one shuffle).
+
+Reference parity: the reference computes NDVI driver-side on assembled
+xarrays (`examples/landsat_xarray.py:58`); here the same arithmetic runs
+where the pixels are.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rasteret_spark.operators import band_math as bm
+from rasteret_spark.operators import raster_mosaic as rmo
+
+GRID = {"chip_xmin": 1.0, "chip_ymax": 2.0, "chip_xres": 0.1,
+        "chip_yres": -0.1, "chip_w": 4, "chip_h": 3, "grid_epsg": 4326}
+
+
+def _per_band_rows():
+    rng = np.random.default_rng(5)
+    rows, truth = [], {}
+    for chip in ["c1", "c2"]:
+        vals = {}
+        for band in (0, 1):
+            v = rng.uniform(0.0, 100.0, 12).round(3)
+            mask = rng.random(12) < 0.25
+            arr = [None if m else float(x) for m, x in zip(mask, v)]
+            vals[band] = arr
+            rows.append({"chip_id": chip, "band": band, "values": arr, **GRID})
+        truth[chip] = vals
+    # c3 pins the edge semantics: (b1-b0)/(b1+b0) hits a zero denominator
+    # at pixel 0 and a null input at pixel 2
+    rows.append({"chip_id": "c3", "band": 0, "values": [1.0, 0.0, None], **GRID})
+    rows.append({"chip_id": "c3", "band": 1, "values": [-1.0, 0.5, 2.0], **GRID})
+    return rows, truth
+
+
+@pytest.fixture(scope="module")
+def per_band(spark):
+    rows, truth = _per_band_rows()
+    return spark.createDataFrame(rows), truth
+
+
+def test_normalized_difference_matches_numpy(per_band):
+    df, truth = per_band
+    out = {r.chip_id: r for r in bm.normalized_difference(df, 1, 0).collect()}
+    for chip, vals in truth.items():
+        a, b = vals[1], vals[0]
+        want = [
+            None if (x is None or y is None or x + y == 0) else (x - y) / (x + y)
+            for x, y in zip(a, b)
+        ]
+        got = list(out[chip].nd)
+        assert [g is None for g in got] == [w is None for w in want]
+        for g, w in zip(got, want):
+            if g is not None:
+                assert abs(g - w) < 1e-12
+        wv = [w for w in want if w is not None]
+        r = out[chip]
+        assert r.nd_filled == len(wv)
+        assert abs(r.nd_mean - float(np.mean(wv))) < 1e-12
+        assert abs(r.nd_min - min(wv)) < 1e-12
+        assert abs(r.nd_max - max(wv)) < 1e-12
+        # georeferencing rides along
+        assert r.chip_w == GRID["chip_w"] and r.grid_epsg == 4326
+
+
+def test_zero_denominator_and_null_propagation(per_band):
+    df, _ = per_band
+    r = {x.chip_id: x for x in bm.normalized_difference(df, 1, 0).collect()}["c3"]
+    assert r.nd[0] is None          # (-1-1)/(-1+1): zero denominator -> null
+    assert abs(r.nd[1] - 1.0) < 1e-12
+    assert r.nd[2] is None          # null input -> null
+    assert r.nd_filled == 1 and abs(r.nd_mean - 1.0) < 1e-12
+
+
+def test_band_ratio(per_band):
+    df, truth = per_band
+    r = {x.chip_id: x for x in bm.band_ratio(df, 1, 0).collect()}
+    a, b = truth["c1"][1], truth["c1"][0]
+    want = [
+        None if (x is None or y is None or y == 0) else x / y for x, y in zip(a, b)
+    ]
+    got = list(r["c1"].ratio)
+    assert [g is None for g in got] == [w is None for w in want]
+    for g, w in zip(got, want):
+        if g is not None:
+            assert abs(g - w) < 1e-9
+    assert abs(r["c3"].ratio[0] - (-1.0)) < 1e-12
+    assert r["c3"].ratio[1] is None  # 0.5 / 0 -> null, not Inf
+    assert r["c3"].ratio[2] is None  # 2.0 / null
+
+
+def test_linear_combination_and_missing_band(per_band):
+    df, truth = per_band
+    out = {
+        x.chip_id: x
+        for x in bm.linear_combination(df, {0: 0.5, 1: 2.0}, bias=1.0).collect()
+    }
+    a, b = truth["c2"][0], truth["c2"][1]
+    want = [
+        None if (x is None or y is None) else 1.0 + 0.5 * x + 2.0 * y
+        for x, y in zip(a, b)
+    ]
+    got = list(out["c2"].lc)
+    assert [g is None for g in got] == [w is None for w in want]
+    for g, w in zip(got, want):
+        if g is not None:
+            assert abs(g - w) < 1e-9
+    # a band absent from the pivot nulls the whole chip (try_element_at)
+    missing = bm.linear_combination(df, {0: 1.0, 7: 1.0}).collect()
+    assert all(r.lc is None for r in missing)
+    with pytest.raises(ValueError, match="at least one band"):
+        bm.linear_combination(df, {})
+
+
+def test_threshold_mask(per_band):
+    df, _ = per_band
+    nd = bm.normalized_difference(df, 1, 0)
+    r = {x.chip_id: x for x in bm.threshold_mask(nd, "nd", lo=0.0).collect()}["c3"]
+    assert r.mask[0] is None and r.mask[1] is True and r.mask[2] is None
+    assert r.mask_count == 1
+    with pytest.raises(ValueError, match="lo and/or hi"):
+        bm.threshold_mask(nd, "nd")
+
+
+def test_plan_is_pure_catalyst_single_shuffle(per_band):
+    """The index evaluates JVM-side: no Python eval nodes anywhere, and the
+    band pivot is the ONLY exchange."""
+    df, _ = per_band
+    plan = (
+        bm.normalized_difference(df, 1, 0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_ndvi_over_real_mosaic_matches_full_decode(spark, images_pdf):
+    """End-to-end: mosaic two bands from real blobs, compute the normalized
+    difference distributed, and compare against numpy over the SAME mosaic
+    rows pulled to the driver — ties band_math to the decode pipeline."""
+    chips = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "chip_id": f"nd-{j}",
+                    "chip_xmin": 13.36 + j * 0.03,
+                    "chip_ymax": 52.54,
+                    "chip_xres": 0.001,
+                    "chip_yres": 0.001,
+                    "chip_w": 24,
+                    "chip_h": 24,
+                }
+                for j in range(3)
+            ]
+        )
+    )
+    img_light = spark.createDataFrame(
+        images_pdf[["image_id", "xmin", "ymin", "xmax", "ymax"]].rename(
+            columns={c: f"img_{c}" for c in ["xmin", "ymin", "xmax", "ymax"]}
+        )
+    )
+    payload = spark.createDataFrame(images_pdf[["image_id", "datetime", "bytes"]])
+    pairs = rmo.chip_candidates(chips, img_light, payload, res=7)
+    mosaic = rmo.first_valid_mosaic_pixels(pairs, bands=(0, 1)).persist()
+    rows = mosaic.select("chip_id", "band", "values").collect()
+    got = {r.chip_id: r for r in bm.normalized_difference(mosaic, 1, 0).collect()}
+    by_chip = {}
+    for r in rows:
+        by_chip.setdefault(r.chip_id, {})[r.band] = [
+            np.nan if v is None else v for v in r["values"]
+        ]
+    assert got, "no chips composited"
+    for chip_id, bands in by_chip.items():
+        a = np.asarray(bands[1])
+        b = np.asarray(bands[0])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            den = a + b
+            want = np.where(den == 0, np.nan, (a - b) / den)
+        gv = np.asarray(
+            [np.nan if v is None else v for v in got[chip_id].nd]
+        )
+        np.testing.assert_allclose(gv, want, rtol=0, atol=1e-12, equal_nan=True)
+    mosaic.unpersist()
