@@ -374,6 +374,35 @@ class Collection:
             t_start=t_start, t_end=t_end, t_step=t_step, bands=bands, method=method,
         )
 
+    def band_index(
+        self, bbox, size: int, xres: float, band_a: int, band_b: int,
+        kind: str = "nd", out_col: str | None = None, **mosaic_kwargs,
+    ) -> DataFrame:
+        """Mosaic two bands over ``bbox`` and compute a per-pixel band index
+        distributed — the quickstart-NDVI flow (the reference assembles an
+        xarray first and does ``(B5-B4)/(B5+B4)`` on the driver,
+        `examples/landsat_xarray.py:58`; here the arithmetic is Catalyst
+        ``zip_with`` on the executors, `operators/band_math.py`).
+
+        ``kind``: ``"nd"`` (normalized difference) or ``"ratio"``.  Extra
+        kwargs pass through to :meth:`mosaic` (date_range, method,
+        grid_epsg, ...).  Output: one row per chip with the index array,
+        grid georeferencing and filled/mean/min/max stats."""
+        from rasteret_spark.operators import band_math as bm
+
+        per_band = self.mosaic(
+            bbox, size, xres, bands=(band_a, band_b), **mosaic_kwargs
+        )
+        if kind == "nd":
+            return bm.normalized_difference(
+                per_band, band_a, band_b, out_col=out_col or "nd"
+            )
+        if kind == "ratio":
+            return bm.band_ratio(
+                per_band, band_a, band_b, out_col=out_col or "ratio"
+            )
+        raise ValueError(f"unknown index kind {kind!r} (want 'nd' or 'ratio')")
+
     def chip_batches(self, batch_size: int = 8, **chip_kwargs):
         """Stream assembled ([T, C, H, W], attrs) batches to the driver."""
         from rasteret_spark.operators import assemble

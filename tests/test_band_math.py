@@ -187,3 +187,25 @@ def test_ndvi_over_real_mosaic_matches_full_decode(spark, images_pdf):
         )
         np.testing.assert_allclose(gv, want, rtol=0, atol=1e-12, equal_nan=True)
     mosaic.unpersist()
+
+
+def test_time_series_index_with_composite_key(spark):
+    """CHIP_STACK-shaped input (chip_id, t_index, band, values): the pivot
+    keys on (chip_id, t_index), yielding an index row per timestep — NDVI
+    time series without reshaping."""
+    rows = []
+    for t in (0, 1):
+        for band, vals in ((0, [2.0, 1.0]), (1, [6.0, None])):
+            rows.append(
+                {"chip_id": "c", "t_index": t, "band": band,
+                 "values": [v if v is None else v * (t + 1) for v in vals]}
+            )
+    df = spark.createDataFrame(rows)
+    out = bm.normalized_difference(
+        df, 1, 0, key_cols=("chip_id", "t_index"), with_stats=False
+    ).collect()
+    assert len(out) == 2
+    for r in out:
+        # scaling both bands by (t+1) leaves the normalized difference fixed
+        assert abs(r.nd[0] - (6.0 - 2.0) / (6.0 + 2.0)) < 1e-12
+        assert r.nd[1] is None

@@ -193,3 +193,41 @@ def test_describe_empty_collection(spark, coll):
     assert d["records"] == 0 and d["bounds"] is None
     assert "dates" not in d
     assert "(empty)" not in repr(d)  # still renders the table scaffold
+
+
+def test_band_index_matches_manual_composition(spark, coll, images_pdf):
+    """Facade NDVI: Collection.band_index == mosaic + normalized_difference
+    composed by hand, and the stats agree with numpy over the arrays."""
+    from rasteret_spark.operators import band_math as bm
+
+    # anchor on a 2-band image so band 1 has coverage inside the bbox
+    im = images_pdf[images_pdf["n_bands"] >= 2].iloc[0]
+    bbox = (
+        float(im["xmin"]), float(im["ymin"]),
+        float(im["xmin"]) + 0.02, float(im["ymin"]) + 0.02,
+    )
+    got = coll.band_index(bbox, size=16, xres=0.00125, band_a=1, band_b=0)
+    gp = got.toPandas().sort_values("chip_id").reset_index(drop=True)
+    manual = bm.normalized_difference(
+        coll.mosaic(bbox, size=16, xres=0.00125, bands=(0, 1)), 1, 0
+    ).toPandas().sort_values("chip_id").reset_index(drop=True)
+    assert list(gp["chip_id"]) == list(manual["chip_id"]) and len(gp) >= 1
+
+    def _nulls(arr):  # toPandas renders array nulls as None OR NaN
+        return [x is None or x != x for x in arr]
+
+    for g, m in zip(gp["nd"], manual["nd"]):
+        assert _nulls(g) == _nulls(m)
+    any_filled = False
+    for _, row in gp.iterrows():
+        vals = [v for v in row["nd"] if v is not None and v == v]
+        if vals:
+            any_filled = True
+            assert abs(row["nd_mean"] - float(np.mean(vals))) < 1e-9
+    assert any_filled
+    ratio = coll.band_index(bbox, size=16, xres=0.00125, band_a=1, band_b=0,
+                            kind="ratio")
+    assert "ratio" in ratio.columns
+    with pytest.raises(ValueError, match="unknown index kind"):
+        coll.band_index(bbox, size=16, xres=0.00125, band_a=1, band_b=0,
+                        kind="huh")
