@@ -1081,6 +1081,35 @@ def q64_band_index(spark, sf_dir):
     )
 
 
+def q65_temporal_median(spark, sf_dir):
+    """Per-pixel temporal MEDIAN composite over real chip stacks — the
+    cloud-free monthly-composite primitive (nulls skipped per pixel, not
+    per scene).  Evaluated with nested Catalyst higher-order functions
+    (operators/band_math.temporal_composite: one shuffle, no Python);
+    numpy nanmedian-exact incl. even-count interpolation per
+    tests/test_band_math.py::TestTemporalComposite."""
+    from rasteret_spark.operators import band_math as bm
+    from rasteret_spark.operators import raster_mosaic as rmo
+
+    stack = rmo.chip_stack_pixels(
+        _chip_pairs(spark), bands=(0, 1), max_images_per_chip=None
+    )
+    med = bm.temporal_composite(stack, stat="median")
+    valid = F.filter(F.col("composite"), lambda v: v.isNotNull())
+    return med.select(
+        "chip_id", "band", "n_t",
+        F.size(valid).alias("n_valid_px"),
+        F.round(
+            F.when(
+                F.size(valid) > 0,
+                F.aggregate(valid, F.lit(0.0), lambda a, v: a + v)
+                / F.size(valid),
+            ),
+            4,
+        ).alias("median_mean_r4"),
+    )
+
+
 def q59_bpe_token_stats(spark, sf_dir):
     """BPE-ish regex tokenization (word/number/punct pieces) aggregated per
     source — the second tokenizer surface next to q17's whitespace counts."""
@@ -1203,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_tiff_enrich_zonal": q62_tiff_enrich_zonal,
         "q63_overview_serve": q63_overview_serve,
         "q64_band_index": q64_band_index,
+        "q65_temporal_median": q65_temporal_median,
     }
 
 

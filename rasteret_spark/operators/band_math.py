@@ -160,6 +160,68 @@ def linear_combination(
     return out
 
 
+def temporal_composite(
+    stack: DataFrame,
+    stat: str = "median",
+    value_col: str = "values",
+    key_cols: tuple[str, ...] = ("chip_id", "band"),
+    carry_cols: tuple[str, ...] = GRID_COLS,
+    out_col: str = "composite",
+) -> DataFrame:
+    """Per-pixel reduction ACROSS TIME over chip-stack rows — the
+    cloud-free-composite primitive (monthly median NDVI, max-value
+    composites).  Input: CHIP_STACK-shaped rows (one row per chip x
+    timestep x band, ``values array<double>``); output: one row per
+    (chip, band) with the composited array plus ``n_t`` (timesteps seen).
+
+    ``stat``: ``median`` (lower-interpolated to the mean of the two middle
+    values on even counts, numpy semantics), ``mean``, ``min``, ``max`` or
+    ``count`` (valid observations per pixel — data-density maps).  Null
+    pixels are skipped per pixel, NOT per timestep: a pixel cloudy at t0
+    still composites from t1..tn.  Pure Catalyst (nested higher-order
+    functions), one shuffle, no Python."""
+    if stat not in ("median", "mean", "min", "max", "count"):
+        raise ValueError(f"unknown stat {stat!r}")
+    g = stack.groupBy(*key_cols).agg(
+        F.collect_list(value_col).alias("_t"),
+        *[F.first(c).alias(c) for c in carry_cols
+          if c in stack.columns and c not in key_cols],
+    )
+
+    def reduce_pixel(i: Column) -> Column:
+        vals = F.filter(
+            F.transform(F.col("_t"), lambda arr: F.get(arr, i)),
+            lambda v: v.isNotNull(),
+        )
+        n = F.size(vals)
+        if stat == "count":
+            return n.cast("double")
+        if stat == "min":
+            return F.array_min(vals)
+        if stat == "max":
+            return F.array_max(vals)
+        if stat == "mean":
+            return F.when(
+                n > 0, F.aggregate(vals, F.lit(0.0), lambda a, v: a + v) / n
+            )
+        s = F.array_sort(vals)
+        lo = F.get(s, ((n - 1) / 2).cast("int"))
+        hi = F.get(s, (n / 2).cast("int"))
+        return F.when(n > 0, (lo + hi) / 2)
+
+    n_px = F.size(F.get("_t", 0))
+    # sequence(0, -1) would DESCEND, so empty pixel arrays need the guard
+    comp = F.when(
+        n_px > 0, F.transform(F.sequence(F.lit(0), n_px - 1), reduce_pixel)
+    ).otherwise(F.expr("array()").cast("array<double>"))
+    carry = [c for c in g.columns if c != "_t"]
+    return g.select(
+        *carry,
+        F.size("_t").alias("n_t"),
+        F.when(F.size("_t") > 0, comp).alias(out_col),
+    )
+
+
 def threshold_mask(
     indexed: DataFrame,
     index_col: str,

@@ -209,3 +209,69 @@ def test_time_series_index_with_composite_key(spark):
         # scaling both bands by (t+1) leaves the normalized difference fixed
         assert abs(r.nd[0] - (6.0 - 2.0) / (6.0 + 2.0)) < 1e-12
         assert r.nd[1] is None
+
+
+class TestTemporalComposite:
+    @pytest.fixture(scope="class")
+    def stack(self, spark):
+        # 3 timesteps, one band, 4 pixels; per-pixel null patterns differ
+        rows = [
+            {"chip_id": "c", "band": 0, "t_index": 0,
+             "values": [1.0, None, 5.0, 2.0], **GRID},
+            {"chip_id": "c", "band": 0, "t_index": 1,
+             "values": [3.0, 7.0, None, 4.0], **GRID},
+            {"chip_id": "c", "band": 0, "t_index": 2,
+             "values": [2.0, 9.0, None, None], **GRID},
+        ]
+        return spark.createDataFrame(rows), [
+            [1.0, np.nan, 5.0, 2.0],
+            [3.0, 7.0, np.nan, 4.0],
+            [2.0, 9.0, np.nan, np.nan],
+        ]
+
+    @pytest.mark.parametrize("stat,npfn", [
+        ("median", np.nanmedian), ("mean", np.nanmean),
+        ("min", np.nanmin), ("max", np.nanmax),
+    ])
+    def test_stats_match_numpy(self, stack, stat, npfn):
+        df, arrs = stack
+        r = bm.temporal_composite(df, stat=stat).collect()[0]
+        a = np.asarray(arrs)
+        with np.errstate(all="ignore"):
+            import warnings
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                want = npfn(a, axis=0)
+        got = np.asarray([np.nan if v is None else v for v in r.composite])
+        np.testing.assert_allclose(got, want, atol=1e-12, equal_nan=True)
+        assert r.n_t == 3 and r.grid_epsg == 4326
+
+    def test_count_and_even_median(self, stack, spark):
+        df, _ = stack
+        r = bm.temporal_composite(df, stat="count").collect()[0]
+        assert list(r.composite) == [3.0, 2.0, 1.0, 2.0]
+        # even count: mean of the two middle values (numpy semantics)
+        df2 = spark.createDataFrame([
+            {"chip_id": "c", "band": 0, "t_index": t, "values": [float(v)]}
+            for t, v in enumerate([4.0, 1.0, 3.0, 2.0])
+        ])
+        r2 = bm.temporal_composite(df2, stat="median").collect()[0]
+        assert abs(r2.composite[0] - 2.5) < 1e-12
+
+    def test_all_null_pixel_and_errors(self, spark, stack):
+        df, _ = stack
+        dfn = spark.createDataFrame([
+            {"chip_id": "c", "band": 0, "t_index": 0, "values": [None, 1.0]},
+            {"chip_id": "c", "band": 0, "t_index": 1, "values": [None, 2.0]},
+        ])
+        r = bm.temporal_composite(dfn, stat="median").collect()[0]
+        assert r.composite[0] is None and abs(r.composite[1] - 1.5) < 1e-12
+        with pytest.raises(ValueError, match="unknown stat"):
+            bm.temporal_composite(df, stat="mode")
+
+    def test_plan_pure_catalyst(self, stack):
+        df, _ = stack
+        plan = (bm.temporal_composite(df, stat="median")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "EvalPython" not in plan and "InPandas" not in plan
+        assert plan.count("Exchange") == 1
