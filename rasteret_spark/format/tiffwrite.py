@@ -68,7 +68,13 @@ def _compress(raw: bytes, comp_id: int) -> bytes:
     if comp_id == 50000:  # GDAL zstd (format/zstd.py, RFC 8878)
         from rasteret_spark.format import zstd
 
-        return zstd.compress_fast(raw, level=3)
+        # the PURE encoder, deliberately: compress_fast delegates to
+        # whatever libzstd is installed, so its bytes vary by library
+        # presence/version — generator_fingerprint keys blob caches on
+        # SOURCE hashes and the synthetic tables must be byte-deterministic
+        # everywhere.  Entropy-coded frames are exercised by the reference
+        # fixture + libzstd cross-tests in tests/test_zstd.py.
+        return zstd.compress(raw)
     raise ValueError(f"unsupported compression id {comp_id}")
 
 

@@ -212,11 +212,17 @@ class _HufTable:
     __slots__ = ("symbol", "nbits", "max_bits")
 
     def __init__(self, weights: list[int]):
+        if any(w > 11 for w in weights):
+            # RFC 8878 caps Huffman code length at 11 bits; without this a
+            # crafted FSE weight stream forces a 2^60-entry table
+            raise ZstdError("Huffman weight exceeds spec maximum (11)")
         total = sum((1 << (w - 1)) for w in weights if w > 0)
         if total == 0:
             raise ZstdError("empty Huffman weights")
         # implied last weight completes the next power of two
         max_bits = total.bit_length()  # smallest 2^k > total has k = bit_length
+        if max_bits > 11:
+            raise ZstdError("Huffman table exceeds 11-bit spec maximum")
         size = 1 << max_bits
         rem = size - total
         if rem & (rem - 1):
@@ -412,19 +418,25 @@ def _decode_literals(block: bytes, ctx: _FrameCtx) -> tuple[bytes, int]:
     return bytes(lits), off + comp
 
 
+def _parse_nseq(rest: bytes) -> tuple[int, int]:
+    """Number_of_Sequences -> (count, bytes consumed)."""
+    b0 = rest[0]
+    if b0 < 128:
+        return b0, 1
+    if b0 < 255:
+        return ((b0 - 128) << 8) | rest[1], 2
+    # long form ADDS 0x7F00 (RFC 8878 §3.1.1.3.2.1) — OR would alias
+    # counts >= 0x8000 onto lower values
+    return rest[1] + (rest[2] << 8) + 0x7F00, 3
+
+
 def _decode_sequences(rest: bytes, ctx: _FrameCtx):
     """Sequences_Section -> list of (ll, ml, offset_value)."""
     if not rest:
         raise ZstdError("missing sequences section")
-    b0 = rest[0]
-    if b0 == 0:
+    if rest[0] == 0:
         return [], ctx
-    if b0 < 128:
-        n, off = b0, 1
-    elif b0 < 255:
-        n, off = ((b0 - 128) << 8) | rest[1], 2
-    else:
-        n, off = rest[1] | (rest[2] << 8) | 0x7F00, 3
+    n, off = _parse_nseq(rest)
     modes = rest[off]
     off += 1
     ll_mode, of_mode, ml_mode = (modes >> 6) & 3, (modes >> 4) & 3, (modes >> 2) & 3
@@ -526,7 +538,14 @@ def decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
         did_flag = fhd & 3
         if not single:
             pos += 1  # window descriptor (we keep the whole output anyway)
-        pos += (0, 1, 2, 4)[did_flag]
+        did_len = (0, 1, 2, 4)[did_flag]
+        if did_len:
+            did = int.from_bytes(data[pos : pos + did_len], "little")
+            if did != 0:
+                # without the external dictionary, literals/matches would
+                # decode to garbage or a misleading offset error
+                raise ZstdError(f"dictionary frames unsupported (id {did})")
+        pos += did_len
         fcs_len = (1 if single else 0, 2, 4, 8)[fcs_flag]
         fcs = None
         if fcs_len:
@@ -663,19 +682,39 @@ def _libzstd():
 
 def decompress_fast(data: bytes, expected: int | None = None) -> bytes:
     """libzstd when available, else the pure-Python decoder.  ``expected``
-    sizes the output buffer when the frame omits its content size."""
+    sizes the output buffer when the frame omits its content size AND caps
+    the allocation when it does: a corrupt/malicious tile declaring a
+    multi-TB frame content size must fail cleanly, not OOM the executor."""
     lib = _libzstd()
     if lib is None:
-        return decompress(data)
+        return decompress(
+            data, max_output=expected if expected is not None else 1 << 31
+        )
     import ctypes
 
     data = bytes(data)
+    try:
+        lib.ZSTD_findFrameCompressedSize.restype = ctypes.c_size_t
+        first = int(lib.ZSTD_findFrameCompressedSize(data, len(data)))
+        multi_frame = not lib.ZSTD_isError(first) and first < len(data)
+    except AttributeError:  # very old libzstd — assume single frame
+        multi_frame = False
+    if multi_frame:
+        # ZSTD_getFrameContentSize/ZSTD_decompress cover only the FIRST
+        # frame; concatenated streams take the pure path
+        return decompress(
+            data, max_output=expected if expected is not None else 1 << 31
+        )
     size = int(lib.ZSTD_getFrameContentSize(data, len(data)))
     # ZSTD_CONTENTSIZE_UNKNOWN (-1) / _ERROR (-2) come back huge unsigned
     if size >= (1 << 62):
         if expected is None:
             return decompress(data)
         size = expected
+    elif expected is not None and size > expected:
+        raise ZstdError(
+            f"frame declares {size} bytes but caller expects <= {expected}"
+        )
     dst = ctypes.create_string_buffer(max(size, 1))
     n = lib.ZSTD_decompress(dst, size, data, len(data))
     if lib.ZSTD_isError(n):

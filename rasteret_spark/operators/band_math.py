@@ -242,8 +242,12 @@ def threshold_mask(
             c = c & (v <= F.lit(hi))
         return F.when(v.isNotNull(), c)
 
-    m = F.transform(F.col(index_col), pred).alias(out_col)
-    cnt = F.size(
-        F.filter(F.transform(F.col(index_col), pred), lambda b: b)
-    ).alias(f"{out_col}_count")
-    return indexed.select("*", m, cnt)
+    # two projections so the predicate transform evaluates ONCE (Catalyst
+    # does not CSE higher-order lambdas); the count reads the mask column
+    masked = indexed.select(
+        "*", F.transform(F.col(index_col), pred).alias(out_col)
+    )
+    return masked.select(
+        "*",
+        F.size(F.filter(F.col(out_col), lambda b: b)).alias(f"{out_col}_count"),
+    )

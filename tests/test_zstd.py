@@ -210,3 +210,61 @@ def test_fast_path_agrees_with_pure():
     data = (b"abcd" * 5000) + rng.integers(0, 256, 10000, dtype=np.uint8).tobytes()
     frame = _lib_compress(data, 5)
     assert zstd.decompress_fast(frame) == zstd.decompress(frame) == data
+
+
+# --- review-pass regression tests --------------------------------------------
+def test_nseq_long_form_adds_not_ors():
+    """RFC 8878 §3.1.1.3.2.1: byte0==255 -> n = b1 + (b2<<8) + 0x7F00.
+    A bitwise OR aliases every count >= 0x8000 (b2 overlaps 0x7F00)."""
+    assert zstd._parse_nseq(bytes([255, 0x00, 0x01])) == (0x8000, 3)
+    assert zstd._parse_nseq(bytes([255, 0xFF, 0xFF])) == (0xFFFF + 0x7F00, 3)
+    assert zstd._parse_nseq(bytes([255, 0x00, 0x00])) == (0x7F00, 3)
+    assert zstd._parse_nseq(bytes([127])) == (127, 1)
+    assert zstd._parse_nseq(bytes([128 + 1, 0x34])) == (0x134, 2)
+
+
+def test_huffman_weight_cap_rejected_cleanly():
+    """Weights past the 11-bit spec cap must raise, not allocate 2^60."""
+    with pytest.raises(zstd.ZstdError, match="11"):
+        zstd._HufTable([61, 1])
+    with pytest.raises(zstd.ZstdError, match="11"):
+        zstd._HufTable([12] * 2)
+    # weight 11 itself is legal when the completed table stays at 11 bits
+    t = zstd._HufTable([11, 10])
+    assert t.max_bits <= 11
+
+
+def test_dictionary_frames_rejected():
+    # single-segment fhd with did_flag=1, dict id 5
+    frame = struct.pack("<I", zstd.MAGIC) + bytes([0x21, 0x05, 0x00])
+    with pytest.raises(zstd.ZstdError, match="dictionary"):
+        zstd.decompress(frame)
+    # dict id 0 in the field means "no dictionary" and must be accepted:
+    # re-encode a real frame with an explicit zero did
+    inner = zstd.compress(b"abc")
+    patched = (
+        inner[:4] + bytes([inner[4] | 0x01, 0x00]) + inner[5:]
+    )  # did_flag=1, id=0
+    assert zstd.decompress(patched) == b"abc"
+
+
+@needs_lib
+def test_declared_size_bomb_fails_before_allocation():
+    """A frame whose header declares a huge content size must raise when the
+    caller bounds the output, instead of allocating the declared size."""
+    # fhd: fcs_flag=2 (4-byte FCS), single-segment -> 0xA0; declare 1 GiB
+    frame = struct.pack("<I", zstd.MAGIC) + bytes([0xA0]) + struct.pack("<I", 1 << 30)
+    with pytest.raises(zstd.ZstdError, match="expects"):
+        zstd.decompress_fast(frame, expected=4096)
+    # pure path: max_output bound enforced too
+    with pytest.raises(zstd.ZstdError):
+        zstd.decompress(zstd.compress(b"y" * 100000), max_output=10)
+
+
+@needs_lib
+def test_fast_path_multiframe_matches_pure():
+    """Concatenated frames: libzstd one-shot covers only the first frame, so
+    decompress_fast must detect and fall back to the pure decoder."""
+    a, b = b"first frame ", b"second frame"
+    stream = zstd.compress(a) + zstd.compress(b)
+    assert zstd.decompress_fast(stream, expected=len(a) + len(b)) == a + b
