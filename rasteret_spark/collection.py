@@ -403,6 +403,21 @@ class Collection:
             )
         raise ValueError(f"unknown index kind {kind!r} (want 'nd' or 'ratio')")
 
+    def composite(
+        self, bbox, size: int, xres: float, stat: str = "median",
+        bands=(0,), **chip_kwargs,
+    ) -> DataFrame:
+        """Per-pixel temporal composite (median/mean/min/max/count) over the
+        chip stacks for ``bbox`` — the cloud-free-composite flow: serve the
+        [T, C, H, W] stack rows, then reduce across T with
+        ``band_math.temporal_composite`` (nested Catalyst HOFs, nulls
+        skipped per pixel).  Extra kwargs pass to :meth:`chips`
+        (t_start/t_end/t_step, stride, method, grid_epsg, ...)."""
+        from rasteret_spark.operators import band_math as bm
+
+        stack = self.chips(bbox, size, xres, bands=bands, **chip_kwargs)
+        return bm.temporal_composite(stack, stat=stat)
+
     def chip_batches(self, batch_size: int = 8, **chip_kwargs):
         """Stream assembled ([T, C, H, W], attrs) batches to the driver."""
         from rasteret_spark.operators import assemble

@@ -231,3 +231,32 @@ def test_band_index_matches_manual_composition(spark, coll, images_pdf):
     with pytest.raises(ValueError, match="unknown index kind"):
         coll.band_index(bbox, size=16, xres=0.00125, band_a=1, band_b=0,
                         kind="huh")
+
+
+def test_composite_facade_matches_manual(spark, coll, images_pdf):
+    """Collection.composite == chips + temporal_composite composed by hand,
+    and the median row agrees with numpy over the stack rows."""
+    from rasteret_spark.operators import band_math as bm
+
+    im = images_pdf[images_pdf["n_bands"] >= 2].iloc[0]
+    bbox = (
+        float(im["xmin"]), float(im["ymin"]),
+        float(im["xmin"]) + 0.02, float(im["ymin"]) + 0.02,
+    )
+    got = coll.composite(bbox, size=16, xres=0.00125, stat="median",
+                         bands=(0,)).toPandas()
+    manual = bm.temporal_composite(
+        coll.chips(bbox, size=16, xres=0.00125, bands=(0,)), stat="median"
+    ).toPandas()
+    key = ["chip_id", "band"]
+    got = got.sort_values(key).reset_index(drop=True)
+    manual = manual.sort_values(key).reset_index(drop=True)
+    assert list(got["chip_id"]) == list(manual["chip_id"]) and len(got) >= 1
+    assert (got["n_t"] == manual["n_t"]).all()
+    checked = False
+    for g, m in zip(got["composite"], manual["composite"]):
+        ga = np.asarray([np.nan if v is None else v for v in g], dtype=float)
+        ma = np.asarray([np.nan if v is None else v for v in m], dtype=float)
+        np.testing.assert_allclose(ga, ma, atol=0, equal_nan=True)
+        checked = checked or np.isfinite(ga).any()
+    assert checked
