@@ -63,11 +63,13 @@ def _plane(values, h: int, w: int) -> np.ndarray:
     ).reshape(h, w)
 
 
-def chip_to_array(row) -> tuple[np.ndarray, dict]:
+def chip_to_array(row, value_col: str = "values") -> tuple[np.ndarray, dict]:
     """One mosaic row (MOSAIC_SCHEMA, collected) -> ((H, W) float64, attrs).
-    Nulls become NaN."""
+    Nulls become NaN.  ``value_col`` assembles derived arrays that carry
+    the same grid columns — band-math indices (``"nd"``/``"ratio"``/
+    ``"lc"``) and temporal composites (``"composite"``)."""
     attrs = _attrs(row)
-    return _plane(row["values"], attrs["height"], attrs["width"]), attrs
+    return _plane(row[value_col], attrs["height"], attrs["width"]), attrs
 
 
 def pixel_coords(attrs: dict) -> tuple[np.ndarray, np.ndarray]:

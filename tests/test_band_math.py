@@ -275,3 +275,28 @@ class TestTemporalComposite:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "EvalPython" not in plan and "InPandas" not in plan
         assert plan.count("Exchange") == 1
+
+
+def test_index_rows_assemble_to_georeferenced_arrays(spark):
+    """R10 closure for derived arrays: band-math output rows assemble
+    through the driver-side adapter with honest georeferencing."""
+    from rasteret_spark.operators import assemble
+
+    rows, _ = _per_band_rows()
+    df = spark.createDataFrame(rows)
+    nd_rows = bm.normalized_difference(df, 1, 0).collect()
+    arr, attrs = assemble.chip_to_array(nd_rows[0], value_col="nd")
+    assert arr.shape == (GRID["chip_h"], GRID["chip_w"])
+    assert attrs["width"] == GRID["chip_w"] and attrs["height"] == GRID["chip_h"]
+    assert attrs["transform"][0] == GRID["chip_xres"]
+    # composite rows assemble identically
+    stack = spark.createDataFrame([
+        {"chip_id": "c", "band": 0, "t_index": t,
+         "values": [float(t + 1)] * 12, **GRID}
+        for t in range(3)
+    ])
+    comp_rows = bm.temporal_composite(stack, stat="mean").collect()
+    arr2, attrs2 = assemble.chip_to_array(comp_rows[0], value_col="composite")
+    assert arr2.shape == (GRID["chip_h"], GRID["chip_w"])
+    np.testing.assert_allclose(arr2, 2.0)
+    assert attrs2["transform"] == attrs["transform"]
