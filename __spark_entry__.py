@@ -1110,6 +1110,39 @@ def q65_temporal_median(spark, sf_dir):
     )
 
 
+def q66_pixel_series(spark, sf_dir):
+    """Per-point temporal drill: sample EVERY containing image (not just the
+    latest) and fold valid observations into one chronological series row
+    per (point, band) with n_obs / t_first / t_last / mean — the
+    time-series-analysis primitive over the sampling surface
+    (operators/sampling.point_time_series; fold is pure Catalyst
+    array_sort + aggregate).  Pinned vs a pandas fold of the flat samples
+    in tests/test_collection.py::test_pixel_series_matches_flat_samples."""
+    from rasteret_spark.operators import sampling, spatial_join as sj
+    from rasteret_spark.sources import synthetic as syn
+
+    images = _images_df(spark)
+    img_light = images.select(
+        "image_id",
+        F.col("xmin").alias("img_xmin"), F.col("ymin").alias("img_ymin"),
+        F.col("xmax").alias("img_xmax"), F.col("ymax").alias("img_ymax"),
+    )
+    pts = spark.createDataFrame(syn.points_table(200).to_pandas())
+    cands = sj.point_in_bbox_join(pts, img_light, res=8).select(
+        "point_index", "x", "y", "image_id"
+    )
+    samples = sampling.sample_points(
+        cands, images.select("image_id", "bytes"), bands=(0,)
+    )
+    series = sampling.point_time_series(
+        samples, images.select("image_id", "datetime")
+    )
+    return series.select(
+        "point_index", "band", "n_obs", "t_first", "t_last",
+        F.round("v_mean", 4).alias("v_mean_r4"),
+    )
+
+
 def q59_bpe_token_stats(spark, sf_dir):
     """BPE-ish regex tokenization (word/number/punct pieces) aggregated per
     source — the second tokenizer surface next to q17's whitespace counts."""
@@ -1233,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_overview_serve": q63_overview_serve,
         "q64_band_index": q64_band_index,
         "q65_temporal_median": q65_temporal_median,
+        "q66_pixel_series": q66_pixel_series,
     }
 
 

@@ -403,6 +403,25 @@ class Collection:
             )
         raise ValueError(f"unknown index kind {kind!r} (want 'nd' or 'ratio')")
 
+    def pixel_series(
+        self, points: DataFrame, bands=(0,), max_ring: int = 0,
+    ) -> DataFrame:
+        """Per-point temporal drill: sample every containing image and fold
+        the valid observations into one chronological series row per
+        (point, band) — `operators/sampling.point_time_series`."""
+        from rasteret_spark.operators import sampling, spatial_join as sj
+
+        cands = sj.point_in_bbox_join(points, _light(self.records), res=8).select(
+            "point_index", "x", "y", "image_id"
+        )
+        samples = sampling.sample_points(
+            cands, self.records.select("image_id", "bytes"),
+            max_ring=max_ring, bands=tuple(bands),
+        )
+        return sampling.point_time_series(
+            samples, self.records.select("image_id", "datetime")
+        )
+
     def composite(
         self, bbox, size: int, xres: float, stat: str = "median",
         bands=(0,), **chip_kwargs,

@@ -367,3 +367,48 @@ def sample_points(
                 yield pd.DataFrame({c: [] for c in col_names})
 
     return src.mapInPandas(run, schema=schema)
+
+
+def point_time_series(
+    samples: DataFrame,
+    image_times: DataFrame,
+    time_col: str = "datetime",
+) -> DataFrame:
+    """Per-point temporal drill: fold SAMPLES_SCHEMA rows into one row per
+    (point, band) with the full observation series ordered by time — the
+    time-series-analysis primitive (the reference's per-point sampling
+    returns flat rows, `src/rasteret/core/point_sampling.py:350-514`;
+    analysis over them happens client-side there).
+
+    ``image_times``: (image_id, <time_col>) — the light columns of the
+    records table; joined by image_id (auto-broadcast under AQE when
+    small).  Only valid in-bounds samples enter the series.  Output:
+    ``series array<struct<t, image_id, value>>`` (chronological,
+    image_id tie-break) + n_obs / first / last / mean summary columns,
+    all pure Catalyst."""
+    valid = samples.filter(F.col("valid") & F.col("in_bounds")).select(
+        "point_index", "band", "image_id", "value"
+    )
+    joined = valid.join(
+        image_times.select("image_id", F.col(time_col).alias("_t")), "image_id"
+    )
+    series = F.array_sort(
+        F.collect_list(F.struct(F.col("_t").alias("t"), "image_id", "value"))
+    )
+    return (
+        joined.groupBy("point_index", "band")
+        .agg(series.alias("series"))
+        .select(
+            "point_index",
+            "band",
+            F.size("series").alias("n_obs"),
+            F.element_at("series", 1)["t"].alias("t_first"),
+            F.element_at("series", -1)["t"].alias("t_last"),
+            F.aggregate(
+                "series", F.lit(0.0), lambda acc, s: acc + s["value"]
+            ).alias("_sum"),
+            "series",
+        )
+        .withColumn("v_mean", F.col("_sum") / F.col("n_obs"))
+        .drop("_sum")
+    )

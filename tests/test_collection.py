@@ -260,3 +260,42 @@ def test_composite_facade_matches_manual(spark, coll, images_pdf):
         np.testing.assert_allclose(ga, ma, atol=0, equal_nan=True)
         checked = checked or np.isfinite(ga).any()
     assert checked
+
+
+def test_pixel_series_matches_flat_samples(spark, coll, points_pdf, images_pdf):
+    """pixel_series == the flat per-(point,image) samples folded by hand:
+    same observation sets, chronological order, exact means."""
+    pts = spark.createDataFrame(points_pdf[["point_index", "x", "y"]])
+    got = coll.pixel_series(pts, bands=(0,)).toPandas()
+    assert len(got) > 0
+
+    # manual fold from the flat surface
+    from rasteret_spark.operators import sampling, spatial_join as sj
+    from rasteret_spark.collection import _light
+
+    cands = sj.point_in_bbox_join(pts, _light(coll.records), res=8).select(
+        "point_index", "x", "y", "image_id"
+    )
+    flat = sampling.sample_points(
+        cands, coll.records.select("image_id", "bytes"), bands=(0,)
+    ).toPandas()
+    flat = flat[flat["valid"] & flat["in_bounds"]]
+    times = images_pdf.set_index("image_id")["datetime"]
+
+    for _, row in got.iterrows():
+        mine = flat[(flat["point_index"] == row["point_index"])
+                    & (flat["band"] == row["band"])]
+        assert row["n_obs"] == len(mine) > 0
+        want = sorted(
+            (times[r["image_id"]], r["image_id"], r["value"])
+            for _, r in mine.iterrows()
+        )
+        series = [(s["t"], s["image_id"], s["value"]) for s in row["series"]]
+        assert [w[1] for w in want] == [s[1] for s in series]
+        assert all(abs(w[2] - s[2]) < 1e-12 for w, s in zip(want, series))
+        assert abs(row["v_mean"] - np.mean([w[2] for w in want])) < 1e-9
+        assert row["t_first"] == want[0][0] and row["t_last"] == want[-1][0]
+    # every (point, band) with a valid sample appears exactly once
+    keys = set(zip(got["point_index"], got["band"]))
+    want_keys = set(zip(flat["point_index"], flat["band"]))
+    assert keys == want_keys
