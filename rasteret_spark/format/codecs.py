@@ -35,6 +35,7 @@ COMP_QLOSSY = 5  # deterministic lossy: quantize -> zigzag varint-ish -> deflate
 COMP_LZW = 6  # TIFF 6.0 LZW (pure-Python, spec semantics)
 COMP_ZSTD = 7  # RFC 8878: format/zstd.py (pure-Python + optional libzstd fast path)
 COMP_JPEG = 8  # baseline JPEG (T.81), pure numpy/stdlib: format/jpegcodec.py
+COMP_LERC = 9  # Esri LERC2: format/lerc.py (pure-Python + optional libLerc validation)
 
 COMP_NAMES = {
     "raw": COMP_RAW,
@@ -46,6 +47,7 @@ COMP_NAMES = {
     "lzw": COMP_LZW,
     "zstd": COMP_ZSTD,
     "jpeg": COMP_JPEG,
+    "lerc": COMP_LERC,
 }
 COMP_CODES = {v: k for k, v in COMP_NAMES.items()}
 LOSSY_COMPS = {COMP_QLOSSY, COMP_JPEG}
@@ -316,6 +318,12 @@ def encode_tile(
                 "a lossless codec for wider samples)"
             )
         return jpegcodec.encode(tile, quality=_jpeg_quality(qstep))
+    if compression == COMP_LERC:
+        from rasteret_spark.format import lerc as _lerc
+
+        if predictor != PRED_NONE:
+            raise ValueError("LERC tiles carry no TIFF predictor")
+        return _lerc.encode(tile)
     raw = apply_predictor(tile, predictor)
     if compression == COMP_RAW:
         return raw
@@ -364,6 +372,34 @@ def decode_tile(
         if out.shape[0] > tile_h or out.shape[1] > tile_w:
             out = out[:tile_h, :tile_w]
         return out.astype(dtype) if np.dtype(dtype) != out.dtype else out
+    if compression == COMP_LERC:
+        from rasteret_spark.format import lerc as _lerc
+
+        # GDAL's TIFF LERC codec can wrap the blob in deflate or zstd
+        # ("additional compression", LERC_PARAMETERS[1]); sniff instead of
+        # plumbing the tag through — the three framings are unambiguous
+        raw = payload
+        if raw[:6] != _lerc.FILE_KEY:
+            if raw[:4] == b"\x28\xb5\x2f\xfd":
+                from rasteret_spark.format import zstd as _zstdmod
+
+                raw = _zstdmod.decompress_fast(raw, expected=4 * expected)
+            else:
+                raw = zlib.decompress(raw)
+        bands, valid = _lerc.decode_fast(raw)
+        if bands.ndim == 4:  # nDepth>1 (GDAL chunky) has no planar meaning
+            raise ValueError(
+                "multi-depth LERC tile in a planar read path; route chunky "
+                "LERC rasters through tiff.decode_chunky_tile"
+            )
+        if bands.shape[0] != 1:
+            raise ValueError(f"expected 1-band LERC tile, got {bands.shape[0]}")
+        out = bands[0]
+        out[~valid[0]] = 0  # masked pixels have no stored value
+        # edge tiles may be stored full-size (TIFF pads) or exact-size
+        if out.shape[0] > tile_h or out.shape[1] > tile_w:
+            out = out[:tile_h, :tile_w]
+        return out.astype(dtype) if out.dtype != np.dtype(dtype) else out
     if compression == COMP_QLOSSY:
         q = np.frombuffer(zlib.decompress(payload), dtype=np.int32).reshape(tile_h, tile_w)
         vals = q.astype(np.float64) * qstep

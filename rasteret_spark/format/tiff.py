@@ -77,6 +77,7 @@ TAG_TILE_BYTE_COUNTS = 325
 TAG_EXTRA_SAMPLES = 338
 TAG_SAMPLE_FORMAT = 339
 TAG_JPEG_TABLES = 347  # shared DQT/DHT for abbreviated JPEG tile streams
+TAG_LERC_PARAMETERS = 50674  # (lerc version, additional compression 0/1/2)
 TAG_MODEL_PIXEL_SCALE = 33550
 TAG_MODEL_TIEPOINT = 33922
 TAG_MODEL_TRANSFORM = 34264
@@ -110,6 +111,7 @@ TIFF_COMP_TO_ENGINE = {
     32773: codecs.COMP_PACKBITS,
     50000: codecs.COMP_ZSTD,      # GDAL zstd (format/zstd.py, from-scratch RFC 8878)
     7: codecs.COMP_JPEG,          # new-style JPEG (format/jpegcodec.py)
+    34887: codecs.COMP_LERC,      # Esri LERC2 (format/lerc.py, from-scratch)
 }
 
 # (SampleFormat, BitsPerSample) -> numpy dtype name
@@ -533,9 +535,8 @@ def to_engine_meta(m: TiffMeta) -> MiniRasterMeta:
     engine_comp = TIFF_COMP_TO_ENGINE.get(m.compression)
     if engine_comp is None:
         raise ValueError(
-            f"unsupported TIFF compression {m.compression} (LERC and exotic "
-            "codecs are out of scope; supported: none/LZW/deflate/packbits/"
-            "zstd/JPEG)"
+            f"unsupported TIFF compression {m.compression} (supported: "
+            "none/LZW/deflate/packbits/zstd/JPEG/LERC)"
         )
     if engine_comp == codecs.COMP_JPEG and m.dtype_name != "uint8":
         raise ValueError(
@@ -603,6 +604,20 @@ def decode_chunky_tile(raw: bytes, m: TiffMeta) -> np.ndarray:
                 f"JPEG tile decodes to {want} component(s); IFD says "
                 f"SamplesPerPixel={spp}"
             )
+        return out[: m.tile_h, : m.tile_w]
+    if engine_comp == codecs.COMP_LERC and spp > 1:
+        # GDAL encodes chunky LERC tiles with nDepth = SamplesPerPixel; the
+        # liblerc fast path decodes those (the pure decoder is nDepth=1)
+        from rasteret_spark.format import lerc as _lerc
+
+        bands, valid = _lerc.decode_fast(raw)
+        if bands.ndim != 4 or bands.shape[0] != 1 or bands.shape[3] != spp:
+            raise ValueError(
+                f"chunky LERC tile shape {bands.shape} does not match "
+                f"SamplesPerPixel={spp}"
+            )
+        out = bands[0]
+        out[~valid[0]] = 0
         return out[: m.tile_h, : m.tile_w]
     if spp == 1:
         return codecs.decode_tile(

@@ -30,7 +30,7 @@ _DTYPE_SF = {  # numpy kind -> TIFF SampleFormat
 }
 
 _COMP_IDS = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773, "jpeg": 7,
-             "zstd": 50000}
+             "zstd": 50000, "lerc": 34887}
 
 
 def _pred_bytes(tile: np.ndarray, predictor: int, order: str) -> bytes:
@@ -79,6 +79,12 @@ def _compress(raw: bytes, comp_id: int) -> bytes:
 
 
 def _tile_payload(tile: np.ndarray, comp_id: int, predictor: int, order: str) -> bytes:
+    if comp_id == 34887:  # LERC works on samples, not a predictor byte stream
+        from rasteret_spark.format import lerc
+
+        # the PURE encoder (see the zstd note above): deterministic bytes
+        # regardless of libLerc presence/version
+        return lerc.encode(tile)
     return _compress(_pred_bytes(tile, predictor, order), comp_id)
 
 
@@ -133,6 +139,16 @@ def write_tiff(
         if jpeg_tables_mode not in (0, 1):
             raise ValueError("jpeg_tables_mode must be 0 (self-contained "
                              "streams) or 1 (shared JPEGTables tag)")
+    if comp_id == 34887:  # Esri LERC2
+        if predictor != 1:
+            raise ValueError("LERC compression does not take a predictor")
+        if dt.itemsize == 2 and dt.kind == "f":
+            raise ValueError("LERC has no float16 sample type")
+        if interleaved:
+            raise ValueError(
+                "chunky LERC writes (nDepth>1) are not supported; write "
+                "planar bands (reads of GDAL chunky LERC go through libLerc)"
+            )
 
     def decimate(a: np.ndarray, f: int) -> np.ndarray:
         if interleaved:
@@ -332,6 +348,10 @@ def _ifd_segment(
 
         add(tf.TAG_JPEG_TABLES, 7, jpegcodec.encode_tables(
             jpeg_quality, color=interleaved and spp >= 3))
+    if comp_id == 34887:
+        # GDAL/libtiff convention: (lerc blob version, additional
+        # compression) — 0 = the tile bytes are bare Lerc2 blobs
+        add(tf.TAG_LERC_PARAMETERS, 4, [4, 0])
     add(tf.TAG_SAMPLES_PER_PIXEL, 3, [spp])
     add(tf.TAG_PLANAR_CONFIG, 3, [planar_cfg])
     if predictor != 1:

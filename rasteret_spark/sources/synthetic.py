@@ -610,12 +610,13 @@ def generator_fingerprint() -> str:
 
     import rasteret_spark.format.codecs as _codecs
     import rasteret_spark.format.jpegcodec as _jpeg
+    import rasteret_spark.format.lerc as _lerc
     import rasteret_spark.format.miniraster as _mr
     import rasteret_spark.format.tiffwrite as _tw
     import rasteret_spark.format.zstd as _zstd
     import rasteret_spark.sources.synthetic as _self
 
     src = "".join(
-        inspect.getsource(m) for m in (_self, _tw, _mr, _codecs, _jpeg, _zstd)
+        inspect.getsource(m) for m in (_self, _tw, _mr, _codecs, _jpeg, _zstd, _lerc)
     )
     return hashlib.md5(src.encode()).hexdigest()[:10]
