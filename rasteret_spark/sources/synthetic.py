@@ -431,10 +431,16 @@ _TIFF_MATRIX = [
     # predictor and stripped big-endian int16 (the reference fixture's shape)
     ("zstd", 2, "uint16", True, "<", False),
     ("zstd", 1, "int16", False, ">", False),
+    # Esri LERC2 (compression 34887, format/lerc.py): tiled uint16 (the
+    # common DEM/analytic shape) and stripped float32 (lossless byte-plane
+    # path); LERC takes no TIFF predictor
+    ("lerc", 1, "uint16", True, "<", False),
+    ("lerc", 1, "float32", False, "<", False),
 ]
 
 _TIFF_COMP_NAME = {"raw": "none", "deflate": "deflate", "lzw": "lzw",
-                   "packbits": "packbits", "jpeg": "jpeg", "zstd": "zstd"}
+                   "packbits": "packbits", "jpeg": "jpeg", "zstd": "zstd",
+                   "lerc": "lerc"}
 
 
 def make_tiff_image_row(i: int, seed: int = 42, dup_every: int = 17) -> dict:
