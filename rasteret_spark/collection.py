@@ -442,3 +442,15 @@ class Collection:
         from rasteret_spark.operators import assemble
 
         return assemble.chip_batches(self.chips(**chip_kwargs), batch_size=batch_size)
+
+    def to_torch_dataset(self, cache_dir: str, **chip_kwargs):
+        """Stage chips to ``cache_dir`` and return a map-style dataset a
+        real ``torch.utils.data.DataLoader`` consumes directly (the
+        map-style protocol is duck-typed: ``__len__`` + ``__getitem__``) —
+        the ``to_torchgeo_dataset`` analogue
+        (`src/rasteret/integrations/torchgeo.py:292-299`) without a torch
+        dependency.  Reopen later/in workers with
+        ``ChipDataset.from_cache(cache_dir)``."""
+        from rasteret_spark.compat.torchdata import ChipDataset
+
+        return ChipDataset.stage(self.chips(**chip_kwargs), cache_dir)

@@ -147,10 +147,15 @@ def chip_batches(stack_df, batch_size: int = 8):
 
 
 def to_xarray(tensor: np.ndarray, attrs: dict):
-    """Optional upgrade to a labeled xarray.DataArray (if xarray is
-    installed) with lon/lat coords and CF-ish attrs; raises ImportError
-    otherwise — the engine itself never depends on xarray."""
-    import xarray as xr  # gated import: not a container requirement
+    """Upgrade to a labeled DataArray with x/y coords and CF-ish attrs:
+    the real ``xarray.DataArray`` when xarray is installed, otherwise the
+    drop-in shim in ``rasteret_spark.compat.xarraylike`` (same core
+    surface: dims/coords/attrs/values, sel/isel, reductions, arithmetic)
+    — the engine itself never depends on xarray."""
+    try:
+        import xarray as xr  # gated import: not a container requirement
+    except ImportError:
+        from rasteret_spark.compat import xarraylike as xr
 
     lon, lat = pixel_coords(attrs)
     if tensor.ndim == 2:
