@@ -912,11 +912,10 @@ def decode_fast(buf: bytes):
     _ver, dt, n_depth, n_cols, n_rows, n_bands, _nvalid, _bsize, n_masks = (
         int(info[i]) for i in range(9)
     )
+    dtype = _DTYPES[dt]
     if n_depth != 1:
-        dtype = _DTYPES[dt]
         out = np.empty((n_bands, n_rows, n_cols, n_depth), dtype=dtype)
     else:
-        dtype = _DTYPES[dt]
         out = np.empty((n_bands, n_rows, n_cols), dtype=dtype)
     n_masks = max(n_masks, 1)
     mask = np.empty((n_masks, n_rows, n_cols), dtype=np.uint8)
@@ -929,8 +928,6 @@ def decode_fast(buf: bytes):
     valid = mask.astype(bool)
     if valid.shape[0] != n_bands:
         valid = np.broadcast_to(valid[:1], (n_bands, n_rows, n_cols)).copy()
-    if n_depth != 1:
-        return out, valid
     return out, valid
 
 

@@ -20,7 +20,7 @@ def _img(dtype, h=130, w=97, lo=0, hi=200):
     return RNG.integers(lo, hi, size=(h, w)).astype(dtype)
 
 
-@pytest.mark.parametrize("comp", ["raw", "deflate", "lzma", "bz2", "packbits", "lzw"])
+@pytest.mark.parametrize("comp", ["raw", "deflate", "lzma", "bz2", "packbits", "lzw", "lerc"])
 @pytest.mark.parametrize("dtype", ["uint8", "uint16", "int32"])
 def test_lossless_roundtrip_int(comp, dtype):
     arr = _img(dtype)
