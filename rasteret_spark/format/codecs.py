@@ -323,7 +323,9 @@ def encode_tile(
 
         if predictor != PRED_NONE:
             raise ValueError("LERC tiles carry no TIFF predictor")
-        return _lerc.encode(tile)
+        # qstep is the quantization step, i.e. 2*maxZError (GDAL's
+        # MAX_Z_ERROR); the default 1.0 means lossless
+        return _lerc.encode(tile, max_z_error=qstep / 2.0 if qstep != 1.0 else 0.0)
     raw = apply_predictor(tile, predictor)
     if compression == COMP_RAW:
         return raw

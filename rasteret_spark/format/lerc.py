@@ -752,11 +752,14 @@ def _stuff_lsb(vals: np.ndarray, nbits: int) -> bytes:
     return big.to_bytes((n * nbits + 7) // 8, "little")
 
 
-def _encode_band(arr: np.ndarray, valid: np.ndarray, mb: int) -> tuple[bytes, bool]:
+def _encode_band(
+    arr: np.ndarray, valid: np.ndarray, mb: int, max_z_error: float = 0.0
+) -> tuple[bytes, float]:
     """Data section for one band: per-depth min/max + micro-block tiles
     (constant / bit-stuffed / raw), or one-sweep when tiling can't win.
-    Returns (bytes, quantized) — quantized means the header must declare
-    maxZError 0.5 (integer-step tiles), like liblerc does."""
+    Returns (bytes, declared_max_z) — the maxZError the header must carry
+    (0.5 for integer-step tiles, like liblerc; the caller's value for
+    lossy quantization; 0 for one-sweep raw floats)."""
     dtype = arr.dtype
     rows, cols = arr.shape
     vals = arr[valid]
@@ -764,18 +767,42 @@ def _encode_band(arr: np.ndarray, valid: np.ndarray, mb: int) -> tuple[bytes, bo
     out = bytearray()
     out += np.asarray([vmin], dtype=dtype.newbyteorder("<")).tobytes()
     out += np.asarray([vmax], dtype=dtype.newbyteorder("<")).tobytes()
+    lossless_default = 0.5 if dtype.kind in "iu" else 0.0
     if vmin == vmax:
-        return bytes(out), dtype.kind in "iu"
+        return bytes(out), lossless_default
+
+    if max_z_error > 0:
+        # lossy quantized tiles: step = 2*maxZError, like liblerc.  Fall
+        # back to lossless if the quantized range would blow the bit budget.
+        step = 2.0 * float(max_z_error)
+        if (float(vmax) - float(vmin)) / step < 2**28:
+            out += b"\x00"  # not one-sweep
+            if dtype.itemsize == 1 and max_z_error <= 0.5:
+                # readers look for the Huffman-mode byte only when the
+                # declared maxZError keeps 8-bit data in the lossless regime
+                out += b"\x00"
+            out += _encode_tiles(arr, valid, mb, dtype, step)
+            return bytes(out), float(max_z_error)
 
     integral = dtype.kind in "iu" or bool(np.all(vals == np.floor(vals)))
     if not integral or (dtype.kind == "f" and (vmax - vmin) >= 2**31):
         out += b"\x01"  # one-sweep raw
         out += np.ascontiguousarray(vals, dtype=dtype.newbyteorder("<")).tobytes()
-        return bytes(out), dtype.kind in "iu"
+        return bytes(out), lossless_default
 
     out += b"\x00"  # not one-sweep
     if dtype.itemsize == 1:
         out += b"\x00"  # image encode mode: tiling
+    out += _encode_tiles(arr, valid, mb, dtype, 1.0)
+    return bytes(out), 0.5
+
+
+def _encode_tiles(
+    arr: np.ndarray, valid: np.ndarray, mb: int, dtype: np.dtype, step: float
+) -> bytes:
+    """Micro-block tile stream: per block constant / bit-stuffed quantized
+    diffs (``q = round((v - blockmin)/step)``) / raw fallback."""
+    rows, cols = arr.shape
     body = bytearray()
     for r0 in range(0, rows, mb):
         r1 = min(r0 + mb, rows)
@@ -790,13 +817,17 @@ def _encode_band(arr: np.ndarray, valid: np.ndarray, mb: int) -> tuple[bytes, bo
             test_code = (cb & 14) << 2
             bvals = arr[r0:r1, c0:c1][bv]
             bmin, bmax = bvals.min(), bvals.max()
-            if bmin == bmax:
-                body.append(3 | test_code)  # constant block, full-width offset
+            q = None
+            if bmin != bmax:
+                q = np.round((bvals.astype(np.float64) - float(bmin)) / step)
+            if q is None or q.max() == 0:
+                # constant block (for lossy, every value within maxZError
+                # of the block min — reconstructing bmin stays in tolerance)
+                body.append(3 | test_code)
                 body += np.asarray([bmin], dtype=dtype.newbyteorder("<")).tobytes()
                 continue
-            diffs = (bvals.astype(np.float64) - float(bmin)).astype(np.uint32)
-            nbits = int(diffs.max()).bit_length()
-            if nbits >= dtype.itemsize * 8:
+            nbits = int(q.max()).bit_length()
+            if nbits >= min(dtype.itemsize * 8, 31):
                 body.append(0 | test_code)  # raw block
                 body += np.ascontiguousarray(bvals, dtype=dtype.newbyteorder("<")).tobytes()
                 continue
@@ -804,15 +835,18 @@ def _encode_band(arr: np.ndarray, valid: np.ndarray, mb: int) -> tuple[bytes, bo
             body += np.asarray([bmin], dtype=dtype.newbyteorder("<")).tobytes()
             body.append((2 << 6) | nbits)  # 1-byte count
             body.append(n_valid)
-            body += _stuff_lsb(diffs, nbits)
-    out += body
-    return bytes(out), True
+            body += _stuff_lsb(q.astype(np.uint32), nbits)
+    return bytes(body)
 
 
-def encode(arr: np.ndarray, valid: np.ndarray | None = None) -> bytes:
-    """Encode (h, w) or (bands, h, w) losslessly as version-6 LERC2 blobs
-    (one blob per band, concatenated — liblerc's own multi-band layout).
-    Deterministic: same input -> same bytes."""
+def encode(
+    arr: np.ndarray, valid: np.ndarray | None = None, max_z_error: float = 0.0
+) -> bytes:
+    """Encode (h, w) or (bands, h, w) as version-6 LERC2 blobs (one blob
+    per band, concatenated — liblerc's own multi-band layout).  Lossless
+    by default; ``max_z_error > 0`` quantizes tiles with step
+    ``2*max_z_error`` (GDAL's MAX_Z_ERROR semantics).  Deterministic:
+    same input -> same bytes."""
     a = np.asarray(arr)
     if a.ndim == 2:
         a = a[None]
@@ -839,9 +873,9 @@ def encode(arr: np.ndarray, valid: np.ndarray | None = None) -> bytes:
             rle = _rle_mask(valid)
             mask_sec = struct.pack("<i", len(rle)) + rle
         if num_valid == 0:
-            data_sec, quantized = b"", a.dtype.kind in "iu"
+            data_sec, declared_z = b"", (0.5 if a.dtype.kind in "iu" else 0.0)
         else:
-            data_sec, quantized = _encode_band(band, valid, mb)
+            data_sec, declared_z = _encode_band(band, valid, mb, max_z_error)
         # header: sizes need blob_size, so assemble then patch; every blob
         # counts the blobs still to come (liblerc counts down per band)
         n_more = n_bands - 1 - b
@@ -851,7 +885,7 @@ def encode(arr: np.ndarray, valid: np.ndarray | None = None) -> bytes:
         head += b"\x00\x00\x00\x00"  # checksum placeholder
         head += struct.pack("<7i", rows, cols, 1, num_valid, mb, 0, _DT_ID[a.dtype])
         head += struct.pack("<2i", n_more, 0)
-        head += struct.pack("<3d", 0.5 if quantized else 0.0, z_min, z_max)
+        head += struct.pack("<3d", declared_z, z_min, z_max)
         head += b"\x00" * 16
         blob = bytearray(head + mask_sec + data_sec)
         struct.pack_into("<i", blob, 34, len(blob))  # blobSize
@@ -936,9 +970,7 @@ def encode_fast(arr: np.ndarray, valid: np.ndarray | None = None, max_z_error: f
     deterministic encoder for lossless requests."""
     lib = _liblerc()
     if lib is None:
-        if max_z_error > 0:
-            raise LercError("lossy LERC encode requires libLerc")
-        return encode(arr, valid)
+        return encode(arr, valid, max_z_error)
     a = np.asarray(arr)
     if a.ndim == 2:
         a = a[None]

@@ -263,6 +263,45 @@ def test_encode_multiband_through_liblerc():
     assert np.array_equal(got, arr)
 
 
+def test_encode_lossy_within_tolerance():
+    rng = np.random.RandomState(5)
+    for dt, maxz in ((np.float32, 0.5), (np.float32, 0.01), (np.float64, 0.25),
+                     (np.int16, 3.0), (np.uint8, 2.0), (np.int32, 10.0)):
+        dt = np.dtype(dt)
+        arr = rng.uniform(-100, 100, (23, 31)).astype(dt)
+        for mask in (None, rng.rand(23, 31) > 0.3):
+            blob = lerc.encode(arr, mask, max_z_error=maxz)
+            assert blob == lerc.encode(arr.copy(), mask, max_z_error=maxz)
+            got, _ = lerc.decode(blob)
+            vm = mask if mask is not None else np.ones((23, 31), bool)
+            err = np.abs(got[0].astype(np.float64) - arr.astype(np.float64))[vm]
+            assert float(err.max()) <= maxz + 1e-9
+            # lossy blobs are smaller than lossless ones
+            assert len(blob) < len(lerc.encode(arr, mask)) or dt.kind in "iu"
+
+
+@needs_lib
+def test_encode_lossy_through_liblerc():
+    rng = np.random.RandomState(6)
+    arr = rng.uniform(-100, 100, (23, 31)).astype(np.float32)
+    blob = lerc.encode(arr, max_z_error=0.1)
+    ref, _ = _lib_decode(blob, np.float32, 1, 23, 31)
+    got, _ = lerc.decode(blob)
+    assert np.array_equal(ref[0], got[0])  # identical reconstructions
+    assert float(np.abs(ref[0] - arr).max()) <= 0.1 + 1e-9
+
+
+def test_encode_tile_qstep_maps_to_max_z_error():
+    rng = np.random.RandomState(7)
+    tile = rng.uniform(0, 50, (16, 16)).astype(np.float32)
+    lossy = codecs.encode_tile(tile, codecs.COMP_LERC, qstep=0.2)  # maxz 0.1
+    out = codecs.decode_tile(lossy, codecs.COMP_LERC, 1, np.dtype(np.float32), 16, 16)
+    assert float(np.abs(out - tile).max()) <= 0.1 + 1e-9
+    exact = codecs.encode_tile(tile, codecs.COMP_LERC)  # qstep 1.0 = lossless
+    out2 = codecs.decode_tile(exact, codecs.COMP_LERC, 1, np.dtype(np.float32), 16, 16)
+    assert np.array_equal(out2, tile)
+
+
 # --- TIFF container integration ------------------------------------------------
 def test_lerc_tiff_roundtrip_all_dtypes():
     rng = np.random.RandomState(42)
