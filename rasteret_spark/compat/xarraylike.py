@@ -101,16 +101,23 @@ class DataArray:
                 raise KeyError(f"dim {d!r} has no coordinate labels")
             c = self.coords[d]
             if isinstance(want, slice):
-                lo, hi = want.start, want.stop
+                # xarray slice semantics follow the coordinate's own order:
+                # start is the first label kept, stop the last — for a
+                # DESCENDING coord (y usually descends) start is the upper
+                # bound and stop the lower, including one-sided slices
+                start, stop = want.start, want.stop
+                descending = len(c) > 1 and c[0] > c[-1]
                 mask = np.ones(len(c), bool)
-                # accept coords running in either direction (y usually
-                # descends)
-                if lo is not None and hi is not None and c[0] > c[-1]:
-                    lo, hi = hi, lo
-                if lo is not None:
-                    mask &= c >= lo
-                if hi is not None:
-                    mask &= c <= hi
+                if descending:
+                    if start is not None:
+                        mask &= c <= start
+                    if stop is not None:
+                        mask &= c >= stop
+                else:
+                    if start is not None:
+                        mask &= c >= start
+                    if stop is not None:
+                        mask &= c <= stop
                 (idx,) = np.nonzero(mask)
                 if len(idx) == 0:
                     pos[d] = slice(0, 0)
@@ -118,9 +125,18 @@ class DataArray:
                     pos[d] = slice(int(idx[0]), int(idx[-1]) + 1)
                 continue
             if method == "nearest":
-                if np.asarray(want).dtype.kind in "mM" or c.dtype.kind in "mM":
-                    diffs = np.abs(c.astype("datetime64[ns]").astype(np.int64)
-                                   - np.datetime64(want, "ns").astype(np.int64))
+                want_arr = np.asarray(want)
+                datelike = (
+                    want_arr.dtype.kind in "mM"
+                    or c.dtype.kind in "mM"
+                    or hasattr(want, "isoformat")
+                    or (c.dtype.kind == "O" and len(c) and hasattr(c[0], "isoformat"))
+                )
+                if datelike:
+                    diffs = np.abs(
+                        np.array(c, dtype="datetime64[ns]").astype(np.int64)
+                        - np.datetime64(want).astype("datetime64[ns]").astype(np.int64)
+                    )
                 else:
                     diffs = np.abs(c.astype(np.float64) - float(want))
                 pos[d] = int(np.argmin(diffs))

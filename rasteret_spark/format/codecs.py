@@ -50,7 +50,14 @@ COMP_NAMES = {
     "lerc": COMP_LERC,
 }
 COMP_CODES = {v: k for k, v in COMP_NAMES.items()}
-LOSSY_COMPS = {COMP_QLOSSY, COMP_JPEG}
+LOSSY_COMPS = {COMP_QLOSSY, COMP_JPEG}  # unconditionally lossy codecs
+
+
+def is_lossy(compression: int, qstep: float = 1.0) -> bool:
+    """True when a tile encoded with (compression, qstep) loses precision:
+    qlossy/JPEG always; LERC exactly when qstep != 1.0 (qstep maps to
+    MAX_Z_ERROR = qstep/2)."""
+    return compression in LOSSY_COMPS or (compression == COMP_LERC and qstep != 1.0)
 
 
 def _jpeg_quality(qstep: float) -> int:
@@ -377,17 +384,7 @@ def decode_tile(
     if compression == COMP_LERC:
         from rasteret_spark.format import lerc as _lerc
 
-        # GDAL's TIFF LERC codec can wrap the blob in deflate or zstd
-        # ("additional compression", LERC_PARAMETERS[1]); sniff instead of
-        # plumbing the tag through — the three framings are unambiguous
-        raw = payload
-        if raw[:6] != _lerc.FILE_KEY:
-            if raw[:4] == b"\x28\xb5\x2f\xfd":
-                from rasteret_spark.format import zstd as _zstdmod
-
-                raw = _zstdmod.decompress_fast(raw, expected=4 * expected)
-            else:
-                raw = zlib.decompress(raw)
+        raw = _lerc.unwrap_additional_compression(payload, expected)
         bands, valid = _lerc.decode_fast(raw)
         if bands.ndim == 4:  # nDepth>1 (GDAL chunky) has no planar meaning
             raise ValueError(

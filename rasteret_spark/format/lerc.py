@@ -327,12 +327,18 @@ def _decode_tiles(
             c1 = min(c0 + mb, cols)
             block_valid = valid2d[r0:r1, c0:c1]
             n_valid = int(block_valid.sum())
-            if n_valid == 0:
-                continue
             compr = buf[pos]
             pos += 1
             low2 = compr & 3
             code = compr >> 6
+            if n_valid == 0:
+                # fully-invalid block: liblerc still writes its comprFlag
+                # byte (low2 == 2, test code in bits 2-5), nothing follows
+                if low2 != 2:
+                    raise LercError(
+                        f"empty micro-block carries comprFlag {compr:#x}"
+                    )
+                continue
             if low2 == 2:  # all-zero diff block: every valid pixel = 0 offsetless
                 vals = np.zeros(n_valid, dtype=np.float64)
             elif low2 == 3:  # constant block
@@ -405,7 +411,7 @@ def _decode_lossless_float(
     split into little-endian byte planes; each plane section is constant
     (1), raw (2), byte-RLE (3) or Huffman-coded (0).  Transform 1 stores,
     per image row, the raw bit pattern at the row start and then
-    ``prev_bits - cur_bits`` (mod 2^width) per pixel, split into planes
+    ``cur_bits - prev_bits`` (mod 2^width) per pixel, split into planes
     AFTER the scalar delta."""
     if buf[pos] != 3:  # constant: 4 byte-planes per 32-bit word, minus one
         raise LercError(f"unexpected plane-group byte {buf[pos]}")
@@ -672,6 +678,23 @@ def _decode_band(buf: bytes, pos: int, h: _Header, valid: np.ndarray) -> tuple[n
     return out, pos
 
 
+def unwrap_additional_compression(payload: bytes, expected_raw: int) -> bytes:
+    """GDAL's TIFF LERC codec can wrap the whole Lerc2 blob in deflate or
+    zstd (LERC_PARAMETERS[1] = 1/2); the three framings are unambiguous,
+    so sniff instead of plumbing the tag.  ``expected_raw`` bounds the
+    zstd fast-path allocation (decoded raster bytes; the blob is smaller
+    than ~4x that)."""
+    if payload[:6] == FILE_KEY:
+        return payload
+    if payload[:4] == b"\x28\xb5\x2f\xfd":  # zstd frame magic
+        from rasteret_spark.format import zstd as _zstdmod
+
+        return _zstdmod.decompress_fast(payload, expected=4 * expected_raw)
+    import zlib
+
+    return zlib.decompress(payload)
+
+
 def decode_blob(buf: bytes, base: int = 0):
     """Decode ONE Lerc2 band blob starting at ``base``.
 
@@ -810,11 +833,13 @@ def _encode_tiles(
             c1 = min(c0 + mb, cols)
             bv = valid[r0:r1, c0:c1]
             n_valid = int(bv.sum())
-            if n_valid == 0:
-                continue
             # liblerc's reader verifies an integrity code in comprFlag
             # bits 2-5: the column-block index with its LSB dropped
             test_code = (cb & 14) << 2
+            if n_valid == 0:
+                # fully-invalid block still carries its comprFlag byte
+                body.append(2 | test_code)
+                continue
             bvals = arr[r0:r1, c0:c1][bv]
             bmin, bmax = bvals.min(), bvals.max()
             q = None
@@ -860,6 +885,11 @@ def encode(
     valid = np.asarray(valid, dtype=bool).reshape(rows, cols)
     num_valid = int(valid.sum())
     mb = 8
+    if num_valid == rows * cols:
+        mask_sec = b"\x00\x00\x00\x00"
+    else:  # identical for every band: compute the RLE once
+        rle = _rle_mask(valid)
+        mask_sec = struct.pack("<i", len(rle)) + rle
     blobs = []
     for b in range(n_bands):
         band = a[b]
@@ -868,10 +898,6 @@ def encode(
             z_min, z_max = float(vals.min()), float(vals.max())
         else:
             z_min = z_max = 0.0
-        mask_sec = b"\x00\x00\x00\x00" if num_valid == rows * cols else None
-        if mask_sec is None:
-            rle = _rle_mask(valid)
-            mask_sec = struct.pack("<i", len(rle)) + rle
         if num_valid == 0:
             data_sec, declared_z = b"", (0.5 if a.dtype.kind in "iu" else 0.0)
         else:

@@ -607,9 +607,14 @@ def decode_chunky_tile(raw: bytes, m: TiffMeta) -> np.ndarray:
         return out[: m.tile_h, : m.tile_w]
     if engine_comp == codecs.COMP_LERC and spp > 1:
         # GDAL encodes chunky LERC tiles with nDepth = SamplesPerPixel; the
-        # liblerc fast path decodes those (the pure decoder is nDepth=1)
+        # liblerc fast path decodes those (the pure decoder is nDepth=1).
+        # LERC_DEFLATE/LERC_ZSTD wrapping applies here exactly as on the
+        # planar path.
         from rasteret_spark.format import lerc as _lerc
 
+        raw = _lerc.unwrap_additional_compression(
+            raw, m.tile_h * m.tile_w * spp * m.dtype.itemsize
+        )
         bands, valid = _lerc.decode_fast(raw)
         if bands.ndim != 4 or bands.shape[0] != 1 or bands.shape[3] != spp:
             raise ValueError(

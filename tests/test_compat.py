@@ -59,6 +59,29 @@ def test_sel_exact_nearest_and_range():
     assert np.array_equal(near.values, da.values[:, :, 1])
 
 
+def test_sel_one_sided_slices_follow_coord_order():
+    """Real xarray keeps slice semantics in COORD order: on a descending
+    coord, slice(None, 0) keeps the leading (larger) values."""
+    da = DataArray(np.arange(4.0), ("y",), coords={"y": np.array([90.0, 60.0, 0.0, -90.0])})
+    assert np.array_equal(da.sel(y=slice(None, 0)).coords["y"], [90.0, 60.0, 0.0])
+    assert np.array_equal(da.sel(y=slice(60, None)).coords["y"], [60.0, 0.0, -90.0])
+    asc = DataArray(np.arange(4.0), ("x",), coords={"x": np.array([0.0, 1.0, 2.0, 3.0])})
+    assert np.array_equal(asc.sel(x=slice(None, 1.5)).coords["x"], [0.0, 1.0])
+    assert np.array_equal(asc.sel(x=slice(2, None)).coords["x"], [2.0, 3.0])
+
+
+def test_sel_nearest_on_datetime_object_coords():
+    import datetime as dtm
+
+    times = [dtm.datetime(2024, 1, 1), dtm.datetime(2024, 2, 1), dtm.datetime(2024, 3, 1)]
+    da = DataArray(np.array([1.0, 2.0, 3.0]), ("time",),
+                   coords={"time": np.array(times, dtype=object)})
+    got = da.sel(time=dtm.datetime(2024, 2, 10), method="nearest")
+    assert float(got) == 2.0
+    got2 = da.sel(time=np.datetime64("2024-02-25"), method="nearest")
+    assert float(got2) == 3.0
+
+
 def test_reductions_and_arithmetic():
     da = _da()
     m = da.mean(dim="time")

@@ -149,6 +149,46 @@ def test_decode_older_versions(ver):
 
 
 @needs_lib
+def test_fully_invalid_micro_blocks_both_directions():
+    """liblerc writes a comprFlag byte (low2 == 2 + test code) even for
+    blocks with no valid pixel; skipping it desyncs the tile stream into
+    silent corruption.  Routine in real COGs at scene borders."""
+    a = np.arange(8 * 24, dtype=np.uint16).reshape(8, 24)
+    m = np.ones((8, 24), bool)
+    m[:, 8:16] = False  # middle 8x8 block fully invalid
+    # decode liblerc's blob
+    blob = _lib_encode(a, valid=m)
+    got, gotvalid = lerc.decode(blob)
+    assert np.array_equal(gotvalid[0], m)
+    assert np.array_equal(got[0], np.where(m, a, 0))
+    # liblerc decodes OUR blob
+    mine = lerc.encode(a, m)
+    ref, refmask = _lib_decode(mine, np.uint16, 1, 8, 24)
+    assert np.array_equal(refmask, m)
+    assert np.array_equal(np.where(m, ref[0], 0), np.where(m, a, 0))
+    # deeper: random sparse masks with whole blocks knocked out
+    rng = np.random.RandomState(11)
+    for _ in range(8):
+        h, w = rng.randint(8, 40), rng.randint(8, 40)
+        arr = rng.randint(0, 500, (h, w)).astype(np.int16)
+        mask = rng.rand(h, w) > 0.2
+        for br in range(0, h, 8):
+            for bc in range(0, w, 8):
+                if rng.rand() < 0.4:
+                    mask[br:br + 8, bc:bc + 8] = False
+        if not mask.any():
+            mask[0, 0] = True
+        blob = _lib_encode(arr, valid=mask)
+        got, gv = lerc.decode(blob)
+        assert np.array_equal(gv[0], mask)
+        assert np.array_equal(got[0], np.where(mask, arr, 0))
+        mine = lerc.encode(arr, mask)
+        ref, rm = _lib_decode(mine, np.int16, 1, h, w)
+        assert np.array_equal(rm, mask)
+        assert np.array_equal(np.where(mask, ref[0], 0), np.where(mask, arr, 0))
+
+
+@needs_lib
 def test_decode_lossy_quantization():
     rng = np.random.RandomState(9)
     arr = rng.uniform(-100, 100, (16, 16)).astype(np.float32)
