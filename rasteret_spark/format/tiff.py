@@ -112,6 +112,7 @@ TIFF_COMP_TO_ENGINE = {
     50000: codecs.COMP_ZSTD,      # GDAL zstd (format/zstd.py, from-scratch RFC 8878)
     7: codecs.COMP_JPEG,          # new-style JPEG (format/jpegcodec.py)
     34887: codecs.COMP_LERC,      # Esri LERC2 (format/lerc.py, from-scratch)
+    34925: codecs.COMP_LZMA,      # LZMA2 (GDAL extension; stdlib lzma)
 }
 
 # (SampleFormat, BitsPerSample) -> numpy dtype name

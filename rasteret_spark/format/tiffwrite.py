@@ -30,7 +30,7 @@ _DTYPE_SF = {  # numpy kind -> TIFF SampleFormat
 }
 
 _COMP_IDS = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773, "jpeg": 7,
-             "zstd": 50000, "lerc": 34887}
+             "zstd": 50000, "lerc": 34887, "lzma": 34925}
 
 
 def _pred_bytes(tile: np.ndarray, predictor: int, order: str) -> bytes:
@@ -65,6 +65,10 @@ def _compress(raw: bytes, comp_id: int) -> bytes:
         return zlib.compress(raw, 6)
     if comp_id == 32773:
         return codecs.packbits_encode(raw)
+    if comp_id == 34925:  # LZMA2 (GDAL extension)
+        import lzma
+
+        return lzma.compress(raw, preset=1)
     if comp_id == 50000:  # GDAL zstd (format/zstd.py, RFC 8878)
         from rasteret_spark.format import zstd
 

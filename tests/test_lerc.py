@@ -404,6 +404,26 @@ def test_lerc_write_guards():
                              compression="lerc", interleaved=True)
 
 
+def test_lzma_tiff_roundtrip():
+    """TIFF compression 34925 (LZMA, the one id from the reference's codec
+    dispatch that was still unmapped — `src/rasteret/fetch/cog.py:859`)."""
+    rng = np.random.RandomState(1)
+    arr = rng.randint(0, 1000, (21, 37)).astype(np.uint16)
+    blob = tiffwrite.write_tiff(arr, tile=(16, 16), compression="lzma", predictor=2)
+    m = tiff.parse_tiff_bytes(blob)
+    assert m.compression == 34925
+    em = tiff.to_engine_meta(m)
+    assert em.compression == codecs.COMP_LZMA
+    tiles_x = (37 + 15) // 16
+    out = np.zeros((21, 37), np.uint16)
+    for i, (off, cnt) in enumerate(zip(m.tile_offsets, m.tile_byte_counts)):
+        t = codecs.decode_tile(blob[off:off + cnt], em.compression,
+                               em.predictor, np.dtype(np.uint16), 16, 16)
+        y0, x0 = (i // tiles_x) * 16, (i % tiles_x) * 16
+        out[y0:y0 + 16, x0:x0 + 16] = t[: min(16, 21 - y0), : min(16, 37 - x0)]
+    assert np.array_equal(out, arr)
+
+
 def test_lerc_parameters_tag_written():
     blob = tiffwrite.write_tiff(np.zeros((8, 8), np.uint8), compression="lerc")
     # tag 50674, LONG x2, values (4, 0)
