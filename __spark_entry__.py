@@ -573,6 +573,68 @@ def _ensure_images_meta_parquet(n: int = 120, seed: int = 42) -> str:
     return path
 
 
+def _ensure_truth_parquet(name: str, builder) -> str:
+    """Materialize a generator-truth result frame (see sources/truth.py) as
+    a deterministic parquet for the DuckDB side of a pixel-valued oracle.
+    Written idempotently from BOTH the query side and oracle_sql().  The
+    cache key hashes the truth module on top of the encode-path fingerprint,
+    so an edit to either regenerates.  Float columns write NaN as NULL to
+    match Spark's nullable doubles."""
+    import hashlib
+    import inspect
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rasteret_spark.sources import truth as truth_mod
+
+    tkey = hashlib.md5(inspect.getsource(truth_mod).encode()).hexdigest()[:8]
+    path = (
+        f"/tmp/rasteret_spark_oracle/{name}_{_gen_fingerprint()}_{tkey}.parquet"
+    )
+    if not os.path.exists(path):
+        pdf = builder()
+        cols = []
+        fields = []
+        for c in pdf.columns:
+            s = pdf[c]
+            if s.dtype.kind == "f":
+                arr = pa.array(
+                    [None if pd.isna(x) else float(x) for x in s],
+                    type=pa.float64(),
+                )
+            else:
+                arr = pa.Array.from_pandas(s)
+            cols.append(arr)
+            fields.append(pa.field(c, arr.type))
+        tbl = pa.Table.from_arrays(cols, schema=pa.schema(fields))
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def _ensure_zonal_truth() -> str:
+    def build():
+        from rasteret_spark.sources.truth import zonal_truth_pdf
+
+        return zonal_truth_pdf(120, 40)
+
+    return _ensure_truth_parquet("zonal_truth_120_40", build)
+
+
+def _ensure_psnr_truth() -> str:
+    def build():
+        from rasteret_spark.sources.truth import psnr_truth_pdf
+
+        return psnr_truth_pdf(120)
+
+    return _ensure_truth_parquet("psnr_truth_120", build)
+
+
 def q40_image_enrich(spark, sf_dir):
     from rasteret_spark.operators.enrich import enrich_headers
 
@@ -588,6 +650,7 @@ def q41_image_zonal(spark, sf_dir):
     from rasteret_spark.operators import decode, spatial_join as sj
     from rasteret_spark.sources import synthetic as syn
 
+    _ensure_zonal_truth()  # DuckDB oracle side (pre-encode pixel truth)
     images = _images_df(spark)
     img_light = images.select(
         "image_id",
@@ -635,6 +698,7 @@ def q43_image_dedup_phash(spark, sf_dir):
 def q44_image_psnr(spark, sf_dir):
     from rasteret_spark.operators.decode import psnr_check
 
+    _ensure_psnr_truth()  # DuckDB oracle side (pre-encode pixel truth)
     return psnr_check(_images_df(spark).select("image_id", "bytes", "fmt"))
 
 
@@ -1289,6 +1353,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(image_id) AS image_id, phash
             FROM read_parquet('{meta_pq}')
             GROUP BY phash
+        """,
+        # pixel-valued oracles: the DuckDB side reads PRE-ENCODE truth
+        # (sources/truth.py — the array the generator drew + numpy
+        # reductions, no codec/container/Reader anywhere), the Spark side
+        # parses headers, range-reads tiles, decodes and masks distributed —
+        # a bit-exact diff across the entire format + execution stack
+        "q41_image_zonal": f"""
+            SELECT image_id, aoi_id, band, caption,
+                   win_col, win_row, win_w, win_h,
+                   px_count, valid_count,
+                   v_sum, v_mean, v_min, v_max, status
+            FROM read_parquet('{_ensure_zonal_truth()}')
+        """,
+        "q44_image_psnr": f"""
+            SELECT image_id, fmt, exact, psnr_db, lossless
+            FROM read_parquet('{_ensure_psnr_truth()}')
         """,
         "q01_pricing_summary": """
             -- outer CASTs: DuckDB SUM(BIGINT) yields HUGEINT which pandas

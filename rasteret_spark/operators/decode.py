@@ -459,9 +459,11 @@ def zonal_oracle_row(image_row: dict, aoi_row: dict, band: int = 0) -> dict:
 
 
 def psnr_check(df: DataFrame) -> DataFrame:
-    """Per-image decoded-pixel fidelity vs the deterministic regenerated
-    original — drives the PSNR>=40dB gate for lossy formats.  Input columns:
-    image_id, bytes, fmt + a regenerate key (image index from image_id)."""
+    """Per-image decoded-pixel fidelity vs the PRE-ENCODE original (the
+    array the generator drew, regenerated without any codec in the loop) —
+    drives the PSNR>=40dB gate for lossy formats and the bit-exact gate for
+    lossless ones.  Input columns: image_id, bytes, fmt + a regenerate key
+    (image index from image_id)."""
     from rasteret_spark.format import codecs
     from rasteret_spark.sources import synthetic as syn
 
@@ -470,9 +472,10 @@ def psnr_check(df: DataFrame) -> DataFrame:
             out = []
             for image_id, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
                 arr = mr.decode_full(bytes(blob))
+                if arr.ndim == 2:
+                    arr = arr[None]
                 i = int(image_id.split("-")[1])
-                ref_row = syn.make_image_row(i)
-                ref = mr.decode_full(ref_row["bytes"])
+                ref = syn.make_image_truth(i)["arr"]
                 lossless_ref = fmt not in ("qlossy",)
                 p = codecs.psnr(ref.astype(np.float64), arr.astype(np.float64))
                 out.append(

@@ -126,8 +126,14 @@ def phash64(arr: np.ndarray) -> int:
     return v - (1 << 63) if v >= (1 << 63) else v
 
 
-def make_image_row(i: int, seed: int = 42, dup_every: int = 17) -> dict:
-    """One deterministic row of the images table."""
+def make_image_truth(i: int, seed: int = 42, dup_every: int = 17) -> dict:
+    """Everything row ``i`` is made OF, before any codec touches it: the
+    drawn pixel array, the expected post-decode array (qlossy rows
+    quantize; all other matrix formats are lossless), and the full geo
+    sidecar.  Pure generator math — no encode, no container, no decode —
+    so it can serve as the independent truth side of driver oracles for
+    pixel-valued queries (the comparison then crosses the whole
+    encode/parse/decode stack instead of reusing any of it)."""
     # duplicates: every dup_every-th row replays row i - (i % dup_every)
     src_i = i - (i % dup_every) if (i % dup_every) == dup_every - 1 and i >= dup_every else i
     rng = _rng(seed, src_i)
@@ -167,6 +173,42 @@ def make_image_row(i: int, seed: int = 42, dup_every: int = 17) -> dict:
     transform = (sx, 0.0, x0, 0.0, sy, y0)
 
     qstep = 2.0 if np.dtype(dtype).kind in "ui" else 0.05
+    if fmt == "qlossy":
+        # mirror of codecs.encode_tile/decode_tile quantization (value-level,
+        # tile-independent): q = round(v/qstep); back = q*qstep, ints clipped
+        vals = np.round(arr.astype(np.float64) / qstep) * qstep
+        if np.dtype(dtype).kind in "ui":
+            info = np.iinfo(dtype)
+            vals = np.clip(np.round(vals), info.min, info.max)
+        expected = vals.astype(dtype)
+    else:
+        expected = arr
+    return {
+        "src_i": src_i,
+        "fmt": fmt,
+        "predictor": predictor,
+        "dtype": dtype,
+        "w": w,
+        "h": h,
+        "n_bands": n_bands,
+        "arr": arr,
+        "expected": expected,
+        "nodata": nodata,
+        "epsg": epsg,
+        "transform": transform,
+        "qstep": qstep,
+    }
+
+
+def make_image_row(i: int, seed: int = 42, dup_every: int = 17) -> dict:
+    """One deterministic row of the images table."""
+    t = make_image_truth(i, seed, dup_every)
+    src_i = t["src_i"]
+    arr, w, h = t["arr"], t["w"], t["h"]
+    fmt, predictor, dtype = t["fmt"], t["predictor"], t["dtype"]
+    nodata, epsg, transform = t["nodata"], t["epsg"], t["transform"]
+    sx, _, x0, _, sy, y0 = transform
+    n_bands, qstep = t["n_bands"], t["qstep"]
     blob = mr.encode_image(
         arr,
         tile_w=64,

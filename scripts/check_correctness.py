@@ -51,7 +51,8 @@ def compare(got: pd.DataFrame, want: pd.DataFrame) -> str:
                 gv.astype(float), wv.astype(float), rtol=1e-9, atol=1e-12, equal_nan=True
             ):
                 return f"VALUES col={c}"
-            if not (gv.astype(float) == wv.astype(float)).all():
+            gf, wf = gv.astype(float), wv.astype(float)
+            if not ((gf == wf) | (np.isnan(gf) & np.isnan(wf))).all():
                 return f"OK~ (float-inexact col={c})"
         else:
             if not (pd.Series(gv).astype(str) == pd.Series(wv).astype(str)).all():

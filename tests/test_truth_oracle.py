@@ -1,0 +1,99 @@
+"""Generator-truth oracle module (sources/truth.py) vs the real stack.
+
+truth.py recomputes pixel-valued query results from the PRE-ENCODE array
+(no codec / container / Reader anywhere), so agreement here certifies the
+whole encode -> parse -> decode -> mask pipeline against independent math —
+the same role the reference gives rasterio in
+`/root/reference/tests/test_dataset_pixel_comparison.py`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from rasteret_spark.format import container
+from rasteret_spark.operators.decode import zonal_oracle_row
+from rasteret_spark.sources import synthetic as syn
+from rasteret_spark.sources import truth
+
+
+def test_make_image_truth_expected_matches_decode():
+    """truth 'expected' array == what the container actually decodes,
+    for every format in the first 40 rows (covers qlossy + all lossless)."""
+    fmts = set()
+    for i in range(40):
+        t = syn.make_image_truth(i)
+        row = syn.make_image_row(i)
+        got = container.decode_full_any(row["bytes"])
+        if got.ndim == 2:
+            got = got[None]
+        assert got.shape == t["expected"].shape, i
+        assert got.dtype == t["expected"].dtype, i
+        assert np.array_equal(got, t["expected"]), (i, t["fmt"])
+        fmts.add(t["fmt"])
+    assert "qlossy" in fmts and len(fmts) >= 3
+
+
+def test_zonal_truth_rows_match_full_decode_oracle():
+    """Per-(image, aoi) truth rows == the engine's full-decode oracle
+    (which reads the real blob) wherever the pair overlaps."""
+    aois = syn.aois_table(40).to_pylist()
+    checked = 0
+    for i in range(40):
+        t = truth._image_sidecar(i)
+        row = syn.make_image_row(i)
+        row["image_id"] = t["image_id"]
+        for aoi in aois:
+            if not (
+                t["xmax"] >= aoi["xmin"]
+                and t["xmin"] <= aoi["xmax"]
+                and t["ymax"] >= aoi["ymin"]
+                and t["ymin"] <= aoi["ymax"]
+            ):
+                continue
+            want = zonal_oracle_row(row, aoi, band=0)
+            got = truth._zonal_truth_row(t, aoi, 0)
+            for k in ("px_count", "valid_count", "v_sum", "v_mean", "v_min", "v_max"):
+                g, w = got[k], want[k]
+                if g is None or w is None:
+                    assert g == w, (i, aoi["aoi_id"], k)
+                else:
+                    assert g == w, (i, aoi["aoi_id"], k, g, w)
+            checked += 1
+    assert checked >= 10, checked
+
+
+def test_zonal_truth_pdf_dtypes_and_statuses():
+    pdf = truth.zonal_truth_pdf(12, 8)
+    assert (pdf["status"] == "ok").all()
+    assert str(pdf["px_count"].dtype) == "int64"
+    assert str(pdf["win_col"].dtype) == "int32"
+    assert str(pdf["v_sum"].dtype) == "float64"
+
+
+def test_psnr_truth_matches_real_decode():
+    """truth PSNR frame == recompute from the real decoded blob."""
+    from rasteret_spark.format.codecs import psnr
+
+    pdf = truth.psnr_truth_pdf(40)
+    by_id = {r["image_id"]: r for _, r in pdf.iterrows()}
+    lossy = exact = 0
+    for i in range(40):
+        t = syn.make_image_truth(i)
+        row = syn.make_image_row(i)
+        got = container.decode_full_any(row["bytes"])
+        if got.ndim == 2:
+            got = got[None]
+        r = by_id[f"img-{i:08d}"]
+        real_exact = bool(np.array_equal(t["arr"], got))
+        assert bool(r["exact"]) == real_exact
+        p = float(min(psnr(t["arr"].astype(np.float64), got.astype(np.float64)), 1e6))
+        assert p == r["psnr_db"]
+        if r["lossless"]:
+            assert real_exact and p == 1e6
+            exact += 1
+        else:
+            assert p >= 40.0
+            lossy += 1
+    assert lossy >= 1 and exact >= 1
