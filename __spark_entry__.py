@@ -635,6 +635,33 @@ def _ensure_psnr_truth() -> str:
     return _ensure_truth_parquet("psnr_truth_120", build)
 
 
+def _ensure_sample_truth() -> str:
+    def build():
+        from rasteret_spark.sources.truth import sample_truth_pdf
+
+        return sample_truth_pdf(120, 200, max_ring=4)
+
+    return _ensure_truth_parquet("sample_truth_120_200", build)
+
+
+def _ensure_latest_sample_truth() -> str:
+    def build():
+        from rasteret_spark.sources.truth import sample_truth_pdf
+
+        return sample_truth_pdf(120, 200, max_ring=4, latest_only=True)
+
+    return _ensure_truth_parquet("latest_sample_truth_120_200", build)
+
+
+def _ensure_zonal_bands_truth() -> str:
+    def build():
+        from rasteret_spark.sources.truth import zonal_truth_pdf
+
+        return zonal_truth_pdf(120, 40, bands=(0, 1, 2))
+
+    return _ensure_truth_parquet("zonal_bands_truth_120_40", build)
+
+
 def q40_image_enrich(spark, sf_dir):
     from rasteret_spark.operators.enrich import enrich_headers
 
@@ -674,6 +701,7 @@ def q42_image_point_sample(spark, sf_dir):
     from rasteret_spark.operators import sampling, spatial_join as sj
     from rasteret_spark.sources import synthetic as syn
 
+    _ensure_sample_truth()  # DuckDB oracle side (pre-encode pixel truth)
     images = _images_df(spark)
     img_light = images.select(
         "image_id",
@@ -783,6 +811,7 @@ def q49_image_latest_sample(spark, sf_dir):
     from rasteret_spark.operators.asof import latest_per_key
     from rasteret_spark.sources import synthetic as syn
 
+    _ensure_latest_sample_truth()  # DuckDB oracle side (pre-encode pixel truth)
     images = _images_df(spark)
     img_light = images.select(
         "image_id", "datetime",
@@ -807,6 +836,7 @@ def q50_image_zonal_bands(spark, sf_dir):
     from rasteret_spark.operators import decode, spatial_join as sj
     from rasteret_spark.sources import synthetic as syn
 
+    _ensure_zonal_bands_truth()  # DuckDB oracle side (pre-encode pixel truth)
     images = _images_df(spark)
     img_light = images.select(
         "image_id",
@@ -1369,6 +1399,23 @@ def oracle_sql() -> dict[str, str]:
         "q44_image_psnr": f"""
             SELECT image_id, fmt, exact, psnr_db, lossless
             FROM read_parquet('{_ensure_psnr_truth()}')
+        """,
+        "q42_image_point_sample": f"""
+            SELECT point_index, image_id, band, px_col, px_row, in_bounds,
+                   value, valid, ring_steps, sample_col, sample_row, status
+            FROM read_parquet('{_ensure_sample_truth()}')
+        """,
+        "q49_image_latest_sample": f"""
+            SELECT point_index, image_id, band, px_col, px_row, in_bounds,
+                   value, valid, ring_steps, sample_col, sample_row, status
+            FROM read_parquet('{_ensure_latest_sample_truth()}')
+        """,
+        "q50_image_zonal_bands": f"""
+            SELECT image_id, aoi_id, band, caption,
+                   win_col, win_row, win_w, win_h,
+                   px_count, valid_count,
+                   v_sum, v_mean, v_min, v_max, status
+            FROM read_parquet('{_ensure_zonal_bands_truth()}')
         """,
         "q01_pricing_summary": """
             -- outer CASTs: DuckDB SUM(BIGINT) yields HUGEINT which pandas

@@ -35,9 +35,11 @@ _FLOAT = ["v_sum", "v_mean", "v_min", "v_max"]
 
 
 def _image_sidecar(i: int, seed: int = 42) -> dict:
-    """Truth dict for image ``i`` plus the lon/lat footprint bbox and caption
-    (same corner math / caption formula as ``make_image_row``, re-derived
-    here without touching the encoded blob)."""
+    """Truth dict for image ``i`` plus the lon/lat footprint bbox, caption
+    and timestamp (same corner math / caption / epoch formulas as
+    ``make_image_row``, re-derived here without touching the encoded blob)."""
+    import datetime as dt
+
     t = syn.make_image_truth(i, seed)
     sx, _, x0, _, sy, y0 = t["transform"]
     w, h = t["w"], t["h"]
@@ -59,6 +61,8 @@ def _image_sidecar(i: int, seed: int = 42) -> dict:
         ymin=ymin,
         xmax=xmax,
         ymax=ymax,
+        datetime=dt.datetime(2023, 1, 1)
+        + dt.timedelta(hours=float((src_i * 37) % (2 * 365 * 24)), minutes=float(i % 60)),
     )
     return t
 
@@ -147,6 +151,138 @@ def zonal_truth_pdf(
     for c in _FLOAT:
         pdf[c] = pdf[c].astype("float64")
     return pdf
+
+
+def _sample_truth_rows(t: dict, pts: list[dict], max_ring: int, band: int) -> list[dict]:
+    """Mirror of the point sampler's per-(image, band) records over the truth
+    array (`operators/sampling.py:186-262` semantics) — but the ring fallback
+    is a BRUTE-FORCE scan of the full Chebyshev window (all pixels within
+    ``max_ring``), not the engine's incremental ring walk with early-retire
+    certification, so selection bugs in either implementation can't hide."""
+    sx, _, x0, _, sy, y0 = t["transform"]
+    w, h = t["w"], t["h"]
+    arr = t["expected"][band]
+    nod = t["nodata"]
+    xs, ys = crs.from_lonlat(
+        t["epsg"],
+        np.asarray([p["x"] for p in pts], dtype=float),
+        np.asarray([p["y"] for p in pts], dtype=float),
+    )
+    fcols = (np.atleast_1d(xs) - x0) / sx
+    frows = (np.atleast_1d(ys) - y0) / sy
+    out = []
+    for j, p in enumerate(pts):
+        col, row = int(np.floor(fcols[j])), int(np.floor(frows[j]))
+        in_b = 0 <= col < w and 0 <= row < h
+        value = float(arr[row, col]) if in_b else np.nan
+        valid = in_b and (nod is None or value != nod)
+        ring_steps, s_col, s_row = 0, col if in_b else -1, row if in_b else -1
+        if max_ring > 0 and nod is not None and in_b and not valid:
+            best = None  # (d2, r, c, v) lexicographic over the whole window
+            for r in range(max(0, row - max_ring), min(h, row + max_ring + 1)):
+                for c in range(max(0, col - max_ring), min(w, col + max_ring + 1)):
+                    if r == row and c == col:
+                        continue
+                    v = float(arr[r, c])
+                    if np.isnan(v) or (np.isnan(nod) and np.isnan(v)) or v == nod:
+                        continue
+                    d2 = (r + 0.5 - frows[j]) ** 2 + (c + 0.5 - fcols[j]) ** 2
+                    if best is None or (d2, r, c) < best[:3]:
+                        best = (d2, r, c, v)
+            if best is not None:
+                _, br, bc, bv = best
+                value, valid = bv, True
+                ring_steps = max(abs(br - row), abs(bc - col))
+                s_row, s_col = br, bc
+        out.append(
+            {
+                "point_index": p["point_index"],
+                "image_id": t["image_id"],
+                "band": band,
+                "px_col": col,
+                "px_row": row,
+                "in_bounds": in_b,
+                "value": None if np.isnan(value) else value,
+                "valid": bool(valid),
+                "ring_steps": ring_steps,
+                "sample_col": s_col,
+                "sample_row": s_row,
+                "status": "ok",
+            }
+        )
+    return out
+
+
+def sample_truth_pdf(
+    n_images: int = 120,
+    n_points: int = 200,
+    max_ring: int = 4,
+    seed: int = 42,
+    bands: tuple[int, ...] = (0,),
+    latest_only: bool = False,
+) -> pd.DataFrame:
+    """Expected output of the point-sample queries: brute-force candidate
+    enumeration (inclusive bbox containment, `spatial_join.py:157-188`
+    predicate), optional latest-per-point winner dedup (max datetime, tie ->
+    min image_id — `asof.latest_per_key` semantics), then truth-array
+    sampling with brute-force ring fallback."""
+    pts = syn.points_table(n_points, seed).to_pylist()
+    sidecars = [_image_sidecar(i, seed) for i in range(n_images)]
+    pairs: dict[str, list[dict]] = {}  # image_id -> candidate points
+    if latest_only:
+        for p in pts:
+            best = None
+            for t in sidecars:
+                if t["xmin"] <= p["x"] <= t["xmax"] and t["ymin"] <= p["y"] <= t["ymax"]:
+                    # newest first; ties -> lexicographically smallest id
+                    k = (t["datetime"], _NegStr(t["image_id"]))
+                    if best is None or k > best[0]:
+                        best = (k, t)
+            if best is not None:
+                pairs.setdefault(best[1]["image_id"], []).append(p)
+    else:
+        for t in sidecars:
+            sel = [
+                p
+                for p in pts
+                if t["xmin"] <= p["x"] <= t["xmax"] and t["ymin"] <= p["y"] <= t["ymax"]
+            ]
+            if sel:
+                pairs[t["image_id"]] = sel
+    by_id = {t["image_id"]: t for t in sidecars}
+    rows: list[dict] = []
+    for image_id, sel in pairs.items():
+        t = by_id[image_id]
+        for band in bands:
+            if band < t["n_bands"]:
+                rows.extend(_sample_truth_rows(t, sel, max_ring, band))
+    pdf = pd.DataFrame(rows)
+    pdf["point_index"] = pdf["point_index"].astype("int64")
+    for c in ("band", "px_col", "px_row", "ring_steps", "sample_col", "sample_row"):
+        pdf[c] = pdf[c].astype("int32")
+    pdf["value"] = pdf["value"].astype("float64")
+    for c in ("in_bounds", "valid"):
+        pdf[c] = pdf[c].astype(bool)
+    return pdf
+
+
+class _NegStr:
+    """Inverts string comparison so 'max of (datetime, _NegStr(id))' picks the
+    newest datetime and, on ties, the SMALLEST image_id."""
+
+    __slots__ = ("s",)
+
+    def __init__(self, s: str):
+        self.s = s
+
+    def __lt__(self, other: "_NegStr") -> bool:
+        return self.s > other.s
+
+    def __gt__(self, other: "_NegStr") -> bool:
+        return self.s < other.s
+
+    def __eq__(self, other: object) -> bool:
+        return isinstance(other, _NegStr) and self.s == other.s
 
 
 def psnr_truth_pdf(n: int = 120, seed: int = 42) -> pd.DataFrame:

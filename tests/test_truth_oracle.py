@@ -72,6 +72,53 @@ def test_zonal_truth_pdf_dtypes_and_statuses():
     assert str(pdf["v_sum"].dtype) == "float64"
 
 
+def test_sample_truth_rows_match_real_reader():
+    """Truth-side point sampling (brute-force Chebyshev-window ring scan over
+    the pre-encode array) == the engine's _sample_image (real CachedReader
+    decode + incremental ring walk with early-retire certification), on
+    nodata-bearing images with points planted ON the nodata block so the
+    ring fallback actually runs."""
+    from rasteret_spark.format import miniraster as mr
+    from rasteret_spark.operators.sampling import _sample_image
+
+    ring_hits = 0
+    for i in range(40):
+        t = truth._image_sidecar(i)
+        row = syn.make_image_row(i)
+        # probe a grid of pixel centers across the image (hits the nodata
+        # block when present) expressed in lon/lat exactly like real points
+        pts = []
+        k = 0
+        for fr in (0.1, 0.35, 0.5, 0.65, 0.9):
+            for fc in (0.1, 0.35, 0.5, 0.65, 0.9):
+                sx, _, x0, _, sy, y0 = t["transform"]
+                x_proj = x0 + (fc * t["w"]) * sx
+                y_proj = y0 + (fr * t["h"]) * sy
+                from rasteret_spark import crs as _crs
+
+                lon, lat = _crs.to_lonlat(t["epsg"], x_proj, y_proj)
+                pts.append({"point_index": k, "x": float(lon), "y": float(lat)})
+                k += 1
+        reader = mr.CachedReader(bytes(row["bytes"]))
+        want = _sample_image(t["image_id"], reader, pts, max_ring=4, bands=(0,))
+        got = truth._sample_truth_rows(t, pts, max_ring=4, band=0)
+        assert len(got) == len(want["point_index"])
+        for j, g in enumerate(got):
+            for col in (
+                "point_index", "band", "px_col", "px_row", "in_bounds",
+                "valid", "ring_steps", "sample_col", "sample_row", "status",
+            ):
+                assert g[col] == want[col][j], (i, j, col, g[col], want[col][j])
+            wv = want["value"][j]
+            gv = g["value"]
+            if gv is None:
+                assert np.isnan(wv), (i, j)
+            else:
+                assert gv == wv, (i, j, gv, wv)
+            ring_hits += g["ring_steps"] > 0
+    assert ring_hits >= 3  # the fallback genuinely exercised
+
+
 def test_psnr_truth_matches_real_decode():
     """truth PSNR frame == recompute from the real decoded blob."""
     from rasteret_spark.format.codecs import psnr
