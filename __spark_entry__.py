@@ -653,6 +653,107 @@ def _ensure_latest_sample_truth() -> str:
     return _ensure_truth_parquet("latest_sample_truth_120_200", build)
 
 
+def _ensure_mosaic_truth() -> str:
+    def build():
+        from rasteret_spark.sources.truth import mosaic_truth_pdf
+
+        return mosaic_truth_pdf(HOTSPOT_BBOX, 32, 0.001, stride=35, bands=(0, 1))
+
+    return _ensure_truth_parquet("mosaic_truth", build)
+
+
+def _ensure_mosaic_avg_truth() -> str:
+    def build():
+        from rasteret_spark.sources.truth import mosaic_truth_pdf
+
+        return mosaic_truth_pdf(
+            HOTSPOT_BBOX, 16, 0.004, stride=16, bands=(0,), method="average"
+        )
+
+    return _ensure_truth_parquet("mosaic_avg_truth", build)
+
+
+def _ensure_mosaic_native_truth() -> str:
+    def build():
+        from rasteret_spark import crs
+        from rasteret_spark.sources.truth import mosaic_truth_pdf
+
+        gbox = crs.bbox_from_lonlat(32633, *HOTSPOT_BBOX)
+        return mosaic_truth_pdf(gbox, 32, 100.0, stride=32, grid_epsg=32633)
+
+    return _ensure_truth_parquet("mosaic_native_truth", build)
+
+
+def _ensure_chip_stack_truth() -> str:
+    def build():
+        from rasteret_spark.sources.truth import chip_stack_truth_pdf
+
+        return chip_stack_truth_pdf(
+            HOTSPOT_BBOX, CHIP_SIZE, CHIP_RES, stride=CHIP_STRIDE, bands=(0, 1)
+        )
+
+    return _ensure_truth_parquet("chip_stack_truth", build)
+
+
+def _ensure_chip_serve_truth() -> str:
+    def build():
+        import datetime as dt
+
+        from rasteret_spark.sources.truth import chip_stack_truth_pdf
+
+        return chip_stack_truth_pdf(
+            HOTSPOT_BBOX, CHIP_SIZE, CHIP_RES, random_n=8, chip_seed=42,
+            t_start=dt.datetime(2023, 2, 1), t_end=dt.datetime(2023, 6, 1),
+            t_step=2, bands=(0,), with_status=True,
+        )
+
+    return _ensure_truth_parquet("chip_serve_truth", build)
+
+
+def _ensure_augment_truth() -> str:
+    def build():
+        from rasteret_spark.sources.truth import augment_truth_pdf
+
+        return augment_truth_pdf(
+            HOTSPOT_BBOX, CHIP_SIZE, CHIP_RES, stride=CHIP_STRIDE,
+            max_images_per_chip=4,
+        )
+
+    return _ensure_truth_parquet("augment_truth", build)
+
+
+def _ensure_band_index_truth() -> str:
+    def build():
+        from rasteret_spark.sources.truth import band_index_truth_pdf
+
+        return band_index_truth_pdf(
+            HOTSPOT_BBOX, CHIP_SIZE, CHIP_RES, stride=CHIP_STRIDE,
+            band_a=1, band_b=0, lo=0.0,
+        )
+
+    return _ensure_truth_parquet("band_index_truth", build)
+
+
+def _ensure_temporal_median_truth() -> str:
+    def build():
+        from rasteret_spark.sources.truth import temporal_median_truth_pdf
+
+        return temporal_median_truth_pdf(
+            HOTSPOT_BBOX, CHIP_SIZE, CHIP_RES, stride=CHIP_STRIDE, bands=(0, 1)
+        )
+
+    return _ensure_truth_parquet("temporal_median_truth", build)
+
+
+def _ensure_pixel_series_truth() -> str:
+    def build():
+        from rasteret_spark.sources.truth import pixel_series_truth_pdf
+
+        return pixel_series_truth_pdf(120, 200)
+
+    return _ensure_truth_parquet("pixel_series_truth", build)
+
+
 def _ensure_zonal_bands_truth() -> str:
     def build():
         from rasteret_spark.sources.truth import zonal_truth_pdf
@@ -791,15 +892,16 @@ def q48_image_mosaic(spark, sf_dir):
     """Pixel-level first-valid mosaic per chip (A7 on real pixels): decode ->
     nearest-reproject onto the chip grid -> newest-first per-pixel composite.
     Pinned bit-exact by tests/test_raster_mosaic.py against a full-decode
-    oracle, including mosaic order-invariance."""
+    oracle, including mosaic order-invariance; the driver additionally
+    diffs it against the pre-encode truth mirror (sources/truth.py)."""
     from rasteret_spark.operators import raster_mosaic as rmo
 
+    _ensure_mosaic_truth()  # DuckDB oracle side (pre-encode pixel truth)
     out = rmo.first_valid_mosaic_pixels(
         _chip_pairs(spark), bands=(0, 1), max_images_per_chip=None  # capped in _chip_pairs
     )
     return out.select(
-        "chip_id", "band", "n_images", "n_contributing", "filled",
-        F.round(F.col("v_sum"), 3).alias("v_sum_r3"),
+        "chip_id", "band", "n_images", "n_contributing", "filled", "v_sum",
     )
 
 
@@ -878,6 +980,7 @@ def q51_image_chip_stack(spark, sf_dir):
     the reference's stacked chip serving (`torchgeo.py:997-1236`)."""
     from rasteret_spark.operators import raster_mosaic as rmo
 
+    _ensure_chip_stack_truth()  # DuckDB oracle side (pre-encode pixel truth)
     out = rmo.chip_stack_pixels(
         _chip_pairs(spark), bands=(0, 1), max_images_per_chip=None  # capped upstream
     )
@@ -893,6 +996,7 @@ def q53_chip_serve(spark, sf_dir):
 
     from rasteret_spark.operators import chips
 
+    _ensure_chip_serve_truth()  # DuckDB oracle side (pre-encode pixel truth)
     images = _images_df(spark)
     img_light = images.select(
         "image_id", "datetime",
@@ -918,6 +1022,7 @@ def q54_image_mosaic_average(spark, sf_dir):
     multiple source centers.  Kernel pinned in tests/test_resampling.py."""
     from rasteret_spark.operators import chips, raster_mosaic as rmo
 
+    _ensure_mosaic_avg_truth()  # DuckDB oracle side (pre-encode pixel truth)
     images = _images_df(spark)
     img_light = images.select(
         "image_id",
@@ -934,7 +1039,7 @@ def q54_image_mosaic_average(spark, sf_dir):
     )
     return out.select(
         "chip_id", "band", "n_images", "n_contributing", "filled",
-        F.round(F.col("v_sum"), 3).alias("v_sum_r3"), "status",
+        "v_sum", "status",
     )
 
 
@@ -948,6 +1053,7 @@ def q60_image_mosaic_native_grid(spark, sf_dir):
     from rasteret_spark import crs
     from rasteret_spark.operators import chips, raster_mosaic as rmo
 
+    _ensure_mosaic_native_truth()  # DuckDB oracle side (pre-encode pixel truth)
     images = _images_df(spark)
     img_light = images.select(
         "image_id",
@@ -963,7 +1069,7 @@ def q60_image_mosaic_native_grid(spark, sf_dir):
     out = rmo.first_valid_mosaic_pixels(pairs, bands=(0,), max_images_per_chip=None)
     return out.select(
         "chip_id", "band", "grid_epsg", "n_images", "n_contributing", "filled",
-        F.round(F.col("v_sum"), 3).alias("v_sum_r3"), "capped", "status",
+        "v_sum", "capped", "status",
     )
 
 
@@ -976,6 +1082,7 @@ def q61_chip_augment(spark, sf_dir):
     hook (`src/rasteret/integrations/torchgeo.py:292-299`)."""
     from rasteret_spark.operators import augment as ag, chips
 
+    _ensure_augment_truth()  # DuckDB oracle side (pre-encode pixel truth)
     images = _images_df(spark)
     img_light = images.select(
         "image_id", "datetime",
@@ -994,26 +1101,20 @@ def q61_chip_augment(spark, sf_dir):
     )
     return aug.select(
         "chip_id", "t_index", "band", "aug_op", "chip_w", "chip_h",
-        F.round(
-            F.aggregate(
-                F.filter(F.col("values"), lambda v: v.isNotNull()),
-                F.lit(0.0), lambda acc, v: acc + v,
-            ),
-            3,
-        ).alias("v_sum_r3"),
+        F.aggregate(
+            F.filter(F.col("values"), lambda v: v.isNotNull()),
+            F.lit(0.0), lambda acc, v: acc + v,
+        ).alias("v_sum"),
         # position-sensitive checksum: proves the permutation actually moved
         # pixels (plain sums are permutation-invariant)
-        F.round(
-            F.aggregate(
-                F.zip_with(
-                    F.col("values"),
-                    F.sequence(F.lit(1), F.size(F.col("values"))),
-                    lambda v, i: F.coalesce(v, F.lit(0.0)) * i.cast("double"),
-                ),
-                F.lit(0.0), lambda acc, v: acc + v,
+        F.aggregate(
+            F.zip_with(
+                F.col("values"),
+                F.sequence(F.lit(1), F.size(F.col("values"))),
+                lambda v, i: F.coalesce(v, F.lit(0.0)) * i.cast("double"),
             ),
-            3,
-        ).alias("weighted_r3"),
+            F.lit(0.0), lambda acc, v: acc + v,
+        ).alias("weighted"),
     )
 
 
@@ -1163,14 +1264,11 @@ def q64_band_index(spark, sf_dir):
     mosaic = rmo.first_valid_mosaic_pixels(
         _chip_pairs(spark), bands=(0, 1), max_images_per_chip=None
     )
+    _ensure_band_index_truth()  # DuckDB oracle side (pre-encode pixel truth)
     nd = bm.normalized_difference(mosaic, 1, 0)
     masked = bm.threshold_mask(nd, "nd", lo=0.0)
     return masked.select(
-        "chip_id",
-        "nd_filled",
-        F.round("nd_mean", 4).alias("nd_mean_r4"),
-        F.round("nd_min", 4).alias("nd_min_r4"),
-        F.round("nd_max", 4).alias("nd_max_r4"),
+        "chip_id", "nd_filled", "nd_mean", "nd_min", "nd_max",
         F.col("mask_count").alias("n_nonneg"),
     )
 
@@ -1188,19 +1286,16 @@ def q65_temporal_median(spark, sf_dir):
     stack = rmo.chip_stack_pixels(
         _chip_pairs(spark), bands=(0, 1), max_images_per_chip=None
     )
+    _ensure_temporal_median_truth()  # DuckDB oracle side (pre-encode truth)
     med = bm.temporal_composite(stack, stat="median")
     valid = F.filter(F.col("composite"), lambda v: v.isNotNull())
     return med.select(
         "chip_id", "band", "n_t",
         F.size(valid).alias("n_valid_px"),
-        F.round(
-            F.when(
-                F.size(valid) > 0,
-                F.aggregate(valid, F.lit(0.0), lambda a, v: a + v)
-                / F.size(valid),
-            ),
-            4,
-        ).alias("median_mean_r4"),
+        F.when(
+            F.size(valid) > 0,
+            F.aggregate(valid, F.lit(0.0), lambda a, v: a + v) / F.size(valid),
+        ).alias("median_mean"),
     )
 
 
@@ -1228,12 +1323,12 @@ def q66_pixel_series(spark, sf_dir):
     samples = sampling.sample_points(
         cands, images.select("image_id", "bytes"), bands=(0,)
     )
+    _ensure_pixel_series_truth()  # DuckDB oracle side (pre-encode truth)
     series = sampling.point_time_series(
         samples, images.select("image_id", "datetime")
     )
     return series.select(
-        "point_index", "band", "n_obs", "t_first", "t_last",
-        F.round("v_mean", 4).alias("v_mean_r4"),
+        "point_index", "band", "n_obs", "t_first", "t_last", "v_mean",
     )
 
 
@@ -1416,6 +1511,45 @@ def oracle_sql() -> dict[str, str]:
                    px_count, valid_count,
                    v_sum, v_mean, v_min, v_max, status
             FROM read_parquet('{_ensure_zonal_bands_truth()}')
+        """,
+        "q51_image_chip_stack": f"""
+            SELECT chip_id, t_index, image_id, band, filled
+            FROM read_parquet('{_ensure_chip_stack_truth()}')
+        """,
+        "q53_chip_serve": f"""
+            SELECT chip_id, t_index, image_id, band, filled, status
+            FROM read_parquet('{_ensure_chip_serve_truth()}')
+        """,
+        "q61_chip_augment": f"""
+            SELECT chip_id, t_index, band, aug_op, chip_w, chip_h,
+                   v_sum, weighted
+            FROM read_parquet('{_ensure_augment_truth()}')
+        """,
+        "q64_band_index": f"""
+            SELECT chip_id, nd_filled, nd_mean, nd_min, nd_max, n_nonneg
+            FROM read_parquet('{_ensure_band_index_truth()}')
+        """,
+        "q65_temporal_median": f"""
+            SELECT chip_id, band, n_t, n_valid_px, median_mean
+            FROM read_parquet('{_ensure_temporal_median_truth()}')
+        """,
+        "q66_pixel_series": f"""
+            SELECT point_index, band, n_obs, t_first, t_last, v_mean
+            FROM read_parquet('{_ensure_pixel_series_truth()}')
+        """,
+        "q48_image_mosaic": f"""
+            SELECT chip_id, band, n_images, n_contributing, filled, v_sum
+            FROM read_parquet('{_ensure_mosaic_truth()}')
+        """,
+        "q54_image_mosaic_average": f"""
+            SELECT chip_id, band, n_images, n_contributing, filled, v_sum,
+                   status
+            FROM read_parquet('{_ensure_mosaic_avg_truth()}')
+        """,
+        "q60_image_mosaic_native_grid": f"""
+            SELECT chip_id, band, grid_epsg, n_images, n_contributing,
+                   filled, v_sum, capped, status
+            FROM read_parquet('{_ensure_mosaic_native_truth()}')
         """,
         "q01_pricing_summary": """
             -- outer CASTs: DuckDB SUM(BIGINT) yields HUGEINT which pandas

@@ -266,6 +266,569 @@ def sample_truth_pdf(
     return pdf
 
 
+_M64 = (1 << 64) - 1
+_XP1, _XP2, _XP3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+_XP4, _XP5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh_fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _XP2) & _M64
+    h ^= h >> 29
+    h = (h * _XP3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _xxh_long(v: int, seed: int) -> int:
+    """XXH64 of one 8-byte little-endian long (public xxHash spec; the
+    Catalyst ``xxhash64`` per-column step for LongType)."""
+    h = ((seed & _M64) + _XP5 + 8) & _M64
+    h ^= (_rotl64((v & _M64) * _XP2 & _M64, 31) * _XP1) & _M64
+    h = (_rotl64(h, 27) * _XP1 + _XP4) & _M64
+    return _xxh_fmix(h)
+
+
+def _xxh_int(v: int, seed: int) -> int:
+    """XXH64 4-byte path (Catalyst's IntegerType step)."""
+    h = ((seed & _M64) + _XP5 + 4) & _M64
+    h ^= ((v & 0xFFFFFFFF) * _XP1) & _M64
+    h = (_rotl64(h, 23) * _XP2 + _XP3) & _M64
+    return _xxh_fmix(h)
+
+
+def spark_xxhash64_long_int(v: int, seed_lit: int) -> int:
+    """Mirror of ``F.xxhash64(long_col, F.lit(int))`` (seed 42 fold) —
+    verified bit-equal against Spark in tests."""
+    h = _xxh_long(v, 42)
+    h = _xxh_int(seed_lit, h)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def chip_grid_truth(
+    bbox: tuple[float, float, float, float],
+    size: int,
+    xres: float,
+    yres: float | None = None,
+    stride: int | None = None,
+    random_n: int | None = None,
+    seed: int = 0,
+    prefix: str = "chip",
+    grid_epsg: int = 4326,
+) -> list[dict]:
+    """Mirror of ``chips.chip_requests``: grid mode (GridGeoSampler
+    semantics: ceil((extent - chip)/stride) + 1 positions, last clamped
+    flush) and random mode (xxhash64-derived uniform offsets)."""
+    import math
+
+    yres = xres if yres is None else yres
+    xmin, ymin, xmax, ymax = (float(v) for v in bbox)
+    cw, ch = size * xres, size * yres
+    out = []
+    if random_n is not None:
+        buckets = 1 << 30
+        for cid in range(int(random_n)):
+            ux = ((spark_xxhash64_long_int(cid, seed) % buckets) + buckets) % buckets
+            uy = ((spark_xxhash64_long_int(cid, seed + 1) % buckets) + buckets) % buckets
+            chip = {
+                "chip_id": f"{prefix}-{cid:08d}",
+                "chip_xmin": xmin + (ux / float(buckets)) * max((xmax - xmin) - cw, 0.0),
+                "chip_ymax": ymax - (uy / float(buckets)) * max((ymax - ymin) - ch, 0.0),
+                "chip_xres": float(xres),
+                "chip_yres": float(yres),
+                "chip_w": int(size),
+                "chip_h": int(size),
+            }
+            if int(grid_epsg) != 4326:
+                chip["grid_epsg"] = int(grid_epsg)
+            out.append(chip)
+        return out
+    st = size if stride is None else int(stride)
+    sx, sy = st * xres, st * yres
+    n_x = max(math.ceil(((xmax - xmin) - cw) / sx) + 1, 1)
+    n_y = max(math.ceil(((ymax - ymin) - ch) / sy) + 1, 1)
+    for cid in range(int(n_x) * int(n_y)):
+        i, j = cid % n_x, cid // n_x
+        chip = {
+            "chip_id": f"{prefix}-{cid:08d}",
+            "chip_xmin": min(xmin + i * sx, max(xmax - cw, xmin)),
+            "chip_ymax": max(ymax - j * sy, min(ymin + ch, ymax)),
+            "chip_xres": float(xres),
+            "chip_yres": float(yres),
+            "chip_w": int(size),
+            "chip_h": int(size),
+        }
+        if int(grid_epsg) != 4326:
+            chip["grid_epsg"] = int(grid_epsg)
+        out.append(chip)
+    return out
+
+
+def _chip_lonlat_bbox(chip: dict) -> tuple[float, float, float, float]:
+    """Chip extent as a LON/LAT bbox — mirror of ``chips_as_aois`` (pixel-edge
+    aligned; projected grids take bounds of the 8-point densified boundary)."""
+    x0 = chip["chip_xmin"]
+    x1 = chip["chip_xmin"] + chip["chip_w"] * chip["chip_xres"]
+    y1 = chip["chip_ymax"]
+    y0 = chip["chip_ymax"] - chip["chip_h"] * chip["chip_yres"]
+    epsg = int(chip.get("grid_epsg", 4326))
+    if epsg == 4326:
+        return x0, y0, x1, y1
+    t = np.linspace(0.0, 1.0, 8)
+    xs = np.concatenate(
+        [x0 + (x1 - x0) * t, np.full(len(t), x1), x1 + (x0 - x1) * t, np.full(len(t), x0)]
+    )
+    ys = np.concatenate(
+        [np.full(len(t), y0), y0 + (y1 - y0) * t, np.full(len(t), y1), y1 + (y0 - y1) * t]
+    )
+    lon, lat = crs.to_lonlat(epsg, xs, ys)
+    return float(lon.min()), float(lat.min()), float(lon.max()), float(lat.max())
+
+
+def _truth_nearest(t: dict, band: int, chip: dict) -> np.ndarray:
+    """Nearest resample of a truth array onto a chip grid — mirror of
+    ``raster_mosaic.reproject_nearest`` over ``expected`` (no reader)."""
+    w, h = chip["chip_w"], chip["chip_h"]
+    gxs = chip["chip_xmin"] + (np.arange(w) + 0.5) * chip["chip_xres"]
+    gys = chip["chip_ymax"] - (np.arange(h) + 0.5) * chip["chip_yres"]
+    gx, gy = np.meshgrid(gxs, gys)
+    xs, ys = crs.transform_points(
+        int(chip.get("grid_epsg", 4326)), t["epsg"], gx.ravel(), gy.ravel()
+    )
+    a, _, c, _, e, f = t["transform"]
+    cols = np.floor((xs - c) / a).astype(np.int64)
+    rows = np.floor((ys - f) / e).astype(np.int64)
+    inb = (cols >= 0) & (cols < t["w"]) & (rows >= 0) & (rows < t["h"])
+    out = np.full(w * h, np.nan)
+    if inb.any():
+        vals = t["expected"][band].astype(np.float64)[rows[inb], cols[inb]]
+        nod = t["nodata"]
+        if nod is not None:
+            vals = np.where(np.isnan(vals) if np.isnan(nod) else vals == nod, np.nan, vals)
+        out[inb] = vals
+    return out.reshape(h, w)
+
+
+def _truth_average(t: dict, band: int, chip: dict) -> np.ndarray:
+    """Average resample mirror (``reproject_average`` semantics: mean of valid
+    source-pixel centers per target cell, nearest fallback where none land) —
+    computed over the FULL truth array, no source-window clipping."""
+    w, h = chip["chip_w"], chip["chip_h"]
+    xmin, ymax = chip["chip_xmin"], chip["chip_ymax"]
+    xres, yres = chip["chip_xres"], chip["chip_yres"]
+    gepsg = int(chip.get("grid_epsg", 4326))
+    a, _, c, _, e, f = t["transform"]
+    arr = t["expected"][band].astype(np.float64)
+    nod = t["nodata"]
+    if nod is not None:
+        arr = np.where(np.isnan(arr) if np.isnan(nod) else arr == nod, np.nan, arr)
+    src_x = a * (np.arange(t["w"]) + 0.5) + c
+    src_y = e * (np.arange(t["h"]) + 0.5) + f
+    if crs.is_separable(t["epsg"]) and crs.is_separable(gepsg):
+        gxv, _ = crs.transform_points(t["epsg"], gepsg, src_x, np.zeros_like(src_x))
+        _, gyv = crs.transform_points(t["epsg"], gepsg, np.zeros_like(src_y), src_y)
+        tcol = np.floor((gxv - xmin) / xres).astype(np.int64)
+        trow = np.floor((ymax - gyv) / yres).astype(np.int64)
+        gc, gr = np.meshgrid(tcol, trow)
+    else:
+        gsx, gsy = np.meshgrid(src_x, src_y)
+        tx, ty = crs.transform_points(t["epsg"], gepsg, gsx.ravel(), gsy.ravel())
+        gc = np.floor((tx - xmin) / xres).astype(np.int64).reshape(gsx.shape)
+        gr = np.floor((ymax - ty) / yres).astype(np.int64).reshape(gsx.shape)
+    keep = (gc >= 0) & (gc < w) & (gr >= 0) & (gr < h) & ~np.isnan(arr)
+    out = np.full(w * h, np.nan)
+    if keep.any():
+        flat = (gr[keep] * w + gc[keep]).astype(np.int64)
+        sums = np.zeros(w * h)
+        cnts = np.zeros(w * h)
+        np.add.at(sums, flat, arr[keep])
+        np.add.at(cnts, flat, 1.0)
+        got = cnts > 0
+        out[got] = sums[got] / cnts[got]
+    empty = np.isnan(out)
+    if empty.any():
+        out[empty] = _truth_nearest(t, band, chip).ravel()[empty]
+    return out.reshape(h, w)
+
+
+def _chip_cands_truth(chip: dict, sidecars: list[dict]) -> list[dict]:
+    """Bbox-overlap candidates of one chip, in composite order (newest-first,
+    ties -> image_id ascending)."""
+    axmin, aymin, axmax, aymax = _chip_lonlat_bbox(chip)
+    cands = [
+        t
+        for t in sidecars
+        if t["xmax"] >= axmin and t["xmin"] <= axmax
+        and t["ymax"] >= aymin and t["ymin"] <= aymax
+    ]
+    cands.sort(key=lambda t: t["image_id"])
+    cands.sort(key=lambda t: t["datetime"], reverse=True)
+    return cands
+
+
+def _composite_chip(
+    chip: dict, kept: list[dict], band: int, method: str = "nearest"
+) -> tuple[np.ndarray, int]:
+    """First-valid composite of one chip band over truth arrays; returns
+    (canvas, n_contributing) — mirror of the ``first_valid_mosaic_pixels``
+    inner loop including the early break on a full canvas."""
+    resample = _truth_average if method == "average" else _truth_nearest
+    w, h = chip["chip_w"], chip["chip_h"]
+    canvas = np.full((h, w), np.nan)
+    contributing = 0
+    for t in kept:
+        if not np.isnan(canvas).any():
+            break
+        if band >= t["n_bands"]:
+            continue
+        rep = resample(t, band, chip)
+        need = np.isnan(canvas) & ~np.isnan(rep)
+        if need.any():
+            canvas[need] = rep[need]
+            contributing += 1
+    return canvas, contributing
+
+
+def mosaic_truth_pdf(
+    bbox: tuple[float, float, float, float],
+    size: int,
+    xres: float,
+    stride: int,
+    bands: tuple[int, ...] = (0,),
+    grid_epsg: int = 4326,
+    method: str = "nearest",
+    max_images_per_chip: int = 32,
+    n_images: int = 120,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Expected output of the first-valid mosaic queries: chip grid mirror,
+    brute-force candidate enumeration (bbox overlap in lon/lat), newest-first
+    depth cap, then per-pixel first-valid compositing over truth arrays."""
+    chips = chip_grid_truth(bbox, size, xres, stride=stride, grid_epsg=grid_epsg)
+    sidecars = [_image_sidecar(i, seed) for i in range(n_images)]
+    rows: list[dict] = []
+    for chip in chips:
+        cands = _chip_cands_truth(chip, sidecars)
+        if not cands:
+            continue
+        n_candidates = len(cands)
+        kept = cands[:max_images_per_chip]
+        for band in bands:
+            canvas, contributing = _composite_chip(chip, kept, band, method)
+            filled = int((~np.isnan(canvas)).sum())
+            rows.append(
+                {
+                    "chip_id": chip["chip_id"],
+                    "band": band,
+                    "grid_epsg": int(chip.get("grid_epsg", 4326)),
+                    "n_images": len(kept),
+                    "n_contributing": contributing,
+                    "filled": filled,
+                    "v_sum": float(np.nansum(canvas)) if filled else None,
+                    "capped": bool(n_candidates > len(kept)),
+                    "status": "ok",
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    for c in ("band", "grid_epsg", "n_images", "n_contributing"):
+        pdf[c] = pdf[c].astype("int32")
+    pdf["filled"] = pdf["filled"].astype("int64")
+    pdf["v_sum"] = pdf["v_sum"].astype("float64")
+    pdf["capped"] = pdf["capped"].astype(bool)
+    return pdf
+
+
+def chip_stack_truth_pdf(
+    bbox: tuple[float, float, float, float],
+    size: int,
+    xres: float,
+    stride: int | None = None,
+    random_n: int | None = None,
+    chip_seed: int = 0,
+    bands: tuple[int, ...] = (0,),
+    t_start=None,
+    t_end=None,
+    t_step: int = 1,
+    max_images_per_chip: int = 32,
+    with_status: bool = False,
+    n_images: int = 120,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Expected output of the chip-stack/serve queries (light columns):
+    chip-grid mirror -> bbox-overlap candidates -> interval + t-step slice
+    (ts asc, image_id asc) -> newest-first depth cap -> oldest-first t_index
+    assignment -> per-(t, band) filled counts over truth arrays."""
+    chips = chip_grid_truth(
+        bbox, size, xres, stride=stride, random_n=random_n, seed=chip_seed
+    )
+    sidecars = [_image_sidecar(i, seed) for i in range(n_images)]
+    rows: list[dict] = []
+    for chip in chips:
+        axmin, aymin, axmax, aymax = _chip_lonlat_bbox(chip)
+        cands = [
+            t
+            for t in sidecars
+            if t["xmax"] >= axmin and t["xmin"] <= axmax
+            and t["ymax"] >= aymin and t["ymin"] <= aymax
+        ]
+        if t_start is not None:
+            cands = [t for t in cands if t["datetime"] >= t_start]
+        if t_end is not None:
+            cands = [t for t in cands if t["datetime"] <= t_end]
+        # t-step slice in (ts asc, image_id asc) order
+        cands.sort(key=lambda t: (t["datetime"], t["image_id"]))
+        if t_step > 1:
+            cands = cands[::t_step]
+        # depth cap: newest-first, ties -> image_id asc, keep first N ...
+        cands.sort(key=lambda t: t["image_id"])
+        cands.sort(key=lambda t: t["datetime"], reverse=True)
+        kept = cands[:max_images_per_chip]
+        # ... then stack oldest-first (ts asc, image_id asc)
+        kept.sort(key=lambda t: (t["datetime"], t["image_id"]))
+        for t_index, t in enumerate(kept):
+            for band in bands:
+                if band >= t["n_bands"]:
+                    continue
+                rep = _truth_nearest(t, band, chip)
+                row = {
+                    "chip_id": chip["chip_id"],
+                    "t_index": t_index,
+                    "image_id": t["image_id"],
+                    "band": band,
+                    "filled": int((~np.isnan(rep)).sum()),
+                }
+                if with_status:
+                    row["status"] = "ok"
+                rows.append(row)
+    pdf = pd.DataFrame(rows)
+    for c in ("t_index", "band"):
+        pdf[c] = pdf[c].astype("int32")
+    pdf["filled"] = pdf["filled"].astype("int64")
+    return pdf
+
+
+def band_index_truth_pdf(
+    bbox: tuple[float, float, float, float],
+    size: int,
+    xres: float,
+    stride: int,
+    band_a: int = 1,
+    band_b: int = 0,
+    lo: float = 0.0,
+    max_images_per_chip: int = 32,
+    n_images: int = 120,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Expected output of the band-index query: first-valid composites of
+    both bands over truth arrays, then ``(a - b) / (a + b)`` with the
+    engine's null semantics (null where either band is unfilled or the
+    denominator is exactly 0), summary stats re-folded sequentially, and
+    the ``>= lo`` mask count."""
+    chips = chip_grid_truth(bbox, size, xres, stride=stride)
+    sidecars = [_image_sidecar(i, seed) for i in range(n_images)]
+    rows: list[dict] = []
+    for chip in chips:
+        cands = _chip_cands_truth(chip, sidecars)
+        if not cands:
+            continue
+        kept = cands[:max_images_per_chip]
+        ca, _ = _composite_chip(chip, kept, band_a)
+        cb, _ = _composite_chip(chip, kept, band_b)
+        a, b = ca.ravel(), cb.ravel()
+        denom = a + b
+        with np.errstate(divide="ignore", invalid="ignore"):
+            nd = np.where(
+                np.isnan(a) | np.isnan(b) | (denom == 0.0), np.nan, (a - b) / denom
+            )
+        valid = nd[~np.isnan(nd)]
+        n = int(valid.size)
+        rows.append(
+            {
+                "chip_id": chip["chip_id"],
+                "nd_filled": n,
+                "nd_mean": (_fold_sum(valid) / n) if n else None,
+                "nd_min": float(valid.min()) if n else None,
+                "nd_max": float(valid.max()) if n else None,
+                "n_nonneg": int((valid >= lo).sum()),
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    pdf["nd_filled"] = pdf["nd_filled"].astype("int32")
+    pdf["n_nonneg"] = pdf["n_nonneg"].astype("int32")
+    for c in ("nd_mean", "nd_min", "nd_max"):
+        pdf[c] = pdf[c].astype("float64")
+    return pdf
+
+
+def temporal_median_truth_pdf(
+    bbox: tuple[float, float, float, float],
+    size: int,
+    xres: float,
+    stride: int,
+    bands: tuple[int, ...] = (0, 1),
+    max_images_per_chip: int = 32,
+    n_images: int = 120,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Expected output of the temporal-median query: per (chip, band), the
+    per-pixel median across the stack's timesteps (nulls skipped per pixel;
+    even counts average the two middle values), then the mean of the
+    composited pixels re-folded sequentially."""
+    chips = chip_grid_truth(bbox, size, xres, stride=stride)
+    sidecars = [_image_sidecar(i, seed) for i in range(n_images)]
+    rows: list[dict] = []
+    for chip in chips:
+        kept = _chip_cands_truth(chip, sidecars)[:max_images_per_chip]
+        for band in bands:
+            planes = [
+                _truth_nearest(t, band, chip).ravel()
+                for t in kept
+                if band < t["n_bands"]
+            ]
+            if not planes:
+                continue
+            stack = np.stack(planes)  # (n_t, n_px)
+            comp = np.full(stack.shape[1], np.nan)
+            for i in range(stack.shape[1]):
+                v = stack[:, i]
+                v = np.sort(v[~np.isnan(v)])
+                if v.size:
+                    comp[i] = (v[(v.size - 1) // 2] + v[v.size // 2]) / 2
+            valid = comp[~np.isnan(comp)]
+            n = int(valid.size)
+            rows.append(
+                {
+                    "chip_id": chip["chip_id"],
+                    "band": band,
+                    "n_t": len(planes),
+                    "n_valid_px": n,
+                    "median_mean": (_fold_sum(valid) / n) if n else None,
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    for c in ("band", "n_t", "n_valid_px"):
+        pdf[c] = pdf[c].astype("int32")
+    pdf["median_mean"] = pdf["median_mean"].astype("float64")
+    return pdf
+
+
+def pixel_series_truth_pdf(
+    n_images: int = 120,
+    n_points: int = 200,
+    seed: int = 42,
+    bands: tuple[int, ...] = (0,),
+) -> pd.DataFrame:
+    """Expected output of the pixel-series query: valid in-bounds truth
+    samples (no ring fallback), grouped per (point, band), folded in
+    chronological (t, image_id) order — n_obs / t_first / t_last / v_mean
+    (`sampling.point_time_series` semantics)."""
+    flat = sample_truth_pdf(n_images, n_points, max_ring=0, seed=seed, bands=bands)
+    flat = flat[flat["valid"] & flat["in_bounds"]]
+    times = {
+        t["image_id"]: t["datetime"]
+        for t in (_image_sidecar(i, seed) for i in range(n_images))
+    }
+    rows: list[dict] = []
+    for (pidx, band), grp in flat.groupby(["point_index", "band"]):
+        obs = sorted(
+            (times[r.image_id], r.image_id, r.value) for r in grp.itertuples()
+        )
+        rows.append(
+            {
+                "point_index": int(pidx),
+                "band": int(band),
+                "n_obs": len(obs),
+                "t_first": obs[0][0],
+                "t_last": obs[-1][0],
+                "v_mean": _fold_sum([o[2] for o in obs]) / len(obs),
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    pdf["point_index"] = pdf["point_index"].astype("int64")
+    for c in ("band", "n_obs"):
+        pdf[c] = pdf[c].astype("int32")
+    pdf["v_mean"] = pdf["v_mean"].astype("float64")
+    return pdf
+
+
+def _fold_sum(vals) -> float:
+    """Sequential left fold (the order ``F.aggregate`` adds doubles in) —
+    NOT numpy pairwise summation."""
+    acc = 0.0
+    for v in vals:
+        acc += v
+    return acc
+
+
+def augment_truth_pdf(
+    bbox: tuple[float, float, float, float],
+    size: int,
+    xres: float,
+    stride: int,
+    max_images_per_chip: int = 4,
+    ops: tuple[str, ...] = ("identity", "hflip", "vflip", "rot90"),
+    n_images: int = 120,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Expected output of the chip-augmentation query: the q51-style stack
+    mirror, each [H, W] plane flipped/rotated with numpy (vs the engine's
+    native Catalyst permutation gathers), then the engine's two checksums
+    re-folded sequentially in each op's row-major array order."""
+    chips = chip_grid_truth(bbox, size, xres, stride=stride)
+    sidecars = [_image_sidecar(i, seed) for i in range(n_images)]
+    rows: list[dict] = []
+    for chip in chips:
+        axmin, aymin, axmax, aymax = _chip_lonlat_bbox(chip)
+        cands = [
+            t
+            for t in sidecars
+            if t["xmax"] >= axmin and t["xmin"] <= axmax
+            and t["ymax"] >= aymin and t["ymin"] <= aymax
+        ]
+        cands.sort(key=lambda t: t["image_id"])
+        cands.sort(key=lambda t: t["datetime"], reverse=True)
+        kept = cands[:max_images_per_chip]
+        kept.sort(key=lambda t: (t["datetime"], t["image_id"]))
+        for t_index, t in enumerate(kept):
+            rep = _truth_nearest(t, 0, chip)  # (h, w)
+            for op in ops:
+                if op == "identity":
+                    plane = rep
+                elif op == "hflip":
+                    plane = rep[:, ::-1]
+                elif op == "vflip":
+                    plane = rep[::-1, :]
+                elif op == "rot90":
+                    # dst (r', c') in (w x h) pulls src (h-1-c', r')
+                    plane = rep.T[:, ::-1]
+                else:
+                    raise ValueError(op)
+                flat = plane.ravel()
+                w = np.where(np.isnan(flat), 0.0, flat) * np.arange(1, flat.size + 1)
+                rows.append(
+                    {
+                        "chip_id": chip["chip_id"],
+                        "t_index": t_index,
+                        "band": 0,
+                        "aug_op": op,
+                        "chip_w": plane.shape[1],
+                        "chip_h": plane.shape[0],
+                        "v_sum": _fold_sum(flat[~np.isnan(flat)]),
+                        "weighted": _fold_sum(w),
+                    }
+                )
+    pdf = pd.DataFrame(rows)
+    for c in ("t_index", "band", "chip_w", "chip_h"):
+        pdf[c] = pdf[c].astype("int32")
+    for c in ("v_sum", "weighted"):
+        pdf[c] = pdf[c].astype("float64")
+    return pdf
+
+
 class _NegStr:
     """Inverts string comparison so 'max of (datetime, _NegStr(id))' picks the
     newest datetime and, on ties, the SMALLEST image_id."""

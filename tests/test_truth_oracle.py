@@ -119,6 +119,83 @@ def test_sample_truth_rows_match_real_reader():
     assert ring_hits >= 3  # the fallback genuinely exercised
 
 
+def test_spark_xxhash64_mirror(spark):
+    """The truth module's xxhash64(long, int-literal) mirror is bit-equal to
+    Catalyst's (drives the random chip-request mirror for q53)."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.range(64)
+        .select("id", F.xxhash64("id", F.lit(1234)).alias("h"))
+        .collect()
+    )
+    for r in rows:
+        assert truth.spark_xxhash64_long_int(r["id"], 1234) == r["h"]
+
+
+def test_chip_grid_truth_matches_chip_requests(spark):
+    """Grid AND random chip-request mirrors == the Spark operator, field by
+    field (bit-exact doubles)."""
+    from rasteret_spark.operators import chips as ch
+
+    bbox = (13.35, 52.448, 13.452, 52.55)
+    for kwargs in (
+        {"stride": 35},
+        {"stride": 16},
+        {"random_n": 8, "seed": 42},
+        {"stride": 32, "grid_epsg": 32633},
+    ):
+        gkw = dict(kwargs)
+        seed = gkw.pop("seed", 0)
+        b = (400000.0, 5800000.0, 410000.0, 5810000.0) if "grid_epsg" in gkw else bbox
+        res = 100.0 if "grid_epsg" in gkw else 0.001
+        want = {
+            r["chip_id"]: r.asDict()
+            for r in ch.chip_requests(spark, b, 32, res, seed=seed, **gkw).collect()
+        }
+        got = truth.chip_grid_truth(b, 32, res, seed=seed, **gkw)
+        assert len(got) == len(want)
+        for chip in got:
+            w = want[chip["chip_id"]]
+            for k, v in chip.items():
+                assert w[k] == v, (kwargs, chip["chip_id"], k, w[k], v)
+
+
+def test_mosaic_truth_matches_composite_oracle():
+    """Truth-side first-valid compositing == re-compositing through the real
+    container (CachedReader + reproject_to_grid) for a hotspot chip grid."""
+    from rasteret_spark.format import miniraster as mr
+    from rasteret_spark.operators import raster_mosaic as rmo
+
+    sidecars = [truth._image_sidecar(i) for i in range(60)]
+    blobs = {f"img-{i:08d}": syn.make_image_row(i)["bytes"] for i in range(60)}
+    chips = truth.chip_grid_truth((13.35, 52.448, 13.452, 52.55), 32, 0.001, stride=35)
+    checked = 0
+    for chip in chips:
+        kept = truth._chip_cands_truth(chip, sidecars)[:8]
+        if not kept:
+            continue
+        for band in (0, 1):
+            got, _ = truth._composite_chip(chip, kept, band)
+            # engine-side: same order, real decode path
+            grid = (chip["chip_xmin"], chip["chip_ymax"],
+                    chip["chip_xres"], chip["chip_yres"],
+                    chip["chip_w"], chip["chip_h"])
+            canvas = np.full((chip["chip_h"], chip["chip_w"]), np.nan)
+            for t in kept:
+                if not np.isnan(canvas).any():
+                    break
+                reader = mr.CachedReader(bytes(blobs[t["image_id"]]))
+                if band >= reader.meta.n_bands:
+                    continue
+                rep = rmo.reproject_to_grid(reader, band, *grid)
+                need = np.isnan(canvas) & ~np.isnan(rep)
+                canvas[need] = rep[need]
+            assert np.array_equal(got, canvas, equal_nan=True), (chip["chip_id"], band)
+            checked += 1
+    assert checked >= 4
+
+
 def test_psnr_truth_matches_real_decode():
     """truth PSNR frame == recompute from the real decoded blob."""
     from rasteret_spark.format.codecs import psnr
