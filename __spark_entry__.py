@@ -754,6 +754,15 @@ def _ensure_pixel_series_truth() -> str:
     return _ensure_truth_parquet("pixel_series_truth", build)
 
 
+def _ensure_tiff_zonal_truth() -> str:
+    def build():
+        from rasteret_spark.sources.truth import tiff_zonal_truth_pdf
+
+        return tiff_zonal_truth_pdf(96, 40)
+
+    return _ensure_truth_parquet("tiff_zonal_truth_96_40", build)
+
+
 def _ensure_zonal_bands_truth() -> str:
     def build():
         from rasteret_spark.sources.truth import zonal_truth_pdf
@@ -1148,6 +1157,7 @@ def q62_tiff_enrich_zonal(spark, sf_dir):
     from rasteret_spark.operators.enrich import enrich_headers
     from rasteret_spark.sources import synthetic as syn
 
+    _ensure_tiff_zonal_truth()  # DuckDB oracle side (pre-encode pixel truth)
     images = _tiff_images_cached(spark, 96)
     enriched = enrich_headers(images).select(
         "image_id", "meta.container", "meta.byte_order",
@@ -1524,6 +1534,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT chip_id, t_index, band, aug_op, chip_w, chip_h,
                    v_sum, weighted
             FROM read_parquet('{_ensure_augment_truth()}')
+        """,
+        "q62_tiff_enrich_zonal": f"""
+            SELECT image_id, aoi_id, band, container, byte_order, codec,
+                   predictor, px_count, valid_count, v_mean, status
+            FROM read_parquet('{_ensure_tiff_zonal_truth()}')
         """,
         "q64_band_index": f"""
             SELECT chip_id, nd_filled, nd_mean, nd_min, nd_max, n_nonneg

@@ -485,10 +485,13 @@ _TIFF_COMP_NAME = {"raw": "none", "deflate": "deflate", "lzw": "lzw",
                    "lerc": "lerc"}
 
 
-def make_tiff_image_row(i: int, seed: int = 42, dup_every: int = 17) -> dict:
-    """One deterministic GeoTIFF-backed row of the images table."""
-    from rasteret_spark.format import tiffwrite
-
+def make_tiff_image_truth(i: int, seed: int = 42, dup_every: int = 17) -> dict:
+    """Everything TIFF row ``i`` is made OF, before the container/codec touch
+    it (see ``make_image_truth``): the drawn array, the declared format-matrix
+    facts (codec/predictor/container/byte order) and the full geo sidecar.
+    ``expected`` equals the drawn array for every LOSSLESS matrix entry; for
+    jpeg rows it is None (lossy — the independent-truth side must obtain
+    post-decode pixels elsewhere, and says so)."""
     src_i = i - (i % dup_every) if (i % dup_every) == dup_every - 1 and i >= dup_every else i
     rng = _rng(seed + 9_000_000, src_i)
     fmt, predictor, dtype, tiled, order, bigtiff = _TIFF_MATRIX[
@@ -522,10 +525,42 @@ def make_tiff_image_row(i: int, seed: int = 42, dup_every: int = 17) -> dict:
         y0 = float(yc) + h / 2 * m_per_px
     sy = -sx
     transform = (sx, 0.0, x0, 0.0, sy, y0)
+    pixel_is_point = src_i % 4 == 1
+    return {
+        "src_i": src_i,
+        "fmt": fmt,
+        "predictor": predictor,
+        "dtype": dtype,
+        "tiled": tiled,
+        "byte_order": order,
+        "bigtiff": bigtiff,
+        "w": w,
+        "h": h,
+        "n_bands": n_bands,
+        "arr": arr,
+        "expected": None if fmt == "jpeg" else arr,
+        "nodata": nodata,
+        "epsg": epsg,
+        "transform": transform,
+        "pixel_is_point": pixel_is_point,
+    }
+
+
+def make_tiff_image_row(i: int, seed: int = 42, dup_every: int = 17) -> dict:
+    """One deterministic GeoTIFF-backed row of the images table."""
+    from rasteret_spark.format import tiffwrite
+
+    t = make_tiff_image_truth(i, seed, dup_every)
+    src_i = t["src_i"]
+    arr, w, h, n_bands = t["arr"], t["w"], t["h"], t["n_bands"]
+    fmt, predictor = t["fmt"], t["predictor"]
+    tiled, order, bigtiff = t["tiled"], t["byte_order"], t["bigtiff"]
+    nodata, epsg, transform = t["nodata"], t["epsg"], t["transform"]
+    sx, _, x0, _, sy, y0 = transform
+    pixel_is_point = t["pixel_is_point"]
 
     # every 4th row georeferences via a pixel-CENTER tiepoint + PixelIsPoint
     # (the parser must shift back to the area convention: GDAL RFC 33)
-    pixel_is_point = src_i % 4 == 1
     if pixel_is_point:
         tie = (x0 + sx / 2.0, y0 - sx / 2.0)
     else:

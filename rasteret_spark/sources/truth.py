@@ -611,6 +611,104 @@ def chip_stack_truth_pdf(
     return pdf
 
 
+_TIFF_COMP_CODE = {"raw": 0, "deflate": 1, "packbits": 4, "lzw": 6,
+                   "zstd": 7, "jpeg": 8, "lerc": 9}
+
+
+def _tiff_sidecar(i: int, seed: int = 42) -> dict:
+    """TIFF truth dict plus footprint bbox / caption / image_id (same corner
+    and caption math as ``make_tiff_image_row``).  For the lossy jpeg rows
+    the generator declares no pre-encode expected pixels; those rows fall
+    back to the engine's own full decode of the real blob — the container/
+    window path is still independently checked, the codec itself is pinned
+    by the JPEG wire tests instead."""
+    t = syn.make_tiff_image_truth(i, seed)
+    if t["expected"] is None:
+        from rasteret_spark.format import container
+
+        arr = container.decode_full_any(syn.make_tiff_image_row(i, seed)["bytes"])
+        t["expected"] = arr[None] if arr.ndim == 2 else arr
+    sx, _, x0, _, sy, y0 = t["transform"]
+    w, h = t["w"], t["h"]
+    cols = np.array([0.0, w, w, 0.0])
+    rows = np.array([0.0, 0.0, h, h])
+    lons, lats = crs.to_lonlat(t["epsg"], sx * cols + x0, sy * rows + y0)
+    footprint = geom.wkb_polygon([np.column_stack([lons, lats])])
+    xmin, ymin, xmax, ymax = geom.wkb_bbox(footprint)
+    if t["pixel_is_point"]:
+        # the FILE stores a center tiepoint; the engine recovers the area
+        # origin as tie - scale/2 — mirror that float roundtrip exactly
+        # (format/tiff.py:276-279), it is the container's declared georef
+        t["transform"] = (sx, 0.0, (x0 + sx / 2.0) - sx / 2.0,
+                          0.0, sy, (y0 - sx / 2.0) + sx / 2.0)
+    src_i = t["src_i"]
+    if src_i % 23 == 11:
+        caption = ""
+    else:
+        widx = [(src_i * 7 + k * 13) % len(syn._CAPTION_WORDS) for k in range(3)]
+        caption = " ".join(syn._CAPTION_WORDS[j] for j in widx) + f" #{src_i}"
+    t.update(
+        image_id=f"tif-{i:08d}", caption=caption,
+        xmin=xmin, ymin=ymin, xmax=xmax, ymax=ymax,
+    )
+    return t
+
+
+def tiff_zonal_truth_pdf(
+    n_images: int = 96,
+    n_aois: int = 40,
+    seed: int = 42,
+    bands: tuple[int, ...] = (0,),
+) -> pd.DataFrame:
+    """Expected output of the TIFF enrich+zonal query: the zonal truth mirror
+    over TIFF-backed truth arrays, joined with the format matrix's DECLARED
+    header facts (container/byte order/codec enum/predictor) — the Spark
+    side must recover every one of them from real IFD walks."""
+    aois = syn.aois_table(n_aois, seed).to_pylist()
+    rows: list[dict] = []
+    for i in range(n_images):
+        t = _tiff_sidecar(i, seed)
+        facts = {
+            "container": "bigtiff" if t["bigtiff"] else "tiff",
+            "byte_order": t["byte_order"],
+            "codec": _TIFF_COMP_CODE[t["fmt"]],
+            "predictor": t["predictor"],
+        }
+        for aoi in aois:
+            if not (
+                t["xmax"] >= aoi["xmin"] and t["xmin"] <= aoi["xmax"]
+                and t["ymax"] >= aoi["ymin"] and t["ymin"] <= aoi["ymax"]
+            ):
+                continue
+            if not geom.rect_intersects_polygon(
+                t["xmin"], t["ymin"], t["xmax"], t["ymax"], bytes(aoi["geometry"])
+            ):
+                continue
+            for band in bands:
+                if band < t["n_bands"]:
+                    z = _zonal_truth_row(t, aoi, band)
+                    rows.append(
+                        {
+                            "image_id": z["image_id"],
+                            "aoi_id": z["aoi_id"],
+                            "band": band,
+                            **facts,
+                            "px_count": z["px_count"],
+                            "valid_count": z["valid_count"],
+                            "v_mean": z["v_mean"],
+                            "status": "ok",
+                        }
+                    )
+    pdf = pd.DataFrame(rows)
+    pdf["band"] = pdf["band"].astype("int32")
+    pdf["codec"] = pdf["codec"].astype("int32")
+    pdf["predictor"] = pdf["predictor"].astype("int32")
+    for c in ("px_count", "valid_count"):
+        pdf[c] = pdf[c].astype("int64")
+    pdf["v_mean"] = pdf["v_mean"].astype("float64")
+    return pdf
+
+
 def band_index_truth_pdf(
     bbox: tuple[float, float, float, float],
     size: int,

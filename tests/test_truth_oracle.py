@@ -119,6 +119,25 @@ def test_sample_truth_rows_match_real_reader():
     assert ring_hits >= 3  # the fallback genuinely exercised
 
 
+def test_make_tiff_image_truth_expected_matches_decode():
+    """TIFF truth 'expected' == the real container decode for every lossless
+    matrix entry (jpeg rows declare expected=None — lossy)."""
+    lossless = jpeg = 0
+    for i in range(28):  # two full passes over the 14-entry matrix
+        t = syn.make_tiff_image_truth(i)
+        row = syn.make_tiff_image_row(i)
+        got = container.decode_full_any(row["bytes"])
+        if got.ndim == 2:
+            got = got[None]
+        if t["fmt"] == "jpeg":
+            assert t["expected"] is None
+            jpeg += 1
+            continue
+        assert np.array_equal(got, t["expected"]), (i, t["fmt"])
+        lossless += 1
+    assert jpeg >= 2 and lossless >= 20
+
+
 def test_spark_xxhash64_mirror(spark):
     """The truth module's xxhash64(long, int-literal) mirror is bit-equal to
     Catalyst's (drives the random chip-request mirror for q53)."""
