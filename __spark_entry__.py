@@ -763,6 +763,56 @@ def _ensure_tiff_zonal_truth() -> str:
     return _ensure_truth_parquet("tiff_zonal_truth_96_40", build)
 
 
+def _ensure_simhash_truth() -> str:
+    def build():
+        from rasteret_spark.sources.truth import simhash_truth_pdf
+
+        return simhash_truth_pdf("/root/testdata/sf0.01", max_hamming=10)
+
+    return _ensure_truth_parquet("simhash_truth_sf001", build)
+
+
+def _ensure_minhash_truth() -> str:
+    def build():
+        from rasteret_spark.sources.truth import minhash_truth_pdf
+
+        return minhash_truth_pdf(
+            "/root/testdata/sf0.01", num_perm=16, bands=4, jaccard_threshold=0.3
+        )
+
+    return _ensure_truth_parquet("minhash_truth_sf001", build)
+
+
+def _ensure_lsh_topk_truth() -> str:
+    def build():
+        from rasteret_spark.sources.truth import lsh_topk_truth_pdf
+
+        return lsh_topk_truth_pdf("/root/testdata/sf0.01", k=3, dim=64,
+                                  n_bits=4, n_tables=8)
+
+    return _ensure_truth_parquet("lsh_topk_truth_sf001", build)
+
+
+def _ensure_ivf_topk_truth() -> str:
+    def build():
+        from rasteret_spark.sources.truth import ivf_topk_truth_pdf
+
+        return ivf_topk_truth_pdf("/root/testdata/sf0.01", k=3,
+                                  n_clusters=16, nprobe=6)
+
+    return _ensure_truth_parquet("ivf_topk_truth_sf001", build)
+
+
+def _ensure_feature_pairs_truth() -> str:
+    def build():
+        from rasteret_spark.sources.truth import image_feature_pairs_truth_pdf
+
+        return image_feature_pairs_truth_pdf(120, threshold=0.999,
+                                             n_bits=6, n_tables=6)
+
+    return _ensure_truth_parquet("feature_pairs_truth_120", build)
+
+
 def _ensure_zonal_bands_truth() -> str:
     def build():
         from rasteret_spark.sources.truth import zonal_truth_pdf
@@ -843,6 +893,7 @@ def q44_image_psnr(spark, sf_dir):
 def q45_simhash_near_dups(spark, sf_dir):
     from rasteret_spark.operators.dedup import simhash_near_dups
 
+    _ensure_simhash_truth()  # DuckDB oracle side (single-process mirror)
     d = _t(spark, sf_dir, "documents")
     return simhash_near_dups(d, "text", "doc_id", max_hamming=10)
 
@@ -850,6 +901,7 @@ def q45_simhash_near_dups(spark, sf_dir):
 def q46_minhash_lsh_pairs(spark, sf_dir):
     from rasteret_spark.operators.dedup import minhash_lsh_pairs
 
+    _ensure_minhash_truth()  # DuckDB oracle side (single-process mirror)
     d = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, "text", "doc_id", num_perm=16, bands=4,
                              jaccard_threshold=0.3).select("id_a", "id_b")
@@ -858,11 +910,14 @@ def q46_minhash_lsh_pairs(spark, sf_dir):
 def q47_lsh_ann(spark, sf_dir):
     from rasteret_spark.operators.similarity import lsh_topk
 
+    _ensure_lsh_topk_truth()  # DuckDB oracle side (single-process mirror)
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
-    return lsh_topk(emb, probes, k=3, dim=64, n_bits=4, n_tables=8)
+    return lsh_topk(emb, probes, k=3, dim=64, n_bits=4, n_tables=8).select(
+        "probe_id", F.col("vec_id").alias("neighbor_id"), "rank"
+    )
 
 
 # the hotspot query: bbox + chip size/resolution/stride — the chip GRID is
@@ -975,6 +1030,7 @@ def q52_ivf_ann(spark, sf_dir):
     visits, exact cosine rerank.  Recall vs brute force gated in pytest."""
     from rasteret_spark.operators import similarity as sim
 
+    _ensure_ivf_topk_truth()  # DuckDB oracle side (single-process mirror)
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("probe_id"), "embedding"
@@ -1362,6 +1418,7 @@ def q58_image_feature_pairs(spark, sf_dir):
     generator's dup_every rule) surface at cosine ~1."""
     from rasteret_spark.operators import multimodal, similarity
 
+    _ensure_feature_pairs_truth()  # DuckDB oracle side (pre-encode truth)
     images = _images_df(spark)
     feats = multimodal.extract_features(images).filter(F.col("status") == "ok")
     return similarity.cosine_near_dup_pairs(
@@ -1534,6 +1591,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT chip_id, t_index, band, aug_op, chip_w, chip_h,
                    v_sum, weighted
             FROM read_parquet('{_ensure_augment_truth()}')
+        """,
+        "q45_simhash_near_dups": f"""
+            SELECT id_a, id_b, hamming
+            FROM read_parquet('{_ensure_simhash_truth()}')
+        """,
+        "q46_minhash_lsh_pairs": f"""
+            SELECT id_a, id_b
+            FROM read_parquet('{_ensure_minhash_truth()}')
+        """,
+        "q47_lsh_ann": f"""
+            SELECT probe_id, neighbor_id, rank
+            FROM read_parquet('{_ensure_lsh_topk_truth()}')
+        """,
+        "q52_ivf_ann": f"""
+            SELECT probe_id, neighbor_id, rank
+            FROM read_parquet('{_ensure_ivf_topk_truth()}')
+        """,
+        "q58_image_feature_pairs": f"""
+            SELECT id_a, id_b
+            FROM read_parquet('{_ensure_feature_pairs_truth()}')
         """,
         "q62_tiff_enrich_zonal": f"""
             SELECT image_id, aoi_id, band, container, byte_order, codec,

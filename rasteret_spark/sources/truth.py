@@ -853,6 +853,337 @@ def pixel_series_truth_pdf(
     return pdf
 
 
+def _xxh64_str(s: str, seed: int = 42) -> int:
+    """Catalyst ``xxhash64(string)`` == standard XXH64 over the UTF-8 bytes
+    with seed 42 (verified bit-equal against Spark in tests)."""
+    from rasteret_spark.format.zstd import xxh64
+
+    h = xxh64(s.encode("utf-8"), seed)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _read_documents(sf_dir: str) -> list[dict]:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).to_pylist()
+
+
+def _fnv1a64(b: bytes) -> int:
+    h = 0xCBF29CE484222325
+    for ch in b:
+        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash_truth_pdf(
+    sf_dir: str = "/root/testdata/sf0.01",
+    max_hamming: int = 10,
+    block_bits: int = 16,
+) -> pd.DataFrame:
+    """Expected output of the simhash near-dup query: scalar FNV-1a token
+    hashes + bit-majority signatures, pigeonhole 16-bit band candidates,
+    popcount verify — all single-process Python over the raw parquet."""
+    docs = _read_documents(sf_dir)
+    sims: dict[int, int] = {}
+    for d in docs:
+        toks = (d["text"] or "").lower().split()
+        if not toks:
+            sims[d["doc_id"]] = 0
+            continue
+        votes = [0] * 64
+        for w in toks:
+            h = _fnv1a64(w.encode("utf-8"))
+            for bit in range(64):
+                votes[bit] += 1 if (h >> bit) & 1 else -1
+        sims[d["doc_id"]] = sum(1 << b for b in range(64) if votes[b] > 0)
+    n_bands = 64 // block_bits
+    mask = (1 << block_bits) - 1
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for did, sim in sims.items():
+        for band in range(n_bands):
+            buckets.setdefault((band, (sim >> (band * block_bits)) & mask), []).append(did)
+    pairs: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                pairs.add((members[i], members[j]))
+    rows = []
+    for a, b in sorted(pairs):
+        ham = bin(sims[a] ^ sims[b]).count("1")
+        if ham <= max_hamming:
+            rows.append({"id_a": a, "id_b": b, "hamming": ham})
+    pdf = pd.DataFrame(rows)
+    pdf["id_a"] = pdf["id_a"].astype("int64")
+    pdf["id_b"] = pdf["id_b"].astype("int64")
+    pdf["hamming"] = pdf["hamming"].astype("int32")
+    return pdf
+
+
+def _norm_tokens(text: str) -> list[str]:
+    import re
+
+    return re.sub(r"[ \t\n\x0B\f\r]+", " ", (text or "").lower()).strip(" ").split(" ")
+
+
+def _shingles_truth(text: str, n: int = 3) -> list[str]:
+    toks = _norm_tokens(text)
+    if len(toks) < n:
+        return [" ".join(toks)]
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def minhash_truth_pdf(
+    sf_dir: str = "/root/testdata/sf0.01",
+    num_perm: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.3,
+    shingle_n: int = 3,
+) -> pd.DataFrame:
+    """Expected output of the minhash-LSH pair query: per-doc signatures from
+    the xxhash64 mirrors, banded bucket candidates, exact shingle-set Jaccard
+    verify — single-process Python over the raw parquet."""
+    docs = _read_documents(sf_dir)
+    rows_per_band = num_perm // bands
+    sigs: dict[int, list[int]] = {}
+    shingle_sets: dict[int, set[str]] = {}
+    for d in docs:
+        sh = _shingles_truth(d["text"], shingle_n)
+        shingle_sets[d["doc_id"]] = set(sh)
+        base = [_xxh64_str(s) for s in set(sh)]  # dup shingles don't move a min
+        sigs[d["doc_id"]] = [
+            min(spark_xxhash64_long_int(h, p) for h in base) for p in range(num_perm)
+        ]
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for did, sig in sigs.items():
+        for band in range(bands):
+            h = 42
+            h = _xxh_int(band, h)
+            for v in sig[band * rows_per_band : (band + 1) * rows_per_band]:
+                h = _xxh_long(v, h)
+            h = h - (1 << 64) if h >= (1 << 63) else h
+            buckets.setdefault((band, h), []).append(did)
+    pairs: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                pairs.add((members[i], members[j]))
+    rows = []
+    for a, b in sorted(pairs):
+        sa, sb = shingle_sets[a], shingle_sets[b]
+        jac = len(sa & sb) / len(sa | sb)
+        if jac >= jaccard_threshold:
+            rows.append({"id_a": a, "id_b": b})
+    pdf = pd.DataFrame(rows)
+    pdf["id_a"] = pdf["id_a"].astype("int64")
+    pdf["id_b"] = pdf["id_b"].astype("int64")
+    return pdf
+
+
+def _read_embeddings(sf_dir: str) -> list[dict]:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pylist()
+
+
+def _cosine_fold(a: np.ndarray, b: np.ndarray) -> float:
+    """Catalyst ``cosine_expr`` mirror: element-wise double casts, sequential
+    ``aggregate`` folds for all three dots."""
+    import math
+
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    return _fold_sum(a * b) / (math.sqrt(_fold_sum(a * a)) * math.sqrt(_fold_sum(b * b)))
+
+
+def _hyperplane_tables(
+    mat: np.ndarray, dim: int, n_bits: int, n_tables: int, seed: int = 7
+) -> np.ndarray:
+    """(n, n_tables) bucket ids — mirror of ``hyperplane_buckets_udf`` (same
+    deterministic seeded planes; the full-matrix matmul reproduces the
+    per-row batched products bit-for-bit)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bits * n_tables, dim)).astype(np.float64)
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+    bits = (mat @ planes.T) > 0
+    return bits.reshape(len(mat), n_tables, n_bits) @ weights
+
+
+def _rank_topk(
+    cand: dict[object, set], vecs: dict, pvecs: dict, k: int
+) -> list[dict]:
+    """Exact cosine rerank + row_number window mirror: per probe, order by
+    (cosine desc, target id asc), keep the first k."""
+    rows: list[dict] = []
+    for pid in sorted(cand, key=str):
+        scored = [
+            (-_cosine_fold(vecs[t], pvecs[pid]), t) for t in cand[pid] if t != pid
+        ]
+        scored.sort()
+        for rank, (_, t) in enumerate(scored[:k], start=1):
+            rows.append({"probe_id": pid, "neighbor_id": t, "rank": rank})
+    return rows
+
+
+def lsh_topk_truth_pdf(
+    sf_dir: str = "/root/testdata/sf0.01",
+    k: int = 3,
+    dim: int = 64,
+    n_bits: int = 4,
+    n_tables: int = 8,
+    n_probes: int = 10,
+) -> pd.DataFrame:
+    """Expected output of the hyperplane-LSH ANN query: bucket tables mirrored
+    from the seeded planes, candidates = pairs agreeing in >= 1 table, exact
+    sequential-fold cosine rerank, top-k per probe."""
+    rows = _read_embeddings(sf_dir)
+    ids = [r["vec_id"] for r in rows]
+    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    bk = _hyperplane_tables(mat, dim, n_bits, n_tables)
+    vecs = {i: np.asarray(r["embedding"], dtype=np.float32)
+            for i, r in zip(ids, rows)}
+    probe_ids = [i for i in ids if i < n_probes]
+    by_tb: dict[tuple[int, int], list[int]] = {}
+    for row_i, did in enumerate(ids):
+        for t in range(n_tables):
+            by_tb.setdefault((t, int(bk[row_i, t])), []).append(did)
+    cand: dict[object, set] = {p: set() for p in probe_ids}
+    idx_of = {did: i for i, did in enumerate(ids)}
+    for p in probe_ids:
+        for t in range(n_tables):
+            for did in by_tb.get((t, int(bk[idx_of[p], t])), ()):
+                cand[p].add(did)
+    out = _rank_topk(cand, vecs, {p: vecs[p] for p in probe_ids}, k)
+    pdf = pd.DataFrame(out)
+    pdf["probe_id"] = pdf["probe_id"].astype("int64")
+    pdf["neighbor_id"] = pdf["neighbor_id"].astype("int64")
+    pdf["rank"] = pdf["rank"].astype("int32")
+    return pdf
+
+
+def ivf_topk_truth_pdf(
+    sf_dir: str = "/root/testdata/sf0.01",
+    k: int = 3,
+    n_clusters: int = 16,
+    nprobe: int = 6,
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = 11,
+    n_probes: int = 10,
+) -> pd.DataFrame:
+    """Expected output of the IVF ANN query: the deterministic quantizer
+    re-trained from scratch (hash-ordered sample mirror of the engine's
+    ``orderBy(xxhash64(id)) . limit``), single-list target assignment,
+    nprobe probe lists, exact rerank."""
+    rows = _read_embeddings(sf_dir)
+    ids = [r["vec_id"] for r in rows]
+    # the engine's bounded deterministic sample: hash-ordered limit
+    order = sorted(range(len(ids)), key=lambda i: _xxh64_str(str(ids[i])))[:sample]
+    m = np.stack(
+        [np.asarray(rows[i]["embedding"], dtype=np.float64) for i in order]
+    )
+    m /= np.linalg.norm(m, axis=1, keepdims=True) + 1e-12
+    rng = np.random.default_rng(seed)
+    cent = m[rng.choice(len(m), size=min(n_clusters, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(len(cent)):
+            sel = m[assign == c]
+            if len(sel):
+                v = sel.sum(axis=0)
+                cent[c] = v / (np.linalg.norm(v) + 1e-12)
+    # per-row cluster ids (argsort(-sims) mirror of ivf_cluster_udf)
+    full = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    fn = full / (np.linalg.norm(full, axis=1, keepdims=True) + 1e-12)
+    sims = fn @ cent.T
+    t_cl = np.argsort(-sims, axis=1)[:, :1][:, 0]
+    p_cls = np.argsort(-sims, axis=1)[:, :nprobe]
+    vecs = {i: np.asarray(r["embedding"], dtype=np.float32)
+            for i, r in zip(ids, rows)}
+    probe_ids = [i for i in ids if i < n_probes]
+    idx_of = {did: i for i, did in enumerate(ids)}
+    by_cl: dict[int, list[int]] = {}
+    for row_i, did in enumerate(ids):
+        by_cl.setdefault(int(t_cl[row_i]), []).append(did)
+    cand: dict[object, set] = {
+        p: {
+            did
+            for cl in p_cls[idx_of[p]]
+            for did in by_cl.get(int(cl), ())
+        }
+        for p in probe_ids
+    }
+    out = _rank_topk(cand, vecs, {p: vecs[p] for p in probe_ids}, k)
+    pdf = pd.DataFrame(out)
+    pdf["probe_id"] = pdf["probe_id"].astype("int64")
+    pdf["neighbor_id"] = pdf["neighbor_id"].astype("int64")
+    pdf["rank"] = pdf["rank"].astype("int32")
+    return pdf
+
+
+def _feature_descriptor(arr: np.ndarray) -> np.ndarray:
+    """Mirror of ``multimodal.extract_features``'s 22-dim descriptor over a
+    2-D float array (band 0 of the truth array — the registered miniraster
+    decoder reads band 0)."""
+    arr = arr.astype(np.float64)
+    mu = float(arr.mean())
+    sd = float(arr.std()) or 1.0
+    z = (arr - mu) / sd
+    q = np.percentile(z, [10, 25, 50, 75, 90])
+    dy = float(np.abs(np.diff(z, axis=0)).mean()) if z.shape[0] > 1 else 0.0
+    dx = float(np.abs(np.diff(z, axis=1)).mean()) if z.shape[1] > 1 else 0.0
+    h, w = arr.shape
+    ys = (np.arange(5) * h) // 4
+    xs = (np.arange(5) * w) // 4
+    cells = [
+        float(c.mean()) if c.size else 0.0
+        for i in range(4) for j in range(4)
+        for c in [z[ys[i]:ys[i + 1], xs[j]:xs[j + 1]]]
+    ]
+    return np.array([*q.tolist(), dy + dx, *cells], dtype=np.float64)
+
+
+def image_feature_pairs_truth_pdf(
+    n_images: int = 120,
+    threshold: float = 0.999,
+    n_bits: int = 6,
+    n_tables: int = 6,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Expected output of the image-descriptor near-dup query: descriptors
+    recomputed from PRE-ENCODE truth arrays, hyperplane bucket self-join
+    candidates, sequential-fold cosine >= threshold."""
+    ids = [f"img-{i:08d}" for i in range(n_images)]
+    feats = np.stack(
+        [
+            _feature_descriptor(syn.make_image_truth(i, seed)["expected"][0])
+            for i in range(n_images)
+        ]
+    )
+    bk = _hyperplane_tables(feats, feats.shape[1], n_bits, n_tables)
+    pairs: set[tuple[str, str]] = set()
+    by_tb: dict[tuple[int, int], list[int]] = {}
+    for row_i in range(n_images):
+        for t in range(n_tables):
+            by_tb.setdefault((t, int(bk[row_i, t])), []).append(row_i)
+    for members in by_tb.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                a, b = members[i], members[j]
+                pairs.add((ids[a], ids[b]) if ids[a] < ids[b] else (ids[b], ids[a]))
+    rows = [
+        {"id_a": a, "id_b": b}
+        for a, b in sorted(pairs)
+        if _cosine_fold(feats[ids.index(a)], feats[ids.index(b)]) >= threshold
+    ]
+    return pd.DataFrame(rows, columns=["id_a", "id_b"]).astype(
+        {"id_a": "object", "id_b": "object"}
+    )
+
+
 def _fold_sum(vals) -> float:
     """Sequential left fold (the order ``F.aggregate`` adds doubles in) —
     NOT numpy pairwise summation."""
