@@ -813,6 +813,15 @@ def _ensure_feature_pairs_truth() -> str:
     return _ensure_truth_parquet("feature_pairs_truth_120", build)
 
 
+def _ensure_overview_truth() -> str:
+    def build():
+        from rasteret_spark.sources.truth import overview_truth_pdf
+
+        return overview_truth_pdf(96)
+
+    return _ensure_truth_parquet("overview_truth_96", build)
+
+
 def _ensure_zonal_bands_truth() -> str:
     def build():
         from rasteret_spark.sources.truth import zonal_truth_pdf
@@ -1241,6 +1250,70 @@ def q62_tiff_enrich_zonal(spark, sf_dir):
     )
 
 
+def q67_overview_pixels(spark, sf_dir):
+    """Overview-pixel parity surface next to q63's byte economics: every
+    non-jpeg TIFF serves the same centered window at factors 1 / 2 / 4
+    through ``read_window_at_res`` — level choice, scaled window dims and a
+    position-weighted checksum, all DuckDB-oracled against pre-encode truth
+    decimations (overview IFDs are written as exact ``[::f, ::f]``
+    nearest-neighbour decimations; jpeg pyramids are lossy per level, so
+    they stay on q63's rows-only surface)."""
+    import pandas as pd
+
+    from rasteret_spark.operators.util import spread_compute
+
+    _ensure_overview_truth()  # DuckDB oracle side (pre-encode pixel truth)
+    images = _tiff_images_cached(spark, 96)
+
+    schema = (
+        "image_id string, factor int, n_levels int, level int, "
+        "win_w int, win_h int, checksum double, status string"
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from rasteret_spark.format import tiff
+
+        for pdf in batches:
+            out = []
+            for image_id, blob in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    blob = bytes(blob)
+                    metas = tiff.parse_tiff_chain(tiff.blob_read(blob))
+                    if metas[0].compression == 7:  # new-style JPEG: lossy pyramids
+                        continue
+                    m0 = metas[0]
+                    w, h = m0.width, m0.height
+                    c0, r0 = w // 4, h // 4
+                    ww, wh = w // 2, h // 2
+                    for factor in (1, 2, 4):
+                        win, lv = tiff.read_window_at_res(
+                            tiff.blob_read(blob), c0, r0, ww, wh,
+                            factor=float(factor), metas=metas,
+                        )
+                        v = np.asarray(win, dtype=np.float64).ravel()
+                        out.append({
+                            "image_id": image_id, "factor": factor,
+                            "n_levels": len(metas), "level": lv,
+                            "win_w": int(win.shape[1]), "win_h": int(win.shape[0]),
+                            "checksum": float(
+                                np.nansum(v * np.arange(1, v.size + 1))
+                            ),
+                            "status": "ok",
+                        })
+                except Exception as e:  # quarantine row
+                    out.append({
+                        "image_id": image_id, "factor": -1, "n_levels": None,
+                        "level": None, "win_w": None, "win_h": None,
+                        "checksum": None, "status": str(e)[:80],
+                    })
+            yield pd.DataFrame(out)
+
+    src = spread_compute(images.select("image_id", "bytes"))
+    return src.mapInPandas(run, schema=schema)
+
+
 def q63_overview_serve(spark, sf_dir):
     """COG overview serving: for every pyramid-bearing TIFF, read the same
     centered window at full resolution AND at factor-4 zoom — the coarse
@@ -1520,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_chip_augment": q61_chip_augment,
         "q62_tiff_enrich_zonal": q62_tiff_enrich_zonal,
         "q63_overview_serve": q63_overview_serve,
+        "q67_overview_pixels": q67_overview_pixels,
         "q64_band_index": q64_band_index,
         "q65_temporal_median": q65_temporal_median,
         "q66_pixel_series": q66_pixel_series,
@@ -1611,6 +1685,11 @@ def oracle_sql() -> dict[str, str]:
         "q58_image_feature_pairs": f"""
             SELECT id_a, id_b
             FROM read_parquet('{_ensure_feature_pairs_truth()}')
+        """,
+        "q67_overview_pixels": f"""
+            SELECT image_id, factor, n_levels, level,
+                   win_w, win_h, checksum, status
+            FROM read_parquet('{_ensure_overview_truth()}')
         """,
         "q62_tiff_enrich_zonal": f"""
             SELECT image_id, aoi_id, band, container, byte_order, codec,

@@ -709,6 +709,62 @@ def tiff_zonal_truth_pdf(
     return pdf
 
 
+def overview_truth_pdf(
+    n_images: int = 96,
+    seed: int = 42,
+    overviews: tuple[int, ...] = (2, 4),
+    factors: tuple[int, ...] = (1, 2, 4),
+) -> pd.DataFrame:
+    """Expected output of the overview-pixel query: pyramids rebuilt as exact
+    ``[::f, ::f]`` decimations of the pre-encode band-0 array, the engine's
+    pick-coarsest-level-not-exceeding-factor rule and trunc-scaled window
+    mapping mirrored, position-weighted checksums over the sliced window.
+    Lossy jpeg rows are skipped (their pyramids re-encode per level)."""
+    rows: list[dict] = []
+    for i in range(n_images):
+        t = syn.make_tiff_image_truth(i, seed)
+        if t["fmt"] == "jpeg":
+            continue
+        arr0 = t["expected"][0]
+        levels = [arr0] + (
+            [arr0[::f, ::f] for f in overviews] if t["tiled"] else []
+        )
+        w, h = t["w"], t["h"]
+        c0, r0 = w // 4, h // 4
+        ww, wh = w // 2, h // 2
+        for factor in factors:
+            best = 0
+            for li, lv in enumerate(levels):
+                dec = w / lv.shape[1]
+                if dec <= factor + 1e-9 and dec >= w / levels[best].shape[1]:
+                    best = li
+            lv = levels[best]
+            fx = w / lv.shape[1]
+            fy = h / lv.shape[0]
+            cc, rr = int(c0 / fx), int(r0 / fy)
+            www = max(int(ww / fx), 1)
+            whh = max(int(wh / fy), 1)
+            win = lv[rr : rr + whh, cc : cc + www].astype(np.float64)
+            v = win.ravel()
+            rows.append(
+                {
+                    "image_id": f"tif-{i:08d}",
+                    "factor": factor,
+                    "n_levels": len(levels),
+                    "level": best,
+                    "win_w": win.shape[1],
+                    "win_h": win.shape[0],
+                    "checksum": float(np.nansum(v * np.arange(1, v.size + 1))),
+                    "status": "ok",
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    for c in ("factor", "n_levels", "level", "win_w", "win_h"):
+        pdf[c] = pdf[c].astype("int32")
+    pdf["checksum"] = pdf["checksum"].astype("float64")
+    return pdf
+
+
 def band_index_truth_pdf(
     bbox: tuple[float, float, float, float],
     size: int,
