@@ -591,8 +591,18 @@ def _ensure_truth_parquet(name: str, builder) -> str:
     from rasteret_spark.sources import truth as truth_mod
 
     tkey = hashlib.md5(inspect.getsource(truth_mod).encode()).hexdigest()[:8]
+    # the builder's own source + the shared grid constants pin the PARAMETERS
+    # into the cache key (the closure source contains every literal; the
+    # constants cover names referenced from module scope) — editing either
+    # regenerates instead of silently reusing a stale frame
+    pkey = hashlib.md5(
+        (
+            inspect.getsource(builder)
+            + repr((HOTSPOT_BBOX, CHIP_SIZE, CHIP_RES, CHIP_STRIDE))
+        ).encode()
+    ).hexdigest()[:8]
     path = (
-        f"/tmp/rasteret_spark_oracle/{name}_{_gen_fingerprint()}_{tkey}.parquet"
+        f"/tmp/rasteret_spark_oracle/{name}_{_gen_fingerprint()}_{tkey}_{pkey}.parquet"
     )
     if not os.path.exists(path):
         pdf = builder()
@@ -763,11 +773,19 @@ def _ensure_tiff_zonal_truth() -> str:
     return _ensure_truth_parquet("tiff_zonal_truth_96_40", build)
 
 
+# The documents/embeddings truth mirrors are pinned to sf0.01 — the driver
+# contract runs the correctness diff at sf=0.01 by definition (the
+# pre-registered DuckDB views read that directory), and oracle_sql() is a
+# static string surface with no sf parameter.  A gate run at any other sf
+# would mismatch these four oracles by construction.
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
 def _ensure_simhash_truth() -> str:
     def build():
         from rasteret_spark.sources.truth import simhash_truth_pdf
 
-        return simhash_truth_pdf("/root/testdata/sf0.01", max_hamming=10)
+        return simhash_truth_pdf(ORACLE_SF_DIR, max_hamming=10)
 
     return _ensure_truth_parquet("simhash_truth_sf001", build)
 
@@ -777,7 +795,7 @@ def _ensure_minhash_truth() -> str:
         from rasteret_spark.sources.truth import minhash_truth_pdf
 
         return minhash_truth_pdf(
-            "/root/testdata/sf0.01", num_perm=16, bands=4, jaccard_threshold=0.3
+            ORACLE_SF_DIR, num_perm=16, bands=4, jaccard_threshold=0.3
         )
 
     return _ensure_truth_parquet("minhash_truth_sf001", build)
@@ -787,7 +805,7 @@ def _ensure_lsh_topk_truth() -> str:
     def build():
         from rasteret_spark.sources.truth import lsh_topk_truth_pdf
 
-        return lsh_topk_truth_pdf("/root/testdata/sf0.01", k=3, dim=64,
+        return lsh_topk_truth_pdf(ORACLE_SF_DIR, k=3, dim=64,
                                   n_bits=4, n_tables=8)
 
     return _ensure_truth_parquet("lsh_topk_truth_sf001", build)
@@ -797,7 +815,7 @@ def _ensure_ivf_topk_truth() -> str:
     def build():
         from rasteret_spark.sources.truth import ivf_topk_truth_pdf
 
-        return ivf_topk_truth_pdf("/root/testdata/sf0.01", k=3,
+        return ivf_topk_truth_pdf(ORACLE_SF_DIR, k=3,
                                   n_clusters=16, nprobe=6)
 
     return _ensure_truth_parquet("ivf_topk_truth_sf001", build)
@@ -834,7 +852,6 @@ def _ensure_zonal_bands_truth() -> str:
 def q40_image_enrich(spark, sf_dir):
     from rasteret_spark.operators.enrich import enrich_headers
 
-    _ensure_images_meta_parquet()  # DuckDB oracle side (generator truth)
     img = _images_df(spark)
     return enrich_headers(img).select(
         "image_id", "fmt", "meta.width", "meta.height", "meta.compression",
@@ -846,7 +863,6 @@ def q41_image_zonal(spark, sf_dir):
     from rasteret_spark.operators import decode, spatial_join as sj
     from rasteret_spark.sources import synthetic as syn
 
-    _ensure_zonal_truth()  # DuckDB oracle side (pre-encode pixel truth)
     images = _images_df(spark)
     img_light = images.select(
         "image_id",
@@ -870,7 +886,6 @@ def q42_image_point_sample(spark, sf_dir):
     from rasteret_spark.operators import sampling, spatial_join as sj
     from rasteret_spark.sources import synthetic as syn
 
-    _ensure_sample_truth()  # DuckDB oracle side (pre-encode pixel truth)
     images = _images_df(spark)
     img_light = images.select(
         "image_id",
@@ -887,7 +902,6 @@ def q42_image_point_sample(spark, sf_dir):
 def q43_image_dedup_phash(spark, sf_dir):
     from rasteret_spark.operators.dedup import exact_dedup
 
-    _ensure_images_meta_parquet()  # DuckDB oracle side (generator truth)
     img = _images_df(spark).select("image_id", "phash")
     return exact_dedup(img, "phash", "image_id")
 
@@ -895,14 +909,12 @@ def q43_image_dedup_phash(spark, sf_dir):
 def q44_image_psnr(spark, sf_dir):
     from rasteret_spark.operators.decode import psnr_check
 
-    _ensure_psnr_truth()  # DuckDB oracle side (pre-encode pixel truth)
     return psnr_check(_images_df(spark).select("image_id", "bytes", "fmt"))
 
 
 def q45_simhash_near_dups(spark, sf_dir):
     from rasteret_spark.operators.dedup import simhash_near_dups
 
-    _ensure_simhash_truth()  # DuckDB oracle side (single-process mirror)
     d = _t(spark, sf_dir, "documents")
     return simhash_near_dups(d, "text", "doc_id", max_hamming=10)
 
@@ -910,7 +922,6 @@ def q45_simhash_near_dups(spark, sf_dir):
 def q46_minhash_lsh_pairs(spark, sf_dir):
     from rasteret_spark.operators.dedup import minhash_lsh_pairs
 
-    _ensure_minhash_truth()  # DuckDB oracle side (single-process mirror)
     d = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, "text", "doc_id", num_perm=16, bands=4,
                              jaccard_threshold=0.3).select("id_a", "id_b")
@@ -919,7 +930,6 @@ def q46_minhash_lsh_pairs(spark, sf_dir):
 def q47_lsh_ann(spark, sf_dir):
     from rasteret_spark.operators.similarity import lsh_topk
 
-    _ensure_lsh_topk_truth()  # DuckDB oracle side (single-process mirror)
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("probe_id"), "embedding"
@@ -969,7 +979,6 @@ def q48_image_mosaic(spark, sf_dir):
     diffs it against the pre-encode truth mirror (sources/truth.py)."""
     from rasteret_spark.operators import raster_mosaic as rmo
 
-    _ensure_mosaic_truth()  # DuckDB oracle side (pre-encode pixel truth)
     out = rmo.first_valid_mosaic_pixels(
         _chip_pairs(spark), bands=(0, 1), max_images_per_chip=None  # capped in _chip_pairs
     )
@@ -986,7 +995,6 @@ def q49_image_latest_sample(spark, sf_dir):
     from rasteret_spark.operators.asof import latest_per_key
     from rasteret_spark.sources import synthetic as syn
 
-    _ensure_latest_sample_truth()  # DuckDB oracle side (pre-encode pixel truth)
     images = _images_df(spark)
     img_light = images.select(
         "image_id", "datetime",
@@ -1011,7 +1019,6 @@ def q50_image_zonal_bands(spark, sf_dir):
     from rasteret_spark.operators import decode, spatial_join as sj
     from rasteret_spark.sources import synthetic as syn
 
-    _ensure_zonal_bands_truth()  # DuckDB oracle side (pre-encode pixel truth)
     images = _images_df(spark)
     img_light = images.select(
         "image_id",
@@ -1039,7 +1046,6 @@ def q52_ivf_ann(spark, sf_dir):
     visits, exact cosine rerank.  Recall vs brute force gated in pytest."""
     from rasteret_spark.operators import similarity as sim
 
-    _ensure_ivf_topk_truth()  # DuckDB oracle side (single-process mirror)
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("probe_id"), "embedding"
@@ -1054,7 +1060,6 @@ def q51_image_chip_stack(spark, sf_dir):
     the reference's stacked chip serving (`torchgeo.py:997-1236`)."""
     from rasteret_spark.operators import raster_mosaic as rmo
 
-    _ensure_chip_stack_truth()  # DuckDB oracle side (pre-encode pixel truth)
     out = rmo.chip_stack_pixels(
         _chip_pairs(spark), bands=(0, 1), max_images_per_chip=None  # capped upstream
     )
@@ -1070,7 +1075,6 @@ def q53_chip_serve(spark, sf_dir):
 
     from rasteret_spark.operators import chips
 
-    _ensure_chip_serve_truth()  # DuckDB oracle side (pre-encode pixel truth)
     images = _images_df(spark)
     img_light = images.select(
         "image_id", "datetime",
@@ -1096,7 +1100,6 @@ def q54_image_mosaic_average(spark, sf_dir):
     multiple source centers.  Kernel pinned in tests/test_resampling.py."""
     from rasteret_spark.operators import chips, raster_mosaic as rmo
 
-    _ensure_mosaic_avg_truth()  # DuckDB oracle side (pre-encode pixel truth)
     images = _images_df(spark)
     img_light = images.select(
         "image_id",
@@ -1127,7 +1130,6 @@ def q60_image_mosaic_native_grid(spark, sf_dir):
     from rasteret_spark import crs
     from rasteret_spark.operators import chips, raster_mosaic as rmo
 
-    _ensure_mosaic_native_truth()  # DuckDB oracle side (pre-encode pixel truth)
     images = _images_df(spark)
     img_light = images.select(
         "image_id",
@@ -1156,7 +1158,6 @@ def q61_chip_augment(spark, sf_dir):
     hook (`src/rasteret/integrations/torchgeo.py:292-299`)."""
     from rasteret_spark.operators import augment as ag, chips
 
-    _ensure_augment_truth()  # DuckDB oracle side (pre-encode pixel truth)
     images = _images_df(spark)
     img_light = images.select(
         "image_id", "datetime",
@@ -1222,7 +1223,6 @@ def q62_tiff_enrich_zonal(spark, sf_dir):
     from rasteret_spark.operators.enrich import enrich_headers
     from rasteret_spark.sources import synthetic as syn
 
-    _ensure_tiff_zonal_truth()  # DuckDB oracle side (pre-encode pixel truth)
     images = _tiff_images_cached(spark, 96)
     enriched = enrich_headers(images).select(
         "image_id", "meta.container", "meta.byte_order",
@@ -1262,7 +1262,6 @@ def q67_overview_pixels(spark, sf_dir):
 
     from rasteret_spark.operators.util import spread_compute
 
-    _ensure_overview_truth()  # DuckDB oracle side (pre-encode pixel truth)
     images = _tiff_images_cached(spark, 96)
 
     schema = (
@@ -1403,7 +1402,6 @@ def q64_band_index(spark, sf_dir):
     mosaic = rmo.first_valid_mosaic_pixels(
         _chip_pairs(spark), bands=(0, 1), max_images_per_chip=None
     )
-    _ensure_band_index_truth()  # DuckDB oracle side (pre-encode pixel truth)
     nd = bm.normalized_difference(mosaic, 1, 0)
     masked = bm.threshold_mask(nd, "nd", lo=0.0)
     return masked.select(
@@ -1425,7 +1423,6 @@ def q65_temporal_median(spark, sf_dir):
     stack = rmo.chip_stack_pixels(
         _chip_pairs(spark), bands=(0, 1), max_images_per_chip=None
     )
-    _ensure_temporal_median_truth()  # DuckDB oracle side (pre-encode truth)
     med = bm.temporal_composite(stack, stat="median")
     valid = F.filter(F.col("composite"), lambda v: v.isNotNull())
     return med.select(
@@ -1462,7 +1459,6 @@ def q66_pixel_series(spark, sf_dir):
     samples = sampling.sample_points(
         cands, images.select("image_id", "bytes"), bands=(0,)
     )
-    _ensure_pixel_series_truth()  # DuckDB oracle side (pre-encode truth)
     series = sampling.point_time_series(
         samples, images.select("image_id", "datetime")
     )
@@ -1491,7 +1487,6 @@ def q58_image_feature_pairs(spark, sf_dir):
     generator's dup_every rule) surface at cosine ~1."""
     from rasteret_spark.operators import multimodal, similarity
 
-    _ensure_feature_pairs_truth()  # DuckDB oracle side (pre-encode truth)
     images = _images_df(spark)
     feats = multimodal.extract_features(images).filter(F.col("status") == "ok")
     return similarity.cosine_near_dup_pairs(

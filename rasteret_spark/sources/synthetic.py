@@ -197,17 +197,47 @@ def make_image_truth(i: int, seed: int = 42, dup_every: int = 17) -> dict:
         "epsg": epsg,
         "transform": transform,
         "qstep": qstep,
+        **_row_sidecar(i, src_i, w, h, transform, epsg),
+    }
+
+
+def _row_sidecar(
+    i: int, src_i: int, w: int, h: int, transform: tuple, epsg: int
+) -> dict:
+    """The pure pre-encode sidecar shared by BOTH row builders and the truth
+    oracles (single definition — an edit here changes generator and oracle
+    together): lon/lat footprint + bbox, caption, timestamp."""
+    sx, _, x0, _, sy, y0 = transform
+    cols = np.array([0.0, w, w, 0.0])
+    rows = np.array([0.0, 0.0, h, h])
+    lons, lats = crs.to_lonlat(epsg, sx * cols + x0, sy * rows + y0)
+    footprint = geom.wkb_polygon([np.column_stack([lons, lats])])
+    xmin, ymin, xmax, ymax = geom.wkb_bbox(footprint)
+    if src_i % 23 == 11:
+        caption = ""
+    else:
+        widx = [(src_i * 7 + k * 13) % len(_CAPTION_WORDS) for k in range(3)]
+        caption = " ".join(_CAPTION_WORDS[j] for j in widx) + f" #{src_i}"
+    epoch = dt.datetime(2023, 1, 1) + dt.timedelta(
+        hours=float((src_i * 37) % (2 * 365 * 24)), minutes=float(i % 60)
+    )
+    return {
+        "geometry": footprint,
+        "xmin": xmin,
+        "ymin": ymin,
+        "xmax": xmax,
+        "ymax": ymax,
+        "caption": caption,
+        "datetime": epoch,
     }
 
 
 def make_image_row(i: int, seed: int = 42, dup_every: int = 17) -> dict:
     """One deterministic row of the images table."""
     t = make_image_truth(i, seed, dup_every)
-    src_i = t["src_i"]
     arr, w, h = t["arr"], t["w"], t["h"]
-    fmt, predictor, dtype = t["fmt"], t["predictor"], t["dtype"]
+    fmt, predictor = t["fmt"], t["predictor"]
     nodata, epsg, transform = t["nodata"], t["epsg"], t["transform"]
-    sx, _, x0, _, sy, y0 = transform
     n_bands, qstep = t["n_bands"], t["qstep"]
     blob = mr.encode_image(
         arr,
@@ -221,26 +251,7 @@ def make_image_row(i: int, seed: int = 42, dup_every: int = 17) -> dict:
         qstep=qstep,
     )
 
-    # footprint polygon in lon/lat from the pixel-space corners
-    cols = np.array([0.0, w, w, 0.0])
-    rows = np.array([0.0, 0.0, h, h])
-    xs = sx * cols + x0
-    ys = sy * rows + y0
-    lons, lats = crs.to_lonlat(epsg, xs, ys)
-    ring = np.column_stack([lons, lats])
-    footprint = geom.wkb_polygon([ring])
-    xmin, ymin, xmax, ymax = geom.wkb_bbox(footprint)
-
-    # caption: deterministic, unicode-bearing, sometimes empty
-    if src_i % 23 == 11:
-        caption = ""
-    else:
-        widx = [(src_i * 7 + k * 13) % len(_CAPTION_WORDS) for k in range(3)]
-        caption = " ".join(_CAPTION_WORDS[j] for j in widx) + f" #{src_i}"
-
-    epoch = dt.datetime(2023, 1, 1) + dt.timedelta(
-        hours=float((src_i * 37) % (2 * 365 * 24)), minutes=float(i % 60)
-    )
+    epoch = t["datetime"]
     return {
         "image_id": f"img-{i:08d}",
         "bytes": blob,
@@ -248,17 +259,17 @@ def make_image_row(i: int, seed: int = 42, dup_every: int = 17) -> dict:
         "h": h,
         "n_bands": n_bands,
         "fmt": fmt,
-        "caption": caption,
+        "caption": t["caption"],
         "phash": phash64(arr[0]),
         "datetime": epoch,
         "epsg": epsg,
         "transform": list(transform),
         "nodata": nodata,
-        "geometry": footprint,
-        "xmin": xmin,
-        "ymin": ymin,
-        "xmax": xmax,
-        "ymax": ymax,
+        "geometry": t["geometry"],
+        "xmin": t["xmin"],
+        "ymin": t["ymin"],
+        "xmax": t["xmax"],
+        "ymax": t["ymax"],
         "year": epoch.year,
         "month": epoch.month,
     }
@@ -543,6 +554,7 @@ def make_tiff_image_truth(i: int, seed: int = 42, dup_every: int = 17) -> dict:
         "epsg": epsg,
         "transform": transform,
         "pixel_is_point": pixel_is_point,
+        **_row_sidecar(i, src_i, w, h, transform, epsg),
     }
 
 
@@ -551,7 +563,6 @@ def make_tiff_image_row(i: int, seed: int = 42, dup_every: int = 17) -> dict:
     from rasteret_spark.format import tiffwrite
 
     t = make_tiff_image_truth(i, seed, dup_every)
-    src_i = t["src_i"]
     arr, w, h, n_bands = t["arr"], t["w"], t["h"], t["n_bands"]
     fmt, predictor = t["fmt"], t["predictor"]
     tiled, order, bigtiff = t["tiled"], t["byte_order"], t["bigtiff"]
@@ -585,23 +596,7 @@ def make_tiff_image_row(i: int, seed: int = 42, dup_every: int = 17) -> dict:
         jpeg_tables_mode=1 if (fmt == "jpeg" and tiled) else 0,
     )
 
-    cols = np.array([0.0, w, w, 0.0])
-    rows = np.array([0.0, 0.0, h, h])
-    xs = sx * cols + x0
-    ys = sy * rows + y0
-    lons, lats = crs.to_lonlat(epsg, xs, ys)
-    footprint = geom.wkb_polygon([np.column_stack([lons, lats])])
-    xmin, ymin, xmax, ymax = geom.wkb_bbox(footprint)
-
-    if src_i % 23 == 11:
-        caption = ""
-    else:
-        widx = [(src_i * 7 + k * 13) % len(_CAPTION_WORDS) for k in range(3)]
-        caption = " ".join(_CAPTION_WORDS[j] for j in widx) + f" #{src_i}"
-
-    epoch = dt.datetime(2023, 1, 1) + dt.timedelta(
-        hours=float((src_i * 37) % (2 * 365 * 24)), minutes=float(i % 60)
-    )
+    epoch = t["datetime"]
     return {
         "image_id": f"tif-{i:08d}",
         "bytes": blob,
@@ -609,17 +604,17 @@ def make_tiff_image_row(i: int, seed: int = 42, dup_every: int = 17) -> dict:
         "h": h,
         "n_bands": n_bands,
         "fmt": fmt,
-        "caption": caption,
+        "caption": t["caption"],
         "phash": phash64(arr[0]),
         "datetime": epoch,
         "epsg": epsg,
         "transform": list(transform),
         "nodata": nodata,
-        "geometry": footprint,
-        "xmin": xmin,
-        "ymin": ymin,
-        "xmax": xmax,
-        "ymax": ymax,
+        "geometry": t["geometry"],
+        "xmin": t["xmin"],
+        "ymin": t["ymin"],
+        "xmax": t["xmax"],
+        "ymax": t["ymax"],
         "year": epoch.year,
         "month": epoch.month,
     }

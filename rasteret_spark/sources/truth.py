@@ -35,35 +35,11 @@ _FLOAT = ["v_sum", "v_mean", "v_min", "v_max"]
 
 
 def _image_sidecar(i: int, seed: int = 42) -> dict:
-    """Truth dict for image ``i`` plus the lon/lat footprint bbox, caption
-    and timestamp (same corner math / caption / epoch formulas as
-    ``make_image_row``, re-derived here without touching the encoded blob)."""
-    import datetime as dt
-
+    """Truth dict for image ``i`` — footprint bbox / caption / timestamp come
+    from the generator's own pre-encode sidecar (one definition,
+    `synthetic._row_sidecar`); only the row id is added here."""
     t = syn.make_image_truth(i, seed)
-    sx, _, x0, _, sy, y0 = t["transform"]
-    w, h = t["w"], t["h"]
-    cols = np.array([0.0, w, w, 0.0])
-    rows = np.array([0.0, 0.0, h, h])
-    lons, lats = crs.to_lonlat(t["epsg"], sx * cols + x0, sy * rows + y0)
-    footprint = geom.wkb_polygon([np.column_stack([lons, lats])])
-    xmin, ymin, xmax, ymax = geom.wkb_bbox(footprint)
-    src_i = t["src_i"]
-    if src_i % 23 == 11:
-        caption = ""
-    else:
-        widx = [(src_i * 7 + k * 13) % len(syn._CAPTION_WORDS) for k in range(3)]
-        caption = " ".join(syn._CAPTION_WORDS[j] for j in widx) + f" #{src_i}"
-    t.update(
-        image_id=f"img-{i:08d}",
-        caption=caption,
-        xmin=xmin,
-        ymin=ymin,
-        xmax=xmax,
-        ymax=ymax,
-        datetime=dt.datetime(2023, 1, 1)
-        + dt.timedelta(hours=float((src_i * 37) % (2 * 365 * 24)), minutes=float(i % 60)),
-    )
+    t["image_id"] = f"img-{i:08d}"
     return t
 
 
@@ -628,29 +604,16 @@ def _tiff_sidecar(i: int, seed: int = 42) -> dict:
 
         arr = container.decode_full_any(syn.make_tiff_image_row(i, seed)["bytes"])
         t["expected"] = arr[None] if arr.ndim == 2 else arr
-    sx, _, x0, _, sy, y0 = t["transform"]
-    w, h = t["w"], t["h"]
-    cols = np.array([0.0, w, w, 0.0])
-    rows = np.array([0.0, 0.0, h, h])
-    lons, lats = crs.to_lonlat(t["epsg"], sx * cols + x0, sy * rows + y0)
-    footprint = geom.wkb_polygon([np.column_stack([lons, lats])])
-    xmin, ymin, xmax, ymax = geom.wkb_bbox(footprint)
     if t["pixel_is_point"]:
         # the FILE stores a center tiepoint; the engine recovers the area
         # origin as tie - scale/2 — mirror that float roundtrip exactly
         # (format/tiff.py:276-279), it is the container's declared georef
+        # (the footprint bbox above keeps the generator's original origin,
+        # exactly like the written row)
+        sx, _, x0, _, sy, y0 = t["transform"]
         t["transform"] = (sx, 0.0, (x0 + sx / 2.0) - sx / 2.0,
                           0.0, sy, (y0 - sx / 2.0) + sx / 2.0)
-    src_i = t["src_i"]
-    if src_i % 23 == 11:
-        caption = ""
-    else:
-        widx = [(src_i * 7 + k * 13) % len(syn._CAPTION_WORDS) for k in range(3)]
-        caption = " ".join(syn._CAPTION_WORDS[j] for j in widx) + f" #{src_i}"
-    t.update(
-        image_id=f"tif-{i:08d}", caption=caption,
-        xmin=xmin, ymin=ymin, xmax=xmax, ymax=ymax,
-    )
+    t["image_id"] = f"tif-{i:08d}"
     return t
 
 
@@ -969,7 +932,7 @@ def simhash_truth_pdf(
         ham = bin(sims[a] ^ sims[b]).count("1")
         if ham <= max_hamming:
             rows.append({"id_a": a, "id_b": b, "hamming": ham})
-    pdf = pd.DataFrame(rows)
+    pdf = pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
     pdf["id_a"] = pdf["id_a"].astype("int64")
     pdf["id_b"] = pdf["id_b"].astype("int64")
     pdf["hamming"] = pdf["hamming"].astype("int32")
@@ -1031,7 +994,7 @@ def minhash_truth_pdf(
         jac = len(sa & sb) / len(sa | sb)
         if jac >= jaccard_threshold:
             rows.append({"id_a": a, "id_b": b})
-    pdf = pd.DataFrame(rows)
+    pdf = pd.DataFrame(rows, columns=["id_a", "id_b"])
     pdf["id_a"] = pdf["id_a"].astype("int64")
     pdf["id_b"] = pdf["id_b"].astype("int64")
     return pdf

@@ -36,6 +36,7 @@ def compare(got: pd.DataFrame, want: pd.DataFrame) -> str:
     if sorted(got.columns) != sorted(want.columns):
         return f"COLS {sorted(got.columns)} vs {sorted(want.columns)}"
     g, w = normalize(got), normalize(want)
+    inexact_col = None
     for c in g.columns:
         gv, wv = g[c].to_numpy(), w[c].to_numpy()
         # the driver's value-hash is dtype-sensitive: Spark int64 vs oracle
@@ -52,12 +53,14 @@ def compare(got: pd.DataFrame, want: pd.DataFrame) -> str:
             ):
                 return f"VALUES col={c}"
             gf, wf = gv.astype(float), wv.astype(float)
-            if not ((gf == wf) | (np.isnan(gf) & np.isnan(wf))).all():
-                return f"OK~ (float-inexact col={c})"
+            if inexact_col is None and not (
+                (gf == wf) | (np.isnan(gf) & np.isnan(wf))
+            ).all():
+                inexact_col = c  # keep checking the REMAINING columns
         else:
             if not (pd.Series(gv).astype(str) == pd.Series(wv).astype(str)).all():
                 return f"VALUES col={c}"
-    return "OK"
+    return f"OK~ (float-inexact col={inexact_col})" if inexact_col else "OK"
 
 
 def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None) -> int:
