@@ -831,6 +831,17 @@ def _ensure_feature_pairs_truth() -> str:
     return _ensure_truth_parquet("feature_pairs_truth_120", build)
 
 
+def _ensure_label_masks_truth() -> str:
+    def build():
+        from rasteret_spark.sources.truth import label_masks_truth_pdf
+
+        return label_masks_truth_pdf(
+            HOTSPOT_BBOX, CHIP_SIZE, CHIP_RES, stride=CHIP_STRIDE, n_aois=40
+        )
+
+    return _ensure_truth_parquet("label_masks_truth", build)
+
+
 def _ensure_overview_truth() -> str:
     def build():
         from rasteret_spark.sources.truth import overview_truth_pdf
@@ -1313,6 +1324,33 @@ def q67_overview_pixels(spark, sf_dir):
     return src.mapInPandas(run, schema=schema)
 
 
+def q68_label_masks(spark, sf_dir):
+    """Training-label rasterization: the hotspot chip grid x the AOI polygon
+    table -> per-chip segmentation masks (class of the first containing
+    polygon in aoi_id order per pixel center; 0 = background) — the label
+    side of an (imagery, label) training pair on the SAME grid q48/q53
+    serve imagery for.  DuckDB-oracled against a structurally independent
+    per-pixel first-containing-polygon mirror."""
+    from rasteret_spark.operators.labels import label_masks
+    from rasteret_spark.sources import synthetic as syn
+
+    grid = _chips_df(spark)
+    aois = spark.createDataFrame(syn.aois_table(40).to_pandas())
+    out = label_masks(grid, aois, class_col="crop")
+    return out.select(
+        "chip_id", "n_polys", "n_labeled",
+        F.aggregate(
+            F.zip_with(
+                F.col("mask"),
+                F.sequence(F.lit(1), F.size(F.col("mask"))),
+                lambda v, i: v.cast("bigint") * i.cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"), lambda acc, v: acc + v,
+        ).alias("checksum"),
+        "status",
+    )
+
+
 def q63_overview_serve(spark, sf_dir):
     """COG overview serving: for every pyramid-bearing TIFF, read the same
     centered window at full resolution AND at factor-4 zoom — the coarse
@@ -1589,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_tiff_enrich_zonal": q62_tiff_enrich_zonal,
         "q63_overview_serve": q63_overview_serve,
         "q67_overview_pixels": q67_overview_pixels,
+        "q68_label_masks": q68_label_masks,
         "q64_band_index": q64_band_index,
         "q65_temporal_median": q65_temporal_median,
         "q66_pixel_series": q66_pixel_series,
@@ -1680,6 +1719,10 @@ def oracle_sql() -> dict[str, str]:
         "q58_image_feature_pairs": f"""
             SELECT id_a, id_b
             FROM read_parquet('{_ensure_feature_pairs_truth()}')
+        """,
+        "q68_label_masks": f"""
+            SELECT chip_id, n_polys, n_labeled, checksum, status
+            FROM read_parquet('{_ensure_label_masks_truth()}')
         """,
         "q67_overview_pixels": f"""
             SELECT image_id, factor, n_levels, level,

@@ -437,6 +437,24 @@ class Collection:
         stack = self.chips(bbox, size, xres, bands=bands, **chip_kwargs)
         return bm.temporal_composite(stack, stat=stat)
 
+    def label_masks(
+        self, bbox, size: int, xres: float, aois: DataFrame,
+        class_col: str = "crop", classes=None, stride: int | None = None,
+        grid_epsg: int = 4326,
+    ) -> DataFrame:
+        """Segmentation label masks for the ``bbox`` chip grid: each pixel
+        takes the class of its first containing AOI polygon (aoi_id order;
+        0 = background) — the label side of an (imagery, label) training
+        pair on the same grid :meth:`chips` serves imagery for
+        (`operators/labels.label_masks`)."""
+        from rasteret_spark.operators import chips as ch
+        from rasteret_spark.operators.labels import label_masks
+
+        grid = ch.chip_requests(
+            self.spark, bbox, size, xres, stride=stride, grid_epsg=grid_epsg
+        )
+        return label_masks(grid, aois, class_col=class_col, classes=classes)
+
     def chip_batches(self, batch_size: int = 8, **chip_kwargs):
         """Stream assembled ([T, C, H, W], attrs) batches to the driver."""
         from rasteret_spark.operators import assemble

@@ -1,0 +1,186 @@
+"""Training-label rasterization: burn AOI polygons into per-chip class masks.
+
+A segmentation training set needs (imagery, label) pairs on the SAME grid:
+the imagery side comes from ``chips.chip_serve`` / ``raster_mosaic``; this
+operator produces the label side — for every chip of the request grid, a
+[H, W] integer mask where each pixel carries the class of the
+highest-priority AOI polygon containing its center (0 = background).  The
+reference reaches label masks only through external TorchGeo datasets
+(`src/rasteret/integrations/torchgeo.py:100-290` pairs imagery with
+pre-rasterized label layers); here the rasterization itself is a first-class
+distributed operator over the vector AOI table.
+
+Scale shape: the chips x AOIs candidate join is the same cell-cover
+equi-join every other spatial path uses (light columns only — WKB polygon
+payloads join after the candidate filter), masks burn inside ONE
+``groupBy(chip_id).applyInPandas`` stage (the only shuffle), and the
+per-chip work is bounded by overlapping-AOI count x chip pixels.  Class
+priority is deterministic: polygons burn in ``aoi_id`` ascending order and
+the FIRST writer wins each pixel, so output is invariant to row order and
+partitioning.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: N812
+
+from rasteret_spark import crs, geom
+from rasteret_spark.operators.chips import CHIP_COLS
+
+LABEL_SCHEMA = (
+    "chip_id string, n_polys int, n_labeled bigint, mask array<int>, "
+    "chip_xmin double, chip_ymax double, chip_xres double, chip_yres double, "
+    "chip_w int, chip_h int, grid_epsg int, status string"
+)
+
+
+def _chip_center_lonlat(
+    xmin: float, ymax: float, xres: float, yres: float,
+    w: int, h: int, grid_epsg: int,
+):
+    """Pixel-center lon/lat of a chip grid.  Returns (lon_axis, lat_axis)
+    for lon/lat grids (separable PIP path) or (lon_grid, lat_grid) matrices
+    for projected grids."""
+    gxs = xmin + (np.arange(w) + 0.5) * xres
+    gys = ymax - (np.arange(h) + 0.5) * yres
+    if grid_epsg == 4326:
+        return gxs, gys, True
+    gx, gy = np.meshgrid(gxs, gys)
+    lon, lat = crs.to_lonlat(grid_epsg, gx.ravel(), gy.ravel())
+    return lon.reshape(h, w), lat.reshape(h, w), False
+
+
+def burn_mask(
+    chip: dict, polys: list[tuple[str, int, bytes]]
+) -> tuple[np.ndarray, int]:
+    """Burn ``(aoi_id, class_id, wkb)`` polygons (already in priority order)
+    into one chip's [h, w] int32 mask; returns (mask, n_contributing).
+    Shared by the executor kernel and the driver-side oracle."""
+    w, h = int(chip["chip_w"]), int(chip["chip_h"])
+    gepsg = int(chip.get("grid_epsg") or 4326)
+    ax, ay, separable = _chip_center_lonlat(
+        float(chip["chip_xmin"]), float(chip["chip_ymax"]),
+        float(chip["chip_xres"]), float(chip["chip_yres"]), w, h, gepsg,
+    )
+    mask = np.zeros((h, w), dtype=np.int32)
+    contributing = 0
+    for _aoi_id, class_id, wkb in polys:
+        empty = mask == 0
+        if not empty.any():
+            break  # fully labeled — later (lower-priority) polygons can't win
+        if separable:
+            inside = geom.points_in_polygon_grid(ax, ay, wkb)
+        else:
+            inside = geom.points_in_polygon_wkb(
+                ax.ravel(), ay.ravel(), wkb
+            ).reshape(h, w)
+        take = empty & inside
+        if take.any():
+            mask[take] = class_id
+            contributing += 1
+    return mask, contributing
+
+
+def label_masks(
+    chips: DataFrame,
+    aois: DataFrame,
+    class_col: str = "crop",
+    classes: list[str] | None = None,
+    res: int = 7,
+) -> DataFrame:
+    """Per-chip segmentation label masks from an AOI polygon table.
+
+    ``chips``: CHIP_COLS rows (lon/lat or projected grids — same contract as
+    the mosaic/serving kernels).  ``aois``: aoi_id, geometry (lon/lat WKB),
+    xmin/ymin/xmax/ymax plus a categorical ``class_col``.  ``classes`` fixes
+    the class -> id mapping (index+1; 0 is background); None derives it as
+    the sorted distinct values of ``class_col`` (one bounded driver pull —
+    class cardinality, not rows).
+
+    Output: one row per chip that overlaps at least one AOI —
+    LABEL_SCHEMA (mask row-major, n_polys = candidate polygons,
+    n_labeled = non-background pixels).
+    """
+    from rasteret_spark.operators import raster_mosaic as rmo
+    from rasteret_spark.operators.spatial_join import bbox_join
+
+    if classes is None:
+        classes = sorted(
+            r[0] for r in aois.select(class_col).distinct().collect() if r[0] is not None
+        )
+    class_id = {c: i + 1 for i, c in enumerate(classes)}
+    mapping = F.create_map(
+        *[x for c, i in class_id.items() for x in (F.lit(c), F.lit(i))]
+    )
+
+    extra = ["grid_epsg"] if "grid_epsg" in chips.columns else []
+    # chip extents as lon/lat bboxes (shared convention with every other
+    # chip consumer), renamed so the cell-cover join can treat chips as the
+    # "image" side and polygons as the "aoi" side
+    cb = rmo.chips_as_aois(chips)
+    for c in ("xmin", "ymin", "xmax", "ymax"):
+        cb = cb.withColumnRenamed(f"aoi_{c}", f"cgrid_{c}")
+    a = aois.select(
+        "aoi_id",
+        F.col("geometry").alias("_wkb"),
+        mapping[F.col(class_col)].alias("_cls"),
+        F.col("xmin").alias("aoi_xmin"), F.col("ymin").alias("aoi_ymin"),
+        F.col("xmax").alias("aoi_xmax"), F.col("ymax").alias("aoi_ymax"),
+    ).filter(F.col("_cls").isNotNull())
+    pairs = bbox_join(cb, a, res=res, img_prefix="cgrid").select(
+        *CHIP_COLS, *extra, "aoi_id", "_cls", "_wkb"
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        chip = pdf.iloc[0]
+        gepsg = int(chip["grid_epsg"]) if "grid_epsg" in pdf.columns else 4326
+        # deterministic priority: aoi_id ascending, first writer wins
+        pdf = pdf.sort_values("aoi_id")
+        polys = [
+            (r["aoi_id"], int(r["_cls"]), bytes(r["_wkb"]))
+            for _, r in pdf.iterrows()
+        ]
+        try:
+            mask, _ = burn_mask({**chip.to_dict(), "grid_epsg": gepsg}, polys)
+            return pd.DataFrame(
+                [
+                    {
+                        "chip_id": chip["chip_id"],
+                        "n_polys": len(polys),
+                        "n_labeled": int((mask != 0).sum()),
+                        "mask": mask.ravel().tolist(),
+                        "chip_xmin": float(chip["chip_xmin"]),
+                        "chip_ymax": float(chip["chip_ymax"]),
+                        "chip_xres": float(chip["chip_xres"]),
+                        "chip_yres": float(chip["chip_yres"]),
+                        "chip_w": int(chip["chip_w"]),
+                        "chip_h": int(chip["chip_h"]),
+                        "grid_epsg": gepsg,
+                        "status": "ok",
+                    }
+                ]
+            )
+        except Exception as e:  # quarantine the chip, keep the stage
+            return pd.DataFrame(
+                [
+                    {
+                        "chip_id": chip["chip_id"],
+                        "n_polys": len(polys),
+                        "n_labeled": 0,
+                        "mask": None,
+                        "chip_xmin": float(chip["chip_xmin"]),
+                        "chip_ymax": float(chip["chip_ymax"]),
+                        "chip_xres": float(chip["chip_xres"]),
+                        "chip_yres": float(chip["chip_yres"]),
+                        "chip_w": int(chip["chip_w"]),
+                        "chip_h": int(chip["chip_h"]),
+                        "grid_epsg": gepsg,
+                        "status": f"{type(e).__name__}: {e}"[:200],
+                    }
+                ]
+            )
+
+    return pairs.groupBy("chip_id").applyInPandas(run, schema=LABEL_SCHEMA)

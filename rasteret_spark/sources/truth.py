@@ -872,6 +872,70 @@ def pixel_series_truth_pdf(
     return pdf
 
 
+def label_masks_truth_pdf(
+    bbox: tuple[float, float, float, float],
+    size: int,
+    xres: float,
+    stride: int,
+    n_aois: int = 40,
+    seed: int = 42,
+    class_col: str = "crop",
+) -> pd.DataFrame:
+    """Expected output of the label-rasterization query.  Structurally
+    independent of the engine's sequential burn-with-early-break: every
+    pixel takes the class of its FIRST containing polygon in aoi_id order,
+    computed from a full stack of inside-matrices (PIP kernels shared, as
+    everywhere in this module)."""
+    chips = chip_grid_truth(bbox, size, xres, stride=stride)
+    aois = syn.aois_table(n_aois, seed).to_pylist()
+    classes = sorted({a[class_col] for a in aois if a[class_col] is not None})
+    class_id = {c: i + 1 for i, c in enumerate(classes)}
+    rows: list[dict] = []
+    for chip in chips:
+        x0, y0, x1, y1 = _chip_lonlat_bbox(chip)
+        cands = sorted(
+            (
+                a
+                for a in aois
+                if a[class_col] is not None
+                and a["xmax"] >= x0 and a["xmin"] <= x1
+                and a["ymax"] >= y0 and a["ymin"] <= y1
+            ),
+            key=lambda a: a["aoi_id"],
+        )
+        if not cands:
+            continue
+        w, h = chip["chip_w"], chip["chip_h"]
+        lons = chip["chip_xmin"] + (np.arange(w) + 0.5) * chip["chip_xres"]
+        lats = chip["chip_ymax"] - (np.arange(h) + 0.5) * chip["chip_yres"]
+        insides = np.stack(
+            [
+                geom.points_in_polygon_grid(lons, lats, bytes(a["geometry"]))
+                for a in cands
+            ]
+        )  # (n_polys, h, w) — priority axis first
+        first = np.argmax(insides, axis=0)  # first True wins (0 if none True)
+        any_in = insides.any(axis=0)
+        ids = np.array([class_id[a[class_col]] for a in cands])
+        mask = np.where(any_in, ids[first], 0).astype(np.int64)
+        flat = mask.ravel()
+        rows.append(
+            {
+                "chip_id": chip["chip_id"],
+                "n_polys": len(cands),
+                "n_labeled": int((mask != 0).sum()),
+                "checksum": int((flat * np.arange(1, flat.size + 1)).sum()),
+                "status": "ok",
+            }
+        )
+    pdf = pd.DataFrame(rows, columns=["chip_id", "n_polys", "n_labeled",
+                                      "checksum", "status"])
+    pdf["n_polys"] = pdf["n_polys"].astype("int32")
+    for c in ("n_labeled", "checksum"):
+        pdf[c] = pdf[c].astype("int64")
+    return pdf
+
+
 def _xxh64_str(s: str, seed: int = 42) -> int:
     """Catalyst ``xxhash64(string)`` == standard XXH64 over the UTF-8 bytes
     with seed 42 (verified bit-equal against Spark in tests)."""
