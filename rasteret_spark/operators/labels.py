@@ -123,15 +123,19 @@ def label_masks(
     cb = rmo.chips_as_aois(chips)
     for c in ("xmin", "ymin", "xmax", "ymax"):
         cb = cb.withColumnRenamed(f"aoi_{c}", f"cgrid_{c}")
-    a = aois.select(
+    a_light = aois.select(
         "aoi_id",
-        F.col("geometry").alias("_wkb"),
         mapping[F.col(class_col)].alias("_cls"),
         F.col("xmin").alias("aoi_xmin"), F.col("ymin").alias("aoi_ymin"),
         F.col("xmax").alias("aoi_xmax"), F.col("ymax").alias("aoi_ymax"),
     ).filter(F.col("_cls").isNotNull())
-    pairs = bbox_join(cb, a, res=res, img_prefix="cgrid").select(
-        *CHIP_COLS, *extra, "aoi_id", "_cls", "_wkb"
+    # candidate join on LIGHT columns only; the polygon WKB payload joins
+    # AFTER the candidate filter (never rides the cell-cover explode —
+    # same rule as image blobs in every other spatial path)
+    pairs = bbox_join(cb, a_light, res=res, img_prefix="cgrid").select(
+        *CHIP_COLS, *extra, "aoi_id", "_cls"
+    ).join(
+        aois.select("aoi_id", F.col("geometry").alias("_wkb")), "aoi_id"
     )
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
