@@ -842,6 +842,17 @@ def _ensure_label_masks_truth() -> str:
     return _ensure_truth_parquet("label_masks_truth", build)
 
 
+def _ensure_gap_fill_truth() -> str:
+    def build():
+        from rasteret_spark.sources.truth import gap_fill_truth_pdf
+
+        return gap_fill_truth_pdf(
+            HOTSPOT_BBOX, CHIP_SIZE, CHIP_RES, stride=CHIP_STRIDE, bands=(0, 1)
+        )
+
+    return _ensure_truth_parquet("gap_fill_truth", build)
+
+
 def _ensure_overview_truth() -> str:
     def build():
         from rasteret_spark.sources.truth import overview_truth_pdf
@@ -1351,6 +1362,33 @@ def q68_label_masks(spark, sf_dir):
     )
 
 
+def q69_gap_fill(spark, sf_dir):
+    """Temporal gap-fill over real chip stacks: every cloud/nodata pixel gap
+    interpolates linearly in time between its nearest valid neighbours
+    (edges copy the nearest valid) — the time-axis-repair companion to
+    q65's median composite (`operators/timeseries.gap_fill`, one group
+    shuffle, accumulate-vectorized numpy kernel).  DuckDB-oracled against a
+    structurally independent per-pixel bisect mirror."""
+    from rasteret_spark.operators import raster_mosaic as rmo
+    from rasteret_spark.operators.timeseries import gap_fill
+
+    stack = rmo.chip_stack_pixels(
+        _chip_pairs(spark), bands=(0, 1), max_images_per_chip=None
+    )
+    out = gap_fill(stack.filter(F.col("status") == "ok"))
+    return out.select(
+        "chip_id", "t_index", "image_id", "band", "n_missing", "n_filled",
+        F.aggregate(
+            F.zip_with(
+                F.col("values"),
+                F.sequence(F.lit(1), F.size(F.col("values"))),
+                lambda v, i: F.coalesce(v, F.lit(0.0)) * i.cast("double"),
+            ),
+            F.lit(0.0), lambda acc, v: acc + v,
+        ).alias("weighted"),
+    )
+
+
 def q63_overview_serve(spark, sf_dir):
     """COG overview serving: for every pyramid-bearing TIFF, read the same
     centered window at full resolution AND at factor-4 zoom — the coarse
@@ -1628,6 +1666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_overview_serve": q63_overview_serve,
         "q67_overview_pixels": q67_overview_pixels,
         "q68_label_masks": q68_label_masks,
+        "q69_gap_fill": q69_gap_fill,
         "q64_band_index": q64_band_index,
         "q65_temporal_median": q65_temporal_median,
         "q66_pixel_series": q66_pixel_series,
@@ -1719,6 +1758,11 @@ def oracle_sql() -> dict[str, str]:
         "q58_image_feature_pairs": f"""
             SELECT id_a, id_b
             FROM read_parquet('{_ensure_feature_pairs_truth()}')
+        """,
+        "q69_gap_fill": f"""
+            SELECT chip_id, t_index, image_id, band,
+                   n_missing, n_filled, weighted
+            FROM read_parquet('{_ensure_gap_fill_truth()}')
         """,
         "q68_label_masks": f"""
             SELECT chip_id, n_polys, n_labeled, checksum, status

@@ -437,6 +437,18 @@ class Collection:
         stack = self.chips(bbox, size, xres, bands=bands, **chip_kwargs)
         return bm.temporal_composite(stack, stat=stat)
 
+    def gap_fill(self, bbox, size: int, xres: float, bands=(0,), **chip_kwargs):
+        """Serve [T, C, H, W] chip stacks with per-pixel temporal gaps
+        repaired: interior nulls interpolate linearly in time between their
+        nearest valid neighbours, edges copy the nearest valid —
+        `operators/timeseries.gap_fill` over :meth:`chips` rows."""
+        from pyspark.sql import functions as F  # noqa: N812
+
+        from rasteret_spark.operators.timeseries import gap_fill
+
+        stack = self.chips(bbox, size, xres, bands=bands, **chip_kwargs)
+        return gap_fill(stack.filter(F.col("status") == "ok"))
+
     def label_masks(
         self, bbox, size: int, xres: float, aois: DataFrame,
         class_col: str = "crop", classes=None, stride: int | None = None,

@@ -833,6 +833,99 @@ def temporal_median_truth_pdf(
     return pdf
 
 
+def gap_fill_truth_pdf(
+    bbox: tuple[float, float, float, float],
+    size: int,
+    xres: float,
+    stride: int,
+    bands: tuple[int, ...] = (0, 1),
+    max_images_per_chip: int = 32,
+    n_images: int = 120,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Expected output of the temporal gap-fill query: the q51 stack mirror,
+    then a PER-PIXEL python loop (bisect over valid timesteps — structurally
+    independent of the engine's accumulate-vectorized kernel): interior gaps
+    interpolate ``vp + w*(vn - vp)`` in epoch-seconds time, edge gaps copy
+    the nearest valid, all-gap pixels stay null."""
+    import datetime as dt
+
+    epoch0 = dt.datetime(1970, 1, 1)
+    chips = chip_grid_truth(bbox, size, xres, stride=stride)
+    sidecars = [_image_sidecar(i, seed) for i in range(n_images)]
+    rows: list[dict] = []
+    for chip in chips:
+        kept = _chip_cands_truth(chip, sidecars)[:max_images_per_chip]
+        kept.sort(key=lambda t: (t["datetime"], t["image_id"]))
+        for band in bands:
+            # the STACK's t_index enumerates ALL kept images; images lacking
+            # this band emit no row but still consume their slot
+            steps = [
+                (gk, t) for gk, t in enumerate(kept) if band < t["n_bands"]
+            ]
+            if not steps:
+                continue
+            planes = np.stack(
+                [_truth_nearest(t, band, chip).ravel() for _, t in steps]
+            )
+            # tz-independent epoch seconds (naive arithmetic == pandas
+            # int64-ns/1e9 for TIMESTAMP_NTZ values)
+            tsec = np.array(
+                [(t["datetime"] - epoch0).total_seconds() for _, t in steps],
+                dtype=np.float64,
+            )
+            T, P = planes.shape
+            filled = planes.copy()
+            n_filled = np.zeros(T, dtype=np.int64)
+            for p in range(P):
+                vi = [k for k in range(T) if not np.isnan(planes[k, p])]
+                if not vi or len(vi) == T:
+                    continue
+                for k in range(T):
+                    if not np.isnan(planes[k, p]):
+                        continue
+                    prev = max((j for j in vi if j < k), default=None)
+                    nxt = min((j for j in vi if j > k), default=None)
+                    if prev is not None and nxt is not None:
+                        tp, tn, tk = tsec[prev], tsec[nxt], tsec[k]
+                        vp, vn = planes[prev, p], planes[nxt, p]
+                        if tn == tp:
+                            filled[k, p] = vp
+                        else:
+                            w = (tk - tp) / (tn - tp)
+                            filled[k, p] = vp + w * (vn - vp)
+                    elif nxt is not None:
+                        filled[k, p] = planes[nxt, p]
+                    elif prev is not None:
+                        filled[k, p] = planes[prev, p]
+                    else:
+                        continue
+                    n_filled[k] += 1
+            for k, (gk, t) in enumerate(steps):
+                flat = filled[k]
+                wsum = np.where(np.isnan(flat), 0.0, flat) * np.arange(
+                    1, flat.size + 1
+                )
+                rows.append(
+                    {
+                        "chip_id": chip["chip_id"],
+                        "t_index": gk,
+                        "image_id": t["image_id"],
+                        "band": band,
+                        "n_missing": int(np.isnan(planes[k]).sum()),
+                        "n_filled": int(n_filled[k]),
+                        "weighted": _fold_sum(wsum),
+                    }
+                )
+    pdf = pd.DataFrame(rows)
+    for c in ("t_index", "band"):
+        pdf[c] = pdf[c].astype("int32")
+    for c in ("n_missing", "n_filled"):
+        pdf[c] = pdf[c].astype("int64")
+    pdf["weighted"] = pdf["weighted"].astype("float64")
+    return pdf
+
+
 def pixel_series_truth_pdf(
     n_images: int = 120,
     n_points: int = 200,
