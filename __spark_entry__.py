@@ -1610,6 +1610,22 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# queries whose inputs are the fixed synthetic raster tables rather than the
+# sf-scaled parquet dirs — scale batteries (scripts/bench_sf1.py) skip them:
+# an sf0.1-vs-sf1 ratio for a fixed-size input is a meaningless 1.0 that
+# would flatter the battery stats.  KEEP IN SYNC when adding image queries.
+SF_INDEPENDENT_QUERIES = {
+    "q40_image_enrich", "q41_image_zonal", "q42_image_point_sample",
+    "q43_image_dedup_phash", "q44_image_psnr", "q48_image_mosaic",
+    "q49_image_latest_sample", "q50_image_zonal_bands",
+    "q51_image_chip_stack", "q53_chip_serve", "q54_image_mosaic_average",
+    "q58_image_feature_pairs", "q60_image_mosaic_native_grid",
+    "q61_chip_augment", "q62_tiff_enrich_zonal", "q63_overview_serve",
+    "q64_band_index", "q65_temporal_median", "q66_pixel_series",
+    "q67_overview_pixels", "q68_label_masks", "q69_gap_fill",
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,

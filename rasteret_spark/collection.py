@@ -452,18 +452,22 @@ class Collection:
     def label_masks(
         self, bbox, size: int, xres: float, aois: DataFrame,
         class_col: str = "crop", classes=None, stride: int | None = None,
-        grid_epsg: int = 4326,
+        grid_epsg: int | str | None = None,
     ) -> DataFrame:
         """Segmentation label masks for the ``bbox`` chip grid: each pixel
         takes the class of its first containing AOI polygon (aoi_id order;
         0 = background) — the label side of an (imagery, label) training
         pair on the same grid :meth:`chips` serves imagery for
-        (`operators/labels.label_masks`)."""
+        (`operators/labels.label_masks`).  ``bbox``/``xres`` are lon/lat and
+        resolve through the SAME grid rules as :meth:`chips`
+        (``grid_epsg=None`` lon/lat, ``"auto"`` most-common CRS, int that
+        CRS) so labels always align with the imagery chips."""
         from rasteret_spark.operators import chips as ch
         from rasteret_spark.operators.labels import label_masks
 
+        gbox, gxres, epsg = self._resolve_grid(bbox, xres, grid_epsg)
         grid = ch.chip_requests(
-            self.spark, bbox, size, xres, stride=stride, grid_epsg=grid_epsg
+            self.spark, gbox, size, gxres, stride=stride, grid_epsg=epsg
         )
         return label_masks(grid, aois, class_col=class_col, classes=classes)
 

@@ -29,11 +29,12 @@ from pyspark.sql import functions as F  # noqa: N812
 
 from rasteret_spark import crs, geom
 from rasteret_spark.operators.chips import CHIP_COLS
+from rasteret_spark.operators.raster_mosaic import GRID_COLS_SCHEMA
 
 LABEL_SCHEMA = (
     "chip_id string, n_polys int, n_labeled bigint, mask array<int>, "
-    "chip_xmin double, chip_ymax double, chip_xres double, chip_yres double, "
-    "chip_w int, chip_h int, grid_epsg int, status string"
+    + GRID_COLS_SCHEMA
+    + ", status string"
 )
 
 
@@ -143,11 +144,11 @@ def label_masks(
         gepsg = int(chip["grid_epsg"]) if "grid_epsg" in pdf.columns else 4326
         # deterministic priority: aoi_id ascending, first writer wins
         pdf = pdf.sort_values("aoi_id")
-        polys = [
-            (r["aoi_id"], int(r["_cls"]), bytes(r["_wkb"]))
-            for _, r in pdf.iterrows()
-        ]
-        try:
+        try:  # a null/garbage geometry quarantines the CHIP, not the stage
+            polys = [
+                (r["aoi_id"], int(r["_cls"]), bytes(r["_wkb"]))
+                for _, r in pdf.iterrows()
+            ]
             mask, _ = burn_mask({**chip.to_dict(), "grid_epsg": gepsg}, polys)
             return pd.DataFrame(
                 [
@@ -172,7 +173,7 @@ def label_masks(
                 [
                     {
                         "chip_id": chip["chip_id"],
-                        "n_polys": len(polys),
+                        "n_polys": len(pdf),
                         "n_labeled": 0,
                         "mask": None,
                         "chip_xmin": float(chip["chip_xmin"]),

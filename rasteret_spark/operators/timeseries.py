@@ -94,29 +94,43 @@ def gap_fill(
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         order_cols = [c for c in (ts_col, "image_id") if c in pdf.columns]
         pdf = pdf.sort_values(order_cols).reset_index(drop=True)
-        arrs = [
-            np.array(
-                [np.nan if v is None else float(v) for v in row], dtype=np.float64
-            )
-            for row in pdf[value_col]
-        ]
-        if not arrs or any(a.size != arrs[0].size for a in arrs):
-            # ragged group: quarantine by passing rows through unfilled
-            pdf["n_missing"] = [
-                int(sum(v is None for v in row)) for row in pdf[value_col]
-            ]
-            pdf["n_filled"] = 0
-            return pdf
-        vals = np.stack(arrs)
-        tsec = pdf[ts_col].astype("int64").to_numpy().astype(np.float64) / 1e9
-        filled, fixed = fill_time_series(vals, tsec)
+        # quarantine rows (values = null, e.g. a corrupt-blob time slot) pass
+        # through untouched — they carry no pixels to fill
+        null_rows = pdf[value_col].isna()
+        live = pdf[~null_rows].reset_index(drop=True)
+        # Arrow delivers array<double> as float ndarrays (nulls -> NaN);
+        # asarray also coerces list-of-None inputs — no per-pixel Python
+        arrs = [np.asarray(row, dtype=np.float64) for row in live[value_col]]
         pdf = pdf.copy()
-        pdf[value_col] = [
-            [None if np.isnan(v) else float(v) for v in row] for row in filled
-        ]
-        pdf["n_missing"] = np.isnan(vals).sum(axis=1).astype(np.int64)
-        pdf["n_filled"] = fixed.sum(axis=1).astype(np.int64)
+        pdf["n_missing"] = pd.array(
+            [None if n else int(np.isnan(a).sum())
+             for n, a in _aligned(null_rows, arrs)],
+            dtype="Int64",
+        )
+        pdf["n_filled"] = 0
+        if arrs and all(a.size == arrs[0].size for a in arrs):
+            vals = np.stack(arrs)
+            tsec = live[ts_col].astype("int64").to_numpy().astype(np.float64) / 1e9
+            out, fixed = fill_time_series(vals, tsec)
+            live_idx = np.flatnonzero(~null_rows.to_numpy())
+            new_vals = pdf[value_col].tolist()
+            for j, i in enumerate(live_idx):
+                new_vals[i] = [
+                    None if np.isnan(v) else float(v) for v in out[j]
+                ]
+            pdf[value_col] = new_vals
+            pdf.loc[~null_rows, "n_filled"] = fixed.sum(axis=1).astype(np.int64)
+            if "filled" in pdf.columns:  # keep the CHIP_STACK invariant
+                pdf.loc[~null_rows, "filled"] = (
+                    (~np.isnan(out)).sum(axis=1).astype(np.int64)
+                )
+        # ragged group (mismatched array lengths): rows pass through unfilled
         return pdf
+
+    def _aligned(null_rows, arrs):
+        it = iter(arrs)
+        for n in null_rows:
+            yield (True, None) if n else (False, next(it))
 
     return stack.groupBy(*[F.col(k) for k in key_cols]).applyInPandas(
         run, schema=out_schema

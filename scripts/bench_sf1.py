@@ -120,20 +120,10 @@ def main() -> None:
 
     import benchguard
 
-    # image-table queries ignore sf_dir (their input is the fixed synthetic
-    # raster table + generator-truth oracles) — an sf0.1-vs-sf1 ratio for
-    # them is a meaningless 1.0 that would flatter the battery stats
-    SF_INDEPENDENT = {
-        "q40_image_enrich", "q41_image_zonal", "q42_image_point_sample",
-        "q43_image_dedup_phash", "q44_image_psnr", "q48_image_mosaic",
-        "q49_image_latest_sample", "q50_image_zonal_bands",
-        "q51_image_chip_stack", "q53_chip_serve", "q54_image_mosaic_average",
-        "q58_image_feature_pairs", "q60_image_mosaic_native_grid",
-        "q61_chip_augment", "q62_tiff_enrich_zonal", "q64_band_index",
-        "q65_temporal_median", "q66_pixel_series", "q67_overview_pixels",
-        "q68_label_masks", "q69_gap_fill",
-    }
-    oracle_names = sorted(set(E.oracle_sql().keys()) - SF_INDEPENDENT)
+    # image-table queries ignore sf_dir — the registry declares them next to
+    # the queries themselves (E.SF_INDEPENDENT_QUERIES), so a new image
+    # query can't silently re-enter the ratio battery with a trivial 1.0
+    oracle_names = sorted(set(E.oracle_sql().keys()) - E.SF_INDEPENDENT_QUERIES)
     qmap = E.queries()
     results: dict[str, dict] = {}
     rep_log: dict[str, list] = {}

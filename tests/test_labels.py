@@ -126,6 +126,27 @@ def test_label_masks_distributed_matches_truth(spark):
         assert cks == w.loc[i, "checksum"]
 
 
+def test_label_masks_null_geometry_quarantines_chip(spark):
+    """An AOI row with a null geometry but valid bbox quarantines only the
+    chips it touches (status column), never the stage."""
+    import pandas as pd
+
+    from rasteret_spark.operators.chips import chip_requests
+
+    grid = chip_requests(spark, (13.35, 52.448, 13.452, 52.55), 32, 0.001, stride=35)
+    aois_pd = syn.aois_table(40).to_pandas()
+    bad = aois_pd.iloc[[0]].copy()
+    bad["aoi_id"] = "aoi-broken"
+    bad["geometry"] = None
+    # the broken bbox covers the whole hotspot so it joins every chip
+    bad["xmin"], bad["ymin"], bad["xmax"], bad["ymax"] = 13.3, 52.4, 13.5, 52.6
+    aois = spark.createDataFrame(pd.concat([aois_pd, bad], ignore_index=True))
+    out = labels.label_masks(grid, aois, class_col="crop").toPandas()
+    assert len(out) > 0
+    assert (out["status"] != "ok").all()  # every chip saw the broken polygon
+    assert out["mask"].isna().all()
+
+
 def test_label_masks_explicit_classes(spark):
     """A fixed classes list pins ids; classes absent from it drop out."""
     from rasteret_spark.operators.chips import chip_requests

@@ -63,6 +63,36 @@ def test_fill_edges_and_coincident_times():
     assert not fixed[~np.isnan(vals)].any()  # valid samples never marked
 
 
+def test_gap_fill_passes_quarantine_rows_through(spark):
+    """A values=null row (corrupt-blob time slot) passes through unfilled;
+    live rows in the same group still fill, and the CHIP_STACK ``filled``
+    invariant is recomputed on output."""
+    base = pd.Timestamp("2023-01-01")
+    rows = [
+        {"chip_id": "c", "band": 0, "t_index": 0, "image_id": "a",
+         "datetime": base, "filled": 1, "values": [1.0, None]},
+        {"chip_id": "c", "band": 0, "t_index": 1, "image_id": "b",
+         "datetime": base + pd.Timedelta(days=1), "filled": 0, "values": None},
+        {"chip_id": "c", "band": 0, "t_index": 2, "image_id": "c",
+         "datetime": base + pd.Timedelta(days=2), "filled": 2,
+         "values": [3.0, 4.0]},
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows),
+        schema="chip_id string, band int, t_index int, image_id string, "
+               "datetime timestamp, filled long, values array<double>",
+    )
+    out = gap_fill(df).toPandas().sort_values("t_index").reset_index(drop=True)
+    assert out.loc[1, "values"] is None or (
+        isinstance(out.loc[1, "values"], float) and np.isnan(out.loc[1, "values"])
+    )
+    assert pd.isna(out.loc[1, "n_missing"]) and out.loc[1, "n_filled"] == 0
+    # pixel 1 at t0 fills from its only valid neighbour (t2's 4.0)
+    assert out.loc[0, "values"][1] == 4.0
+    # filled recomputed to match the filled values
+    assert out.loc[0, "filled"] == 2 and out.loc[2, "filled"] == 2
+
+
 def test_gap_fill_distributed(spark):
     rows = []
     base = pd.Timestamp("2023-01-01")
