@@ -853,6 +853,17 @@ def _ensure_gap_fill_truth() -> str:
     return _ensure_truth_parquet("gap_fill_truth", build)
 
 
+def _ensure_class_stats_truth() -> str:
+    def build():
+        from rasteret_spark.sources.truth import class_stats_truth_pdf
+
+        return class_stats_truth_pdf(
+            HOTSPOT_BBOX, CHIP_SIZE, CHIP_RES, stride=CHIP_STRIDE, bands=(0, 1)
+        )
+
+    return _ensure_truth_parquet("class_stats_truth", build)
+
+
 def _ensure_overview_truth() -> str:
     def build():
         from rasteret_spark.sources.truth import overview_truth_pdf
@@ -1389,6 +1400,28 @@ def q69_gap_fill(spark, sf_dir):
     )
 
 
+def q70_class_stats(spark, sf_dir):
+    """Class-stratified pixel statistics over (imagery, label) pairs: q48's
+    first-valid mosaic canvases joined with q68's label masks on the SAME
+    chip grid, per-(chip, band, class) counts and radiometry — the
+    training-data QA surface (class balance, per-class reflectance).  Pure
+    Catalyst nested HOFs with deterministic array-order folds; DuckDB-
+    oracled against the truth-side canvas x mask recomputation."""
+    from rasteret_spark.operators import raster_mosaic as rmo
+    from rasteret_spark.operators.labels import class_stats, label_masks
+    from rasteret_spark.sources import synthetic as syn
+
+    mosaic = rmo.first_valid_mosaic_pixels(
+        _chip_pairs(spark), bands=(0, 1), max_images_per_chip=None
+    )
+    aois = spark.createDataFrame(syn.aois_table(40).to_pandas())
+    masks = label_masks(_chips_df(spark), aois, class_col="crop")
+    return class_stats(
+        masks.filter(F.col("status") == "ok"),
+        mosaic.select("chip_id", "band", "values"),
+    )
+
+
 def q63_overview_serve(spark, sf_dir):
     """COG overview serving: for every pyramid-bearing TIFF, read the same
     centered window at full resolution AND at factor-4 zoom — the coarse
@@ -1623,6 +1656,7 @@ SF_INDEPENDENT_QUERIES = {
     "q61_chip_augment", "q62_tiff_enrich_zonal", "q63_overview_serve",
     "q64_band_index", "q65_temporal_median", "q66_pixel_series",
     "q67_overview_pixels", "q68_label_masks", "q69_gap_fill",
+    "q70_class_stats",
 }
 
 
@@ -1683,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_overview_pixels": q67_overview_pixels,
         "q68_label_masks": q68_label_masks,
         "q69_gap_fill": q69_gap_fill,
+        "q70_class_stats": q70_class_stats,
         "q64_band_index": q64_band_index,
         "q65_temporal_median": q65_temporal_median,
         "q66_pixel_series": q66_pixel_series,
@@ -1774,6 +1809,10 @@ def oracle_sql() -> dict[str, str]:
         "q58_image_feature_pairs": f"""
             SELECT id_a, id_b
             FROM read_parquet('{_ensure_feature_pairs_truth()}')
+        """,
+        "q70_class_stats": f"""
+            SELECT chip_id, band, class_id, n_px, n_valid, v_sum, v_mean
+            FROM read_parquet('{_ensure_class_stats_truth()}')
         """,
         "q69_gap_fill": f"""
             SELECT chip_id, t_index, image_id, band,

@@ -113,7 +113,7 @@ BENCH_QUERIES = [
     "q57_running_total", "q60_image_mosaic_native_grid", "q61_chip_augment",
     "q62_tiff_enrich_zonal", "q63_overview_serve", "q64_band_index",
     "q65_temporal_median", "q66_pixel_series", "q67_overview_pixels",
-    "q68_label_masks", "q69_gap_fill",
+    "q68_label_masks", "q69_gap_fill", "q70_class_stats",
 ]
 
 

@@ -85,6 +85,55 @@ def burn_mask(
     return mask, contributing
 
 
+def class_stats(
+    masks: DataFrame,
+    pixels: DataFrame,
+    value_col: str = "values",
+    mask_col: str = "mask",
+) -> DataFrame:
+    """Class-stratified pixel statistics over (imagery, label) pairs — the
+    training-data QA surface (class balance, per-class radiometry) for the
+    masks :func:`label_masks` produces and the pixel rows the mosaic/stack
+    kernels produce on the SAME grid.
+
+    ``masks``: (chip_id, mask array<int>) rows.  ``pixels``: (chip_id, band,
+    ``value_col`` array<double>) rows (MOSAIC/CHIP_STACK shape).  Output:
+    one row per (chip_id, band, class_id) with n_px (pixels of the class),
+    n_valid (with a non-null value), v_sum / v_mean over the valid ones.
+
+    Pure Catalyst: per-row nested higher-order functions fold each class's
+    pixels IN ARRAY ORDER (deterministic, oracle-exact sums — never a
+    shuffle-order-dependent SQL SUM over exploded pixels), the per-class
+    rows explode only AFTER aggregation (K rows per chip, not H x W), and
+    the only data movement is the chip-keyed equi-join."""
+    zipped = F.zip_with(
+        F.col("_mask"), F.col(value_col), lambda m, v: F.struct(m.alias("m"), v.alias("v"))
+    )
+
+    def per_class(c):
+        sel = F.filter(zipped, lambda x: x["m"] == c)
+        valid = F.filter(sel, lambda x: x["v"].isNotNull())
+        n_valid = F.size(valid)
+        v_sum = F.aggregate(valid, F.lit(0.0), lambda acc, x: acc + x["v"])
+        return F.struct(
+            c.alias("class_id"),
+            F.size(sel).alias("n_px"),
+            n_valid.alias("n_valid"),
+            F.when(n_valid > 0, v_sum).alias("v_sum"),
+            F.when(n_valid > 0, v_sum / n_valid).alias("v_mean"),
+        )
+
+    classes = F.array_sort(
+        F.array_distinct(F.filter(F.col("_mask"), lambda m: m != 0))
+    )
+    j = pixels.join(masks.select("chip_id", F.col(mask_col).alias("_mask")), "chip_id")
+    carry = [c for c in ("chip_id", "band") if c in pixels.columns]
+    return (
+        j.select(*carry, F.explode(F.transform(classes, per_class)).alias("_s"))
+        .select(*carry, "_s.*")
+    )
+
+
 def label_masks(
     chips: DataFrame,
     aois: DataFrame,

@@ -1029,6 +1029,88 @@ def label_masks_truth_pdf(
     return pdf
 
 
+def class_stats_truth_pdf(
+    bbox: tuple[float, float, float, float],
+    size: int,
+    xres: float,
+    stride: int,
+    bands: tuple[int, ...] = (0, 1),
+    n_aois: int = 40,
+    max_images_per_chip: int = 32,
+    n_images: int = 120,
+    seed: int = 42,
+    class_col: str = "crop",
+) -> pd.DataFrame:
+    """Expected output of the class-stratified stats query: first-valid
+    mosaic canvases + per-pixel first-containing-polygon masks recomputed
+    from truth, then per-(chip, band, class) counts and row-major
+    sequential-fold sums."""
+    chips = chip_grid_truth(bbox, size, xres, stride=stride)
+    sidecars = [_image_sidecar(i, seed) for i in range(n_images)]
+    aois = syn.aois_table(n_aois, seed).to_pylist()
+    classes = sorted({a[class_col] for a in aois if a[class_col] is not None})
+    class_id = {c: i + 1 for i, c in enumerate(classes)}
+    rows: list[dict] = []
+    for chip in chips:
+        x0, y0, x1, y1 = _chip_lonlat_bbox(chip)
+        cands = sorted(
+            (
+                a
+                for a in aois
+                if a[class_col] is not None
+                and a["xmax"] >= x0 and a["xmin"] <= x1
+                and a["ymax"] >= y0 and a["ymin"] <= y1
+            ),
+            key=lambda a: a["aoi_id"],
+        )
+        if not cands:
+            continue  # no mask row -> the chip-keyed join drops the chip
+        w, h = chip["chip_w"], chip["chip_h"]
+        lons = chip["chip_xmin"] + (np.arange(w) + 0.5) * chip["chip_xres"]
+        lats = chip["chip_ymax"] - (np.arange(h) + 0.5) * chip["chip_yres"]
+        insides = np.stack(
+            [
+                geom.points_in_polygon_grid(lons, lats, bytes(a["geometry"]))
+                for a in cands
+            ]
+        )
+        first = np.argmax(insides, axis=0)
+        any_in = insides.any(axis=0)
+        ids = np.array([class_id[a[class_col]] for a in cands])
+        mask = np.where(any_in, ids[first], 0).astype(np.int64).ravel()
+        kept = _chip_cands_truth(chip, sidecars)[:max_images_per_chip]
+        if not kept:
+            continue  # no mosaic row either
+        for band in bands:
+            canvas, _ = _composite_chip(chip, kept, band)
+            flat = canvas.ravel()
+            for cid in sorted(set(mask[mask != 0])):
+                sel = mask == cid
+                vals = flat[sel]
+                valid = vals[~np.isnan(vals)]
+                n_valid = int(valid.size)
+                rows.append(
+                    {
+                        "chip_id": chip["chip_id"],
+                        "band": band,
+                        "class_id": int(cid),
+                        "n_px": int(sel.sum()),
+                        "n_valid": n_valid,
+                        "v_sum": _fold_sum(valid) if n_valid else None,
+                        "v_mean": (_fold_sum(valid) / n_valid) if n_valid else None,
+                    }
+                )
+    pdf = pd.DataFrame(
+        rows,
+        columns=["chip_id", "band", "class_id", "n_px", "n_valid", "v_sum", "v_mean"],
+    )
+    for c in ("band", "class_id", "n_px", "n_valid"):
+        pdf[c] = pdf[c].astype("int32")
+    for c in ("v_sum", "v_mean"):
+        pdf[c] = pdf[c].astype("float64")
+    return pdf
+
+
 def _xxh64_str(s: str, seed: int = 42) -> int:
     """Catalyst ``xxhash64(string)`` == standard XXH64 over the UTF-8 bytes
     with seed 42 (verified bit-equal against Spark in tests)."""

@@ -126,6 +126,45 @@ def test_label_masks_distributed_matches_truth(spark):
         assert cks == w.loc[i, "checksum"]
 
 
+def test_class_stats_matches_numpy(spark):
+    """class_stats over a hand-built (pixels, mask) pair == row-major numpy
+    per-class accounting, incl. null-pixel exclusion and null-mask drops."""
+    import pandas as pd
+
+    from rasteret_spark.operators.labels import class_stats
+
+    mask = [0, 1, 1, 2, 2, 2, 0, 1]
+    vals = [9.0, 1.5, None, 4.0, 5.0, None, 7.0, 2.5]
+    masks = spark.createDataFrame(
+        pd.DataFrame([
+            {"chip_id": "c1", "mask": mask},
+            {"chip_id": "dead", "mask": None},
+        ]),
+        schema="chip_id string, mask array<int>",
+    )
+    pixels = spark.createDataFrame(
+        pd.DataFrame([
+            {"chip_id": "c1", "band": 0, "values": vals},
+            {"chip_id": "dead", "band": 0, "values": vals},
+        ]),
+        schema="chip_id string, band int, values array<double>",
+    )
+    out = (
+        class_stats(masks, pixels)
+        .toPandas()
+        .sort_values(["chip_id", "band", "class_id"])
+        .reset_index(drop=True)
+    )
+    assert list(out["chip_id"].unique()) == ["c1"]  # null mask drops out
+    r1 = out[out["class_id"] == 1].iloc[0]
+    assert r1["n_px"] == 3 and r1["n_valid"] == 2
+    assert r1["v_sum"] == 1.5 + 2.5 and r1["v_mean"] == (1.5 + 2.5) / 2
+    r2 = out[out["class_id"] == 2].iloc[0]
+    assert r2["n_px"] == 3 and r2["n_valid"] == 2
+    assert r2["v_sum"] == 4.0 + 5.0
+    assert 0 not in set(out["class_id"])  # background never reported
+
+
 def test_label_masks_null_geometry_quarantines_chip(spark):
     """An AOI row with a null geometry but valid bbox quarantines only the
     chips it touches (status column), never the stage."""
