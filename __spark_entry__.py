@@ -864,6 +864,18 @@ def _ensure_class_stats_truth() -> str:
     return _ensure_truth_parquet("class_stats_truth", build)
 
 
+def _ensure_focal_truth() -> str:
+    def build():
+        from rasteret_spark.sources.truth import focal_truth_pdf
+
+        return focal_truth_pdf(
+            HOTSPOT_BBOX, CHIP_SIZE, CHIP_RES, stride=CHIP_STRIDE,
+            bands=(0, 1), radius=1,
+        )
+
+    return _ensure_truth_parquet("focal_truth", build)
+
+
 def _ensure_overview_truth() -> str:
     def build():
         from rasteret_spark.sources.truth import overview_truth_pdf
@@ -1422,6 +1434,43 @@ def q70_class_stats(spark, sf_dir):
     )
 
 
+def q71_focal_filters(spark, sf_dir):
+    """Focal raster filtering where the pixels are (operators/focal.py):
+    first-valid mosaic -> 3x3 focal mean (nodata-tolerant smoothing) ->
+    Sobel gradient magnitude of the SMOOTHED band — the texture/edge
+    features a chip-quality screen computes, as a pure Catalyst projection
+    (no Python nodes, zero added shuffles; plan-asserted in
+    tests/test_focal.py).  DuckDB-oracled against an independent numpy
+    replicate-pad mirror from pre-encode generator truth."""
+    from rasteret_spark.operators import focal
+    from rasteret_spark.operators import raster_mosaic as rmo
+
+    mosaic = rmo.first_valid_mosaic_pixels(
+        _chip_pairs(spark), bands=(0, 1), max_images_per_chip=None
+    )
+    fm = focal.focal_stats(mosaic, stat="mean", radius=1, out_col="fm")
+    sb = focal.sobel(fm, value_col="fm", out_col="sb")
+
+    def _wsum(col):
+        return F.aggregate(
+            F.zip_with(
+                F.col(col),
+                F.sequence(F.lit(1), F.size(F.col(col))),
+                lambda v, i: F.coalesce(v, F.lit(0.0)) * i.cast("double"),
+            ),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+
+    def _filled(col):
+        return F.size(F.filter(F.col(col), lambda v: v.isNotNull()))
+
+    return sb.select(
+        "chip_id", "band",
+        _filled("fm").alias("fm_filled"), _wsum("fm").alias("fm_wsum"),
+        _filled("sb").alias("sb_filled"), _wsum("sb").alias("sb_wsum"),
+    )
+
+
 def q63_overview_serve(spark, sf_dir):
     """COG overview serving: for every pyramid-bearing TIFF, read the same
     centered window at full resolution AND at factor-4 zoom — the coarse
@@ -1656,7 +1705,7 @@ SF_INDEPENDENT_QUERIES = {
     "q61_chip_augment", "q62_tiff_enrich_zonal", "q63_overview_serve",
     "q64_band_index", "q65_temporal_median", "q66_pixel_series",
     "q67_overview_pixels", "q68_label_masks", "q69_gap_fill",
-    "q70_class_stats",
+    "q70_class_stats", "q71_focal_filters",
 }
 
 
@@ -1718,6 +1767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_label_masks": q68_label_masks,
         "q69_gap_fill": q69_gap_fill,
         "q70_class_stats": q70_class_stats,
+        "q71_focal_filters": q71_focal_filters,
         "q64_band_index": q64_band_index,
         "q65_temporal_median": q65_temporal_median,
         "q66_pixel_series": q66_pixel_series,
@@ -1813,6 +1863,10 @@ def oracle_sql() -> dict[str, str]:
         "q70_class_stats": f"""
             SELECT chip_id, band, class_id, n_px, n_valid, v_sum, v_mean
             FROM read_parquet('{_ensure_class_stats_truth()}')
+        """,
+        "q71_focal_filters": f"""
+            SELECT chip_id, band, fm_filled, fm_wsum, sb_filled, sb_wsum
+            FROM read_parquet('{_ensure_focal_truth()}')
         """,
         "q69_gap_fill": f"""
             SELECT chip_id, t_index, image_id, band,

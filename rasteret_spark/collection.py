@@ -437,6 +437,21 @@ class Collection:
         stack = self.chips(bbox, size, xres, bands=bands, **chip_kwargs)
         return bm.temporal_composite(stack, stat=stat)
 
+    def focal(
+        self, bbox, size: int, xres: float, stat: str = "mean",
+        radius: int = 1, bands=(0,), **mosaic_kwargs,
+    ) -> DataFrame:
+        """Mosaic ``bands`` over ``bbox`` and run a moving-window statistic
+        (focal mean/min/max/sum/count) over every chip — nodata-tolerant
+        smoothing / texture features computed where the pixels are
+        (`operators/focal.py`: the stencil is a pure Catalyst projection,
+        no Python nodes, zero added shuffles).  Extra kwargs pass to
+        :meth:`mosaic` (date_range, method, grid_epsg, ...)."""
+        from rasteret_spark.operators import focal as fo
+
+        per_band = self.mosaic(bbox, size, xres, bands=bands, **mosaic_kwargs)
+        return fo.focal_stats(per_band, stat=stat, radius=radius)
+
     def gap_fill(self, bbox, size: int, xres: float, bands=(0,), **chip_kwargs):
         """Serve [T, C, H, W] chip stacks with per-pixel temporal gaps
         repaired: interior nulls interpolate linearly in time between their

@@ -1,0 +1,193 @@
+"""Focal (moving-window) raster operators over per-band chip rows.
+
+The reference ships its assembled arrays to the driver and leaves kernel
+filtering to numpy/xarray on the client (`examples/landsat_xarray.py`,
+`src/rasteret/core/collection.py:523-604` hand back xarray for exactly this
+kind of post-processing).  At 100 TB the neighborhood pass has to run WHERE
+the pixels already are: these operators evaluate (2R+1)x(2R+1) stencils over
+the engine's per-band rows (MOSAIC_SCHEMA shape: one row per chip x band
+with ``values array<double>`` + ``chip_w``/``chip_h``) entirely in Catalyst
+— the stencil is unrolled into a fixed expression tree per pixel, so the
+plan has NO Python nodes and NO shuffle (each chip row is independent; the
+operator is a pure projection and pipelines into whatever produced the
+rows).  Chips overlap by construction when the grid stride < chip size, so
+no halo exchange is needed — the window never has to cross a chip boundary
+that the sampler didn't already cover.
+
+Edge policy: replicate (out-of-chip taps clamp to the nearest edge pixel —
+numpy's ``np.pad(mode="edge")``).  Null semantics are per operator:
+
+* ``focal_stats`` — the statistic is taken over the VALID taps in the
+  window; a pixel with zero valid taps is null.  (Cloud-tolerant
+  smoothing: a null center still receives a neighborhood estimate.)
+* ``convolve`` — strict stencil by default: ANY null tap nulls the output
+  pixel (a weighted sum with a missing term is not that kernel).  With
+  ``normalize=True`` the kernel renormalizes over the valid taps instead
+  (sum w*v / sum w over valid), the standard nodata-aware blur.
+* ``sobel`` — strict: gradients at a pixel with any missing neighbor are
+  null; magnitude is ``sqrt(gx^2 + gy^2)``.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F  # noqa: N812
+
+FOCAL_STATS = ("mean", "min", "max", "sum", "count")
+
+SOBEL_X = ((-1.0, 0.0, 1.0), (-2.0, 0.0, 2.0), (-1.0, 0.0, 1.0))
+SOBEL_Y = ((-1.0, -2.0, -1.0), (0.0, 0.0, 0.0), (1.0, 2.0, 1.0))
+
+
+def _require(df: DataFrame, value_col: str) -> None:
+    for c in (value_col, "chip_w", "chip_h"):
+        if c not in df.columns:
+            raise ValueError(f"focal operators need column {c!r}")
+
+
+def _taps(i: Column, radius: int, value_col: str) -> list[tuple[int, int, Column]]:
+    """The clamped window around flat index ``i``: a list of
+    ``(dr, dc, value_expr)`` in row-major offset order (the order every
+    fold below accumulates in — truth mirrors must match it)."""
+    w = F.col("chip_w").cast("int")
+    h = F.col("chip_h").cast("int")
+    r = F.floor(i / w).cast("int")
+    c = (i % w).cast("int")
+    out = []
+    for dr in range(-radius, radius + 1):
+        rr = F.greatest(F.lit(0), F.least(r + F.lit(dr), h - F.lit(1)))
+        for dc in range(-radius, radius + 1):
+            cc = F.greatest(F.lit(0), F.least(c + F.lit(dc), w - F.lit(1)))
+            out.append(
+                (dr, dc, F.try_element_at(F.col(value_col), rr * w + cc + F.lit(1)))
+            )
+    return out
+
+
+def _map_pixels(df: DataFrame, value_col: str, px_fn, out_col: str) -> DataFrame:
+    """Project ``out_col = transform(sequence(0, w*h-1), px_fn)`` — one
+    Catalyst pass, guarded against empty arrays (``sequence(0, -1)``
+    descends)."""
+    n = F.col("chip_w").cast("int") * F.col("chip_h").cast("int")
+    arr = F.when(
+        (n > 0) & F.col(value_col).isNotNull(),
+        F.transform(F.sequence(F.lit(0), n - F.lit(1)), px_fn),
+    )
+    return df.select("*", arr.alias(out_col))
+
+
+def focal_stats(
+    per_band: DataFrame,
+    stat: str = "mean",
+    radius: int = 1,
+    value_col: str = "values",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Moving-window statistic per pixel (focal mean/min/max/sum/count).
+
+    Input: per-band rows (``chip_id, band, values`` + ``chip_w/chip_h``).
+    Output: the input plus ``<out_col> array<double>`` of the same length.
+    The statistic is over the valid taps of the replicate-clamped window;
+    ``count`` is the number of valid taps (as double, so every focal output
+    is ``array<double>``)."""
+    if stat not in FOCAL_STATS:
+        raise ValueError(f"unknown focal stat {stat!r} (one of {FOCAL_STATS})")
+    if radius < 1:
+        raise ValueError("radius must be >= 1")
+    _require(per_band, value_col)
+    out_col = out_col or f"focal_{stat}"
+
+    def px(i: Column) -> Column:
+        vals = F.filter(
+            F.array(*[t for _, _, t in _taps(i, radius, value_col)]),
+            lambda v: v.isNotNull(),
+        )
+        nv = F.size(vals)
+        if stat == "count":
+            return nv.cast("double")
+        if stat == "min":
+            return F.array_min(vals)
+        if stat == "max":
+            return F.array_max(vals)
+        s = F.aggregate(vals, F.lit(0.0), lambda a, v: a + v)
+        if stat == "sum":
+            return F.when(nv > 0, s)
+        return F.when(nv > 0, s / nv)
+
+    return _map_pixels(per_band, value_col, px, out_col)
+
+
+def _weighted_terms(
+    taps: list[tuple[int, int, Column]], kernel, radius: int
+) -> list[tuple[Column, float]]:
+    return [
+        (t, float(kernel[dr + radius][dc + radius])) for dr, dc, t in taps
+    ]
+
+
+def convolve(
+    per_band: DataFrame,
+    kernel,
+    normalize: bool = False,
+    value_col: str = "values",
+    out_col: str = "conv",
+) -> DataFrame:
+    """2-D convolution with an arbitrary odd-sized square kernel.
+
+    ``kernel`` is a (2R+1)x(2R+1) nested sequence of weights.  Strict
+    stencil by default (any null tap -> null pixel); ``normalize=True``
+    renormalizes over valid taps (``sum w*v / sum w``, null when the valid
+    weights sum to zero) — the nodata-aware blur."""
+    k = [list(map(float, row)) for row in kernel]
+    size = len(k)
+    if size % 2 != 1 or size < 3 or any(len(row) != size for row in k):
+        raise ValueError("kernel must be square with odd size >= 3")
+    radius = size // 2
+    _require(per_band, value_col)
+
+    def px(i: Column) -> Column:
+        terms = _weighted_terms(_taps(i, radius, value_col), k, radius)
+        if normalize:
+            num = reduce(add, [
+                F.when(t.isNotNull(), t * F.lit(w)).otherwise(F.lit(0.0))
+                for t, w in terms
+            ])
+            den = reduce(add, [
+                F.when(t.isNotNull(), F.lit(w)).otherwise(F.lit(0.0))
+                for t, w in terms
+            ])
+            return num / F.nullif(den, F.lit(0.0))
+        s = reduce(add, [t * F.lit(w) for t, w in terms])
+        any_null = reduce(
+            lambda a, b: a | b, [t.isNull() for t, _ in terms]
+        )
+        return F.when(~any_null, s)
+
+    return _map_pixels(per_band, value_col, px, out_col)
+
+
+def sobel(
+    per_band: DataFrame,
+    value_col: str = "values",
+    out_col: str = "sobel",
+) -> DataFrame:
+    """Sobel gradient magnitude per pixel: ``sqrt(gx^2 + gy^2)`` with the
+    standard 3x3 kernels, strict stencil (any null neighbor -> null).
+    Edge-detection / texture features for chip quality screens."""
+    _require(per_band, value_col)
+
+    def px(i: Column) -> Column:
+        taps = _taps(i, 1, value_col)
+        gx = reduce(add, [
+            t * F.lit(w) for (t, w) in _weighted_terms(taps, SOBEL_X, 1)
+        ])
+        gy = reduce(add, [
+            t * F.lit(w) for (t, w) in _weighted_terms(taps, SOBEL_Y, 1)
+        ])
+        any_null = reduce(lambda a, b: a | b, [t.isNull() for _, _, t in taps])
+        return F.when(~any_null, F.sqrt(gx * gx + gy * gy))
+
+    return _map_pixels(per_band, value_col, px, out_col)

@@ -1451,6 +1451,104 @@ def _fold_sum(vals) -> float:
     return acc
 
 
+def _wfold(flat: np.ndarray) -> float:
+    """Mirror of the engine's position-weighted array fold:
+    ``aggregate(zip_with(arr, sequence(1..n), coalesce(v,0)*i), 0.0, +)``."""
+    return _fold_sum(
+        (0.0 if np.isnan(v) else float(v)) * float(i + 1)
+        for i, v in enumerate(flat)
+    )
+
+
+def _focal_taps(a2d: np.ndarray, radius: int):
+    """Clamped (replicate-edge) window planes in row-major offset order —
+    the order ``operators/focal.py`` unrolls its stencil in."""
+    h, w = a2d.shape
+    pad = np.pad(a2d, radius, mode="edge")
+    for dr in range(-radius, radius + 1):
+        for dc in range(-radius, radius + 1):
+            yield pad[radius + dr:radius + dr + h,
+                      radius + dc:radius + dc + w]
+
+
+def _focal_mean_np(a2d: np.ndarray, radius: int = 1) -> np.ndarray:
+    """Focal mean with the engine's semantics: mean over VALID taps of the
+    clamped window, null if none — accumulated per pixel in the engine's
+    offset order (sequential fold, not numpy pairwise sums)."""
+    acc = np.zeros_like(a2d)
+    n = np.zeros(a2d.shape, dtype=np.int64)
+    for tap in _focal_taps(a2d, radius):
+        m = ~np.isnan(tap)
+        acc = np.where(m, acc + np.where(m, tap, 0.0), acc)
+        n += m
+    with np.errstate(invalid="ignore"):
+        return np.where(n > 0, acc / n, np.nan)
+
+
+def _sobel_np(a2d: np.ndarray) -> np.ndarray:
+    """Strict-stencil Sobel magnitude: any null tap -> null; gx/gy folded
+    over ALL 9 taps (zero weights included) in the engine's offset order."""
+    kx = ((-1.0, 0.0, 1.0), (-2.0, 0.0, 2.0), (-1.0, 0.0, 1.0))
+    ky = ((-1.0, -2.0, -1.0), (0.0, 0.0, 0.0), (1.0, 2.0, 1.0))
+    gx = np.zeros_like(a2d)
+    gy = np.zeros_like(a2d)
+    any_null = np.zeros(a2d.shape, dtype=bool)
+    taps = list(_focal_taps(a2d, 1))
+    flat_kx = [w for row in kx for w in row]
+    flat_ky = [w for row in ky for w in row]
+    for tap, wx, wy in zip(taps, flat_kx, flat_ky):
+        any_null |= np.isnan(tap)
+        t = np.where(np.isnan(tap), 0.0, tap)
+        gx = gx + t * wx
+        gy = gy + t * wy
+    return np.where(any_null, np.nan, np.sqrt(gx * gx + gy * gy))
+
+
+def focal_truth_pdf(
+    bbox: tuple[float, float, float, float],
+    size: int,
+    xres: float,
+    stride: int,
+    bands: tuple[int, ...] = (0, 1),
+    radius: int = 1,
+    max_images_per_chip: int = 32,
+    n_images: int = 120,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Expected output of the focal-filter query: first-valid composites
+    over truth arrays, focal mean of the canvas, Sobel magnitude of the
+    SMOOTHED canvas, and per-(chip, band) valid counts + position-weighted
+    sequential folds of both derived arrays."""
+    chips = chip_grid_truth(bbox, size, xres, stride=stride)
+    sidecars = [_image_sidecar(i, seed) for i in range(n_images)]
+    rows: list[dict] = []
+    for chip in chips:
+        cands = _chip_cands_truth(chip, sidecars)
+        if not cands:
+            continue
+        kept = cands[:max_images_per_chip]
+        for band in bands:
+            canvas, _ = _composite_chip(chip, kept, band)
+            fm = _focal_mean_np(canvas, radius)
+            sb = _sobel_np(fm)
+            rows.append(
+                {
+                    "chip_id": chip["chip_id"],
+                    "band": band,
+                    "fm_filled": int((~np.isnan(fm)).sum()),
+                    "fm_wsum": _wfold(fm.ravel()),
+                    "sb_filled": int((~np.isnan(sb)).sum()),
+                    "sb_wsum": _wfold(sb.ravel()),
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    for c in ("band", "fm_filled", "sb_filled"):
+        pdf[c] = pdf[c].astype("int32")
+    for c in ("fm_wsum", "sb_wsum"):
+        pdf[c] = pdf[c].astype("float64")
+    return pdf
+
+
 def augment_truth_pdf(
     bbox: tuple[float, float, float, float],
     size: int,

@@ -262,6 +262,31 @@ def test_composite_facade_matches_manual(spark, coll, images_pdf):
     assert checked
 
 
+def test_focal_facade_matches_manual(spark, coll, images_pdf):
+    """Collection.focal == mosaic + focal_stats composed by hand."""
+    from rasteret_spark.operators import focal as fo
+
+    im = images_pdf[images_pdf["n_bands"] >= 1].iloc[0]
+    bbox = (
+        float(im["xmin"]), float(im["ymin"]),
+        float(im["xmin"]) + 0.02, float(im["ymin"]) + 0.02,
+    )
+    got = coll.focal(bbox, size=16, xres=0.00125, stat="mean",
+                     radius=1).toPandas().sort_values(
+                         ["chip_id", "band"]).reset_index(drop=True)
+    manual = fo.focal_stats(
+        coll.mosaic(bbox, size=16, xres=0.00125, bands=(0,)), "mean", 1
+    ).toPandas().sort_values(["chip_id", "band"]).reset_index(drop=True)
+    assert list(got["chip_id"]) == list(manual["chip_id"]) and len(got) >= 1
+    checked = False
+    for g, m in zip(got["focal_mean"], manual["focal_mean"]):
+        ga = np.asarray([np.nan if v is None else v for v in g], dtype=float)
+        ma = np.asarray([np.nan if v is None else v for v in m], dtype=float)
+        np.testing.assert_allclose(ga, ma, atol=0, equal_nan=True)
+        checked = checked or np.isfinite(ga).any()
+    assert checked
+
+
 def test_pixel_series_matches_flat_samples(spark, coll, points_pdf, images_pdf):
     """pixel_series == the flat per-(point,image) samples folded by hand:
     same observation sets, chronological order, exact means."""

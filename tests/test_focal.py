@@ -1,0 +1,240 @@
+"""Focal window operators (operators/focal.py): numpy-oracle exactness for
+every statistic, replicate-edge and null semantics, strict vs normalized
+convolution, Sobel gradients, composition over real mosaic rows, and the
+plan contract (pure Catalyst: no Python nodes, ZERO shuffles — the stencil
+is a projection).
+
+Reference parity: the reference hands assembled xarrays to the client for
+neighborhood post-processing (`examples/landsat_xarray.py`); here the
+kernel pass runs where the pixels are.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rasteret_spark.operators import focal
+from rasteret_spark.operators import raster_mosaic as rmo
+
+W, H = 6, 5
+
+
+def _grid(w=W, h=H):
+    return {"chip_xmin": 1.0, "chip_ymax": 2.0, "chip_xres": 0.1,
+            "chip_yres": -0.1, "chip_w": w, "chip_h": h, "grid_epsg": 4326}
+
+
+def _rows():
+    rng = np.random.default_rng(11)
+    rows, truth = [], {}
+    for chip in ("c1", "c2"):
+        v = rng.uniform(-50.0, 100.0, W * H).round(3)
+        mask = rng.random(W * H) < 0.2
+        arr = np.where(mask, np.nan, v)
+        rows.append({
+            "chip_id": chip, "band": 0,
+            "values": [None if np.isnan(x) else float(x) for x in arr],
+            **_grid(),
+        })
+        truth[chip] = arr.reshape(H, W)
+    # c3: fully null; c4: single pixel
+    rows.append({"chip_id": "c3", "band": 0, "values": [None] * (W * H),
+                 **_grid()})
+    rows.append({"chip_id": "c4", "band": 0, "values": [7.0],
+                 **_grid(w=1, h=1)})
+    return rows, truth
+
+
+@pytest.fixture(scope="module")
+def per_band(spark):
+    rows, truth = _rows()
+    return spark.createDataFrame(rows), truth
+
+
+def _windows(a2d, radius):
+    """All clamped windows as (h, w, (2r+1)^2) in row-major offset order —
+    the same order the Catalyst expression accumulates in."""
+    h, w = a2d.shape
+    pad = np.pad(a2d, radius, mode="edge")
+    taps = []
+    for dr in range(-radius, radius + 1):
+        for dc in range(-radius, radius + 1):
+            taps.append(pad[radius + dr:radius + dr + h,
+                            radius + dc:radius + dc + w])
+    return np.stack(taps, axis=-1)
+
+
+def _np_focal(a2d, stat, radius):
+    win = _windows(a2d, radius)
+    valid = ~np.isnan(win)
+    n = valid.sum(-1)
+    if stat == "count":
+        return n.astype(float)
+    with np.errstate(invalid="ignore"):
+        if stat == "min":
+            out = np.where(n > 0, np.nanmin(win, axis=-1), np.nan)
+        elif stat == "max":
+            out = np.where(n > 0, np.nanmax(win, axis=-1), np.nan)
+        else:
+            s = np.where(valid, win, 0.0).sum(-1)
+            if stat == "sum":
+                out = np.where(n > 0, s, np.nan)
+            else:
+                out = np.where(n > 0, s / n, np.nan)
+    return out
+
+
+def _got(row, col):
+    return np.array([np.nan if v is None else v for v in row[col]])
+
+
+@pytest.mark.parametrize("stat", ["mean", "min", "max", "sum", "count"])
+def test_focal_stats_match_numpy(per_band, stat):
+    df, truth = per_band
+    out = {r.chip_id: r for r in focal.focal_stats(df, stat, radius=1).collect()}
+    for chip, a in truth.items():
+        want = _np_focal(a, stat, 1).ravel()
+        got = _got(out[chip], f"focal_{stat}")
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-9, equal_nan=True)
+    # fully-null chip: every window has zero valid taps
+    c3 = _got(out["c3"], f"focal_{stat}")
+    if stat == "count":
+        assert (c3 == 0.0).all()
+    else:
+        assert np.isnan(c3).all()
+    # 1x1 chip: the window is the pixel replicated
+    c4 = out["c4"][f"focal_{stat}"]
+    assert c4 == [9.0 if stat == "count" else 63.0 if stat == "sum" else 7.0]
+
+
+def test_focal_radius_two(per_band):
+    df, truth = per_band
+    out = {r.chip_id: r
+           for r in focal.focal_stats(df, "mean", radius=2).collect()}
+    for chip, a in truth.items():
+        want = _np_focal(a, "mean", 2).ravel()
+        np.testing.assert_allclose(
+            _got(out[chip], "focal_mean"), want, rtol=0, atol=1e-9,
+            equal_nan=True)
+
+
+def test_convolve_strict_and_normalized(per_band):
+    df, truth = per_band
+    k = [[0.0, 1.0, 0.0], [1.0, 2.0, 1.0], [0.0, 1.0, 0.0]]
+    strict = {r.chip_id: r for r in focal.convolve(df, k).collect()}
+    norm = {r.chip_id: r
+            for r in focal.convolve(df, k, normalize=True).collect()}
+    kf = np.asarray(k).ravel()
+    for chip, a in truth.items():
+        win = _windows(a, 1)
+        any_null = np.isnan(win).any(-1)
+        s = (win * kf).sum(-1)
+        want_strict = np.where(any_null, np.nan, s).ravel()
+        np.testing.assert_allclose(
+            _got(strict[chip], "conv"), want_strict, rtol=0, atol=1e-9,
+            equal_nan=True)
+        valid = ~np.isnan(win)
+        num = np.where(valid, win * kf, 0.0).sum(-1)
+        den = np.where(valid, kf, 0.0).sum(-1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            want_norm = np.where(den == 0, np.nan, num / den).ravel()
+        np.testing.assert_allclose(
+            _got(norm[chip], "conv"), want_norm, rtol=0, atol=1e-9,
+            equal_nan=True)
+
+
+def test_convolve_zero_weight_taps_still_gate_strict_nulls(spark):
+    """A null under a zero kernel weight still nulls the strict output —
+    the stencil footprint is the kernel's SHAPE, not its support."""
+    df = spark.createDataFrame([{
+        "chip_id": "c", "band": 0,
+        "values": [None, 1.0, 1.0] + [1.0] * 6, **_grid(w=3, h=3)}])
+    k = [[0.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 0.0]]
+    r = focal.convolve(df, k).collect()[0]
+    # pixel 4 (center) has the null at offset (-1,-1): strict -> null even
+    # though its weight is 0
+    assert r.conv[4] is None
+    # pixel 8 (bottom-right) never touches the null
+    assert r.conv[8] == 1.0
+
+
+def test_sobel_matches_numpy(per_band):
+    df, truth = per_band
+    out = {r.chip_id: r for r in focal.sobel(df).collect()}
+    kx = np.asarray(focal.SOBEL_X).ravel()
+    ky = np.asarray(focal.SOBEL_Y).ravel()
+    for chip, a in truth.items():
+        win = _windows(a, 1)
+        any_null = np.isnan(win).any(-1)
+        gx = (win * kx).sum(-1)
+        gy = (win * ky).sum(-1)
+        want = np.where(any_null, np.nan, np.sqrt(gx * gx + gy * gy)).ravel()
+        np.testing.assert_allclose(
+            _got(out[chip], "sobel"), want, rtol=0, atol=1e-9, equal_nan=True)
+
+
+def test_sobel_flat_field_is_zero(spark):
+    df = spark.createDataFrame([{
+        "chip_id": "c", "band": 0, "values": [5.0] * 12, **_grid(w=4, h=3)}])
+    r = focal.sobel(df).collect()[0]
+    assert all(v == 0.0 for v in r.sobel)
+
+
+def test_validation_errors(per_band):
+    df, _ = per_band
+    with pytest.raises(ValueError, match="unknown focal stat"):
+        focal.focal_stats(df, "median")
+    with pytest.raises(ValueError, match="radius"):
+        focal.focal_stats(df, "mean", radius=0)
+    with pytest.raises(ValueError, match="square with odd size"):
+        focal.convolve(df, [[1.0, 2.0], [3.0, 4.0]])
+    with pytest.raises(ValueError, match="need column"):
+        focal.sobel(df.drop("chip_w"))
+
+
+def test_plan_is_pure_projection(per_band):
+    """No Python nodes and NO exchange: the stencil pipelines into the scan."""
+    df, _ = per_band
+    fm = focal.focal_stats(df, "mean", radius=1, out_col="fm")
+    sb = focal.sobel(fm, value_col="fm", out_col="sb")
+    plan = sb._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert plan.count("Exchange") == 0
+
+
+def test_focal_over_real_mosaic_composes(spark, images_pdf):
+    """End-to-end: real-blob mosaic -> focal mean -> Sobel over the smoothed
+    band, checked against numpy over the SAME mosaic rows."""
+    chips = spark.createDataFrame(pd.DataFrame([
+        {"chip_id": f"f-{j}", "chip_xmin": 13.36 + j * 0.03,
+         "chip_ymax": 52.54, "chip_xres": 0.001, "chip_yres": 0.001,
+         "chip_w": 16, "chip_h": 16}
+        for j in range(3)
+    ]))
+    img_light = spark.createDataFrame(
+        images_pdf[["image_id", "xmin", "ymin", "xmax", "ymax"]].rename(
+            columns={c: f"img_{c}" for c in ["xmin", "ymin", "xmax", "ymax"]}
+        )
+    )
+    payload = spark.createDataFrame(images_pdf[["image_id", "datetime", "bytes"]])
+    pairs = rmo.chip_candidates(chips, img_light, payload, res=7)
+    mosaic = rmo.first_valid_mosaic_pixels(pairs, bands=(0,)).persist()
+    rows = {r.chip_id: r for r in
+            mosaic.select("chip_id", "values", "chip_w", "chip_h").collect()}
+    assert rows, "no chips composited"
+    fm = focal.focal_stats(mosaic, "mean", radius=1, out_col="fm")
+    got = {r.chip_id: r for r in
+           focal.sobel(fm, value_col="fm", out_col="sb").collect()}
+    for chip_id, r in rows.items():
+        a = np.asarray(
+            [np.nan if v is None else v for v in r["values"]]
+        ).reshape(r.chip_h, r.chip_w)
+        fm_want = _np_focal(a, "mean", 1)
+        win = _windows(fm_want, 1)
+        any_null = np.isnan(win).any(-1)
+        gx = (win * np.asarray(focal.SOBEL_X).ravel()).sum(-1)
+        gy = (win * np.asarray(focal.SOBEL_Y).ravel()).sum(-1)
+        want = np.where(any_null, np.nan, np.sqrt(gx**2 + gy**2)).ravel()
+        np.testing.assert_allclose(
+            _got(got[chip_id], "sb"), want, rtol=0, atol=1e-9, equal_nan=True)
+    mosaic.unpersist()
