@@ -744,6 +744,21 @@ def _ensure_band_index_truth() -> str:
     return _ensure_truth_parquet("band_index_truth", build)
 
 
+def _ensure_change_detect_truth() -> str:
+    def build():
+        import datetime as dt
+
+        from rasteret_spark.sources.truth import change_detect_truth_pdf
+
+        return change_detect_truth_pdf(
+            HOTSPOT_BBOX, CHIP_SIZE, CHIP_RES, stride=CHIP_STRIDE,
+            split=dt.datetime(2023, 3, 20),
+            threshold=CHANGE_THRESHOLD, bands=(0, 1),
+        )
+
+    return _ensure_truth_parquet("change_detect_truth", build)
+
+
 def _ensure_temporal_median_truth() -> str:
     def build():
         from rasteret_spark.sources.truth import temporal_median_truth_pdf
@@ -1471,6 +1486,44 @@ def q71_focal_filters(spark, sf_dir):
     )
 
 
+# hotspot scenes cluster Jan-Jun 2023 (newest-32 depth cap), so the epoch
+# split sits at the cluster's median; threshold ~= the median |delta|
+CHANGE_SPLIT_TS = "2023-03-20 00:00:00"
+CHANGE_THRESHOLD = 300.0
+
+
+def q72_change_detect(spark, sf_dir):
+    """Two-epoch per-pixel change detection (operators/band_math.
+    change_detect): median-composite the chip stack before/after a split
+    timestamp in ONE groupBy (conditional collect_lists — no composite
+    self-join), delta the composites per pixel, and count
+    ``|delta| > threshold`` changed pixels — the deforestation screen.
+    Pure Catalyst end-to-end after the stack decode; DuckDB-oracled
+    against an independent numpy two-epoch mirror from pre-encode
+    generator truth (sources/truth.change_detect_truth_pdf)."""
+    from rasteret_spark.operators import band_math as bm
+    from rasteret_spark.operators import raster_mosaic as rmo
+
+    stack = rmo.chip_stack_pixels(
+        _chip_pairs(spark), bands=(0, 1), max_images_per_chip=None
+    )
+    out = bm.change_detect(
+        stack, CHANGE_SPLIT_TS, stat="median", threshold=CHANGE_THRESHOLD
+    )
+    wsum = F.aggregate(
+        F.zip_with(
+            F.col("delta"),
+            F.sequence(F.lit(1), F.size(F.col("delta"))),
+            lambda v, i: F.coalesce(v, F.lit(0.0)) * i.cast("double"),
+        ),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    return out.select(
+        "chip_id", "band", "n_before", "n_after",
+        "delta_valid", "delta_changed", wsum.alias("delta_wsum"),
+    )
+
+
 def q63_overview_serve(spark, sf_dir):
     """COG overview serving: for every pyramid-bearing TIFF, read the same
     centered window at full resolution AND at factor-4 zoom — the coarse
@@ -1705,7 +1758,7 @@ SF_INDEPENDENT_QUERIES = {
     "q61_chip_augment", "q62_tiff_enrich_zonal", "q63_overview_serve",
     "q64_band_index", "q65_temporal_median", "q66_pixel_series",
     "q67_overview_pixels", "q68_label_masks", "q69_gap_fill",
-    "q70_class_stats", "q71_focal_filters",
+    "q70_class_stats", "q71_focal_filters", "q72_change_detect",
 }
 
 
@@ -1768,6 +1821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_gap_fill": q69_gap_fill,
         "q70_class_stats": q70_class_stats,
         "q71_focal_filters": q71_focal_filters,
+        "q72_change_detect": q72_change_detect,
         "q64_band_index": q64_band_index,
         "q65_temporal_median": q65_temporal_median,
         "q66_pixel_series": q66_pixel_series,
@@ -1867,6 +1921,11 @@ def oracle_sql() -> dict[str, str]:
         "q71_focal_filters": f"""
             SELECT chip_id, band, fm_filled, fm_wsum, sb_filled, sb_wsum
             FROM read_parquet('{_ensure_focal_truth()}')
+        """,
+        "q72_change_detect": f"""
+            SELECT chip_id, band, n_before, n_after,
+                   delta_valid, delta_changed, delta_wsum
+            FROM read_parquet('{_ensure_change_detect_truth()}')
         """,
         "q69_gap_fill": f"""
             SELECT chip_id, t_index, image_id, band,

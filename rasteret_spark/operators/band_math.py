@@ -160,6 +160,31 @@ def linear_combination(
     return out
 
 
+def _pixel_stat(tcol: Column, i: Column, stat: str) -> Column:
+    """Reduce pixel ``i`` across a collected list of value arrays: the
+    statistic over the valid observations at that slot (null if none;
+    ``count`` is the valid-observation count as double)."""
+    vals = F.filter(
+        F.transform(tcol, lambda arr: F.get(arr, i)),
+        lambda v: v.isNotNull(),
+    )
+    n = F.size(vals)
+    if stat == "count":
+        return n.cast("double")
+    if stat == "min":
+        return F.array_min(vals)
+    if stat == "max":
+        return F.array_max(vals)
+    if stat == "mean":
+        return F.when(
+            n > 0, F.aggregate(vals, F.lit(0.0), lambda a, v: a + v) / n
+        )
+    s = F.array_sort(vals)
+    lo = F.get(s, ((n - 1) / 2).cast("int"))
+    hi = F.get(s, (n / 2).cast("int"))
+    return F.when(n > 0, (lo + hi) / 2)
+
+
 def temporal_composite(
     stack: DataFrame,
     stat: str = "median",
@@ -189,25 +214,7 @@ def temporal_composite(
     )
 
     def reduce_pixel(i: Column) -> Column:
-        vals = F.filter(
-            F.transform(F.col("_t"), lambda arr: F.get(arr, i)),
-            lambda v: v.isNotNull(),
-        )
-        n = F.size(vals)
-        if stat == "count":
-            return n.cast("double")
-        if stat == "min":
-            return F.array_min(vals)
-        if stat == "max":
-            return F.array_max(vals)
-        if stat == "mean":
-            return F.when(
-                n > 0, F.aggregate(vals, F.lit(0.0), lambda a, v: a + v) / n
-            )
-        s = F.array_sort(vals)
-        lo = F.get(s, ((n - 1) / 2).cast("int"))
-        hi = F.get(s, (n / 2).cast("int"))
-        return F.when(n > 0, (lo + hi) / 2)
+        return _pixel_stat(F.col("_t"), i, stat)
 
     n_px = F.size(F.get("_t", 0))
     # sequence(0, -1) would DESCEND, so empty pixel arrays need the guard
@@ -219,6 +226,180 @@ def temporal_composite(
         *carry,
         F.size("_t").alias("n_t"),
         F.when(F.size("_t") > 0, comp).alias(out_col),
+    )
+
+
+def change_detect(
+    stack: DataFrame,
+    split_ts,
+    stat: str = "median",
+    threshold: float | None = None,
+    value_col: str = "values",
+    time_col: str = "datetime",
+    key_cols: tuple[str, ...] = ("chip_id", "band"),
+    carry_cols: tuple[str, ...] = GRID_COLS,
+    out_col: str = "delta",
+) -> DataFrame:
+    """Two-epoch per-pixel change detection over chip-stack rows: composite
+    the timesteps BEFORE ``split_ts`` and the timesteps AT/AFTER it with the
+    same statistic, and emit ``after - before`` per pixel — the
+    deforestation/new-construction screen (median-vs-median deltas are
+    robust to single cloudy scenes).
+
+    Input: CHIP_STACK-shaped rows.  Output: one row per ``key_cols`` with
+    ``n_before``/``n_after`` (timesteps per epoch), the ``out_col`` delta
+    array (null where either epoch has no valid observation for that
+    pixel), ``<out_col>_valid``, and — when ``threshold`` is given —
+    ``<out_col>_changed`` (pixels with ``|delta| > threshold``).
+
+    ONE shuffle: both epochs aggregate in the same groupBy via conditional
+    collect_lists (no self-join of composites), and the per-pixel reduction
+    is pure Catalyst (`_pixel_stat`), so the plan has no Python nodes.
+    ``stat="count"`` deltas observation DENSITY (data-coverage drift)."""
+    if stat not in ("median", "mean", "min", "max", "count"):
+        raise ValueError(f"unknown stat {stat!r}")
+    for c in (value_col, time_col):
+        if c not in stack.columns:
+            raise ValueError(f"change_detect needs column {c!r}")
+    split = F.lit(split_ts).cast("timestamp")
+    g = stack.groupBy(*key_cols).agg(
+        F.collect_list(
+            F.when(F.col(time_col) < split, F.col(value_col))
+        ).alias("_a"),
+        F.collect_list(
+            F.when(F.col(time_col) >= split, F.col(value_col))
+        ).alias("_b"),
+        *[F.first(c).alias(c) for c in carry_cols
+          if c in stack.columns and c not in key_cols],
+    )
+
+    def px(i: Column) -> Column:
+        return _pixel_stat(F.col("_b"), i, stat) - _pixel_stat(
+            F.col("_a"), i, stat
+        )
+
+    # pixel count from whichever epoch has rows (arrays are chip-sized)
+    n_px = F.size(F.coalesce(F.get("_a", 0), F.get("_b", 0)))
+    delta = F.when(
+        n_px > 0, F.transform(F.sequence(F.lit(0), n_px - 1), px)
+    ).otherwise(F.expr("array()").cast("array<double>"))
+    carry = [c for c in g.columns if c not in ("_a", "_b")]
+    out = g.select(
+        *carry,
+        F.size("_a").alias("n_before"),
+        F.size("_b").alias("n_after"),
+        delta.alias(out_col),
+    )
+    # separate projection so the delta transform evaluates once (Catalyst
+    # does not collapse projects that would duplicate a non-cheap expr)
+    stats = [
+        F.size(
+            F.filter(F.col(out_col), lambda v: v.isNotNull())
+        ).alias(f"{out_col}_valid"),
+    ]
+    if threshold is not None:
+        stats.append(
+            F.size(
+                F.filter(
+                    F.col(out_col),
+                    lambda v: F.abs(v) > F.lit(float(threshold)),
+                )
+            ).alias(f"{out_col}_changed")
+        )
+    return out.select("*", *stats)
+
+
+def temporal_trend(
+    stack: DataFrame,
+    value_col: str = "values",
+    time_col: str = "datetime",
+    key_cols: tuple[str, ...] = ("chip_id", "band"),
+    tie_cols: tuple[str, ...] = ("image_id",),
+    carry_cols: tuple[str, ...] = GRID_COLS,
+    per_seconds: float = 86400.0,
+) -> DataFrame:
+    """Per-pixel least-squares temporal trend over chip-stack rows: for
+    every pixel, the OLS slope and intercept of ``value ~ time`` across the
+    valid observations — the greening/browning/drift screen (NDVI trend,
+    sensor drift detection).  Time is measured in units of ``per_seconds``
+    (default days) from the group's FIRST timestep, so intercepts are the
+    fitted value at the earliest observation.
+
+    Output: one row per ``key_cols`` with ``n_t`` (collected timesteps),
+    a ``slope`` array (null where fewer than two distinct-time valid
+    observations exist) and an ``intercept`` array (null exactly where
+    slope is).
+
+    ONE shuffle (the groupBy); the per-pixel fold is a pure Catalyst
+    ``aggregate`` over a DETERMINISTICALLY ordered observation array —
+    ``array_sort`` on (time, tie_cols, values) structs — so float sums are
+    reproducible and independent oracles can mirror them bit-exactly."""
+    for c in (value_col, time_col):
+        if c not in stack.columns:
+            raise ValueError(f"temporal_trend needs column {c!r}")
+    ties = [c for c in tie_cols if c in stack.columns]
+    obs = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col(value_col).isNotNull(),
+                F.struct(
+                    F.col(time_col).alias("t"),
+                    *[F.col(c).alias(f"_k{j}") for j, c in enumerate(ties)],
+                    F.col(value_col).alias("v"),
+                ),
+            )
+        )
+    )
+    g = stack.groupBy(*key_cols).agg(
+        obs.alias("_obs"),
+        *[F.first(c).alias(c) for c in carry_cols
+          if c in stack.columns and c not in key_cols],
+    )
+    t0 = F.element_at("_obs", 1)["t"].cast("double")
+    zero = F.lit(0.0)
+    acc0 = F.struct(
+        zero.alias("n"), zero.alias("st"), zero.alias("sv"),
+        zero.alias("stt"), zero.alias("stv"),
+    )
+
+    def px(i: Column) -> Column:
+        def step(acc: Column, e: Column) -> Column:
+            v = F.get(e["v"], i)
+            t = (e["t"].cast("double") - t0) / F.lit(float(per_seconds))
+            return F.when(
+                v.isNotNull(),
+                F.struct(
+                    (acc["n"] + 1.0).alias("n"),
+                    (acc["st"] + t).alias("st"),
+                    (acc["sv"] + v).alias("sv"),
+                    (acc["stt"] + t * t).alias("stt"),
+                    (acc["stv"] + t * v).alias("stv"),
+                ),
+            ).otherwise(acc)
+
+        a = F.aggregate(F.col("_obs"), acc0, step)
+        den = a["n"] * a["stt"] - a["st"] * a["st"]
+        slope = F.when(den != zero, (a["n"] * a["stv"] - a["st"] * a["sv"]) / den)
+        return F.struct(
+            slope.alias("m"),
+            ((a["sv"] - slope * a["st"]) / a["n"]).alias("b"),
+        )
+
+    n_px = F.size(F.element_at("_obs", 1)["v"])
+    fits = F.when(
+        F.size("_obs") > 0,
+        F.transform(F.sequence(F.lit(0), n_px - 1), px),
+    )
+    carry = [c for c in g.columns if c != "_obs"]
+    return (
+        g.select(
+            *carry, F.size("_obs").alias("n_t"), fits.alias("_fit")
+        )
+        .select(
+            *carry, "n_t",
+            F.transform("_fit", lambda s: s["m"]).alias("slope"),
+            F.transform("_fit", lambda s: s["b"]).alias("intercept"),
+        )
     )
 
 

@@ -833,6 +833,82 @@ def temporal_median_truth_pdf(
     return pdf
 
 
+def _median_composite(planes: list[np.ndarray], n_px: int) -> np.ndarray:
+    """Per-pixel median over a list of flat truth planes (nulls skipped per
+    pixel, even counts average the two middle values — the engine's
+    sorted-array ``(lo + hi) / 2`` spelling exactly)."""
+    comp = np.full(n_px, np.nan)
+    if not planes:
+        return comp
+    stack = np.stack(planes)
+    for i in range(n_px):
+        v = np.sort(stack[:, i][~np.isnan(stack[:, i])])
+        if v.size:
+            comp[i] = (v[(v.size - 1) // 2] + v[v.size // 2]) / 2
+    return comp
+
+
+def change_detect_truth_pdf(
+    bbox: tuple[float, float, float, float],
+    size: int,
+    xres: float,
+    stride: int,
+    split,
+    threshold: float,
+    bands: tuple[int, ...] = (0, 1),
+    max_images_per_chip: int = 32,
+    n_images: int = 120,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Expected output of the two-epoch change-detection query: per
+    (chip, band), the per-pixel median composite of the timesteps BEFORE
+    ``split`` and AT/AFTER it, the ``after - before`` delta, and the
+    engine's scalar projections — epoch depths, valid-delta count, the
+    ``|delta| > threshold`` changed-pixel count, and the index-weighted
+    sequential fold of the delta array (nulls fold as 0)."""
+    chips = chip_grid_truth(bbox, size, xres, stride=stride)
+    sidecars = [_image_sidecar(i, seed) for i in range(n_images)]
+    rows: list[dict] = []
+    for chip in chips:
+        kept = _chip_cands_truth(chip, sidecars)[:max_images_per_chip]
+        for band in bands:
+            planes = [
+                (t["datetime"], _truth_nearest(t, band, chip).ravel())
+                for t in kept
+                if band < t["n_bands"]
+            ]
+            if not planes:
+                continue
+            before = [p for d, p in planes if d < split]
+            after = [p for d, p in planes if d >= split]
+            n_px = planes[0][1].size
+            delta = _median_composite(after, n_px) - _median_composite(
+                before, n_px
+            )
+            valid = ~np.isnan(delta)
+            rows.append(
+                {
+                    "chip_id": chip["chip_id"],
+                    "band": band,
+                    "n_before": len(before),
+                    "n_after": len(after),
+                    "delta_valid": int(valid.sum()),
+                    "delta_changed": int(
+                        (np.abs(delta[valid]) > threshold).sum()
+                    ),
+                    "delta_wsum": _fold_sum(
+                        (0.0 if np.isnan(d) else d) * (i + 1)
+                        for i, d in enumerate(delta)
+                    ),
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    for c in ("band", "n_before", "n_after", "delta_valid", "delta_changed"):
+        pdf[c] = pdf[c].astype("int32")
+    pdf["delta_wsum"] = pdf["delta_wsum"].astype("float64")
+    return pdf
+
+
 def gap_fill_truth_pdf(
     bbox: tuple[float, float, float, float],
     size: int,

@@ -277,6 +277,103 @@ class TestTemporalComposite:
         assert plan.count("Exchange") == 1
 
 
+class TestChangeDetect:
+    @pytest.fixture(scope="class")
+    def stack(self, spark):
+        # 4 timesteps around the split; per-pixel null patterns differ so
+        # every epoch-emptiness combination appears at some pixel
+        import datetime as dt
+
+        ts = [dt.datetime(2023, 1, 1), dt.datetime(2023, 6, 1),
+              dt.datetime(2024, 2, 1), dt.datetime(2024, 7, 1)]
+        arrs = [
+            [1.0, None, 5.0, None],
+            [3.0, 7.0, None, None],
+            [2.0, 9.0, None, 40.0],
+            [8.0, None, None, 44.0],
+        ]
+        rows = [
+            {"chip_id": "c", "band": 0, "t_index": t, "datetime": ts[t],
+             "values": arrs[t], **GRID}
+            for t in range(4)
+        ]
+        return spark.createDataFrame(rows), arrs
+
+    def test_matches_numpy_two_epoch_median(self, stack):
+        df, arrs = stack
+        r = bm.change_detect(df, "2024-01-01 00:00:00",
+                             threshold=30.0).collect()[0]
+        a = np.asarray([[np.nan if v is None else v for v in row]
+                        for row in arrs], dtype=float)
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            want = np.nanmedian(a[2:], axis=0) - np.nanmedian(a[:2], axis=0)
+        got = np.asarray([np.nan if v is None else v for v in r.delta])
+        np.testing.assert_allclose(got, want, atol=1e-12, equal_nan=True)
+        assert (r.n_before, r.n_after) == (2, 2)
+        # pixels 0/1 valid in both epochs; 2 after-empty, 3 before-empty
+        assert list(r.delta) == [3.0, 2.0, None, None]
+        assert r.delta_valid == 2
+        assert r.delta_changed == 0  # |3|, |2| not > 30
+        r2 = bm.change_detect(df, "2024-01-01", threshold=2.5).collect()[0]
+        assert r2.delta_changed == 1  # only |3| > 2.5
+
+    def test_empty_epoch_and_count_stat(self, stack, spark):
+        df, _ = stack
+        # split before everything: before epoch empty -> all deltas null
+        r = bm.change_detect(df, "2022-01-01").collect()[0]
+        assert r.n_before == 0 and r.n_after == 4
+        assert r.delta_valid == 0 and all(v is None for v in r.delta)
+        # count stat deltas observation density (empty epoch counts 0)
+        rc = bm.change_detect(df, "2024-01-01", stat="count").collect()[0]
+        assert list(rc.delta) == [0.0, 0.0, -1.0, 2.0]
+        with pytest.raises(ValueError, match="unknown stat"):
+            bm.change_detect(df, "2024-01-01", stat="mode")
+        with pytest.raises(ValueError, match="needs column"):
+            bm.change_detect(df.drop("datetime"), "2024-01-01")
+
+    def test_plan_pure_catalyst_single_shuffle(self, stack):
+        df, _ = stack
+        plan = (bm.change_detect(df, "2024-01-01", threshold=1.0)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "EvalPython" not in plan and "InPandas" not in plan
+        assert plan.count("Exchange") == 1
+
+    def test_truth_mirror_agrees_on_real_chips(self, spark):
+        """q72 closure: the engine path over real encoded chip stacks equals
+        the independent numpy two-epoch truth mirror, row for row."""
+        import duckdb
+
+        import __spark_entry__ as entry
+
+        got = (
+            entry.q72_change_detect(spark, entry.ORACLE_SF_DIR)
+            .toPandas()
+            .sort_values(["chip_id", "band"])
+            .reset_index(drop=True)
+        )
+        want = (
+            duckdb.sql(entry.oracle_sql()["q72_change_detect"])
+            .df()
+            .sort_values(["chip_id", "band"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want) and len(got) > 0
+        pd.testing.assert_frame_equal(
+            got.astype({"band": "int64", "n_before": "int64",
+                        "n_after": "int64", "delta_valid": "int64",
+                        "delta_changed": "int64"}),
+            want.astype({"band": "int64", "n_before": "int64",
+                         "n_after": "int64", "delta_valid": "int64",
+                         "delta_changed": "int64"}),
+            check_exact=True,
+        )
+        # the threshold is not degenerate at either end
+        assert got["delta_changed"].sum() > 0
+        assert (got["delta_changed"] < got["delta_valid"]).any()
+
+
 def test_index_rows_assemble_to_georeferenced_arrays(spark):
     """R10 closure for derived arrays: band-math output rows assemble
     through the driver-side adapter with honest georeferencing."""
