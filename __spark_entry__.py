@@ -759,6 +759,18 @@ def _ensure_change_detect_truth() -> str:
     return _ensure_truth_parquet("change_detect_truth", build)
 
 
+def _ensure_temporal_trend_truth() -> str:
+    def build():
+        from rasteret_spark.sources.truth import temporal_trend_truth_pdf
+
+        return temporal_trend_truth_pdf(
+            HOTSPOT_BBOX, CHIP_SIZE, CHIP_RES, stride=CHIP_STRIDE,
+            bands=(0, 1),
+        )
+
+    return _ensure_truth_parquet("temporal_trend_truth", build)
+
+
 def _ensure_temporal_median_truth() -> str:
     def build():
         from rasteret_spark.sources.truth import temporal_median_truth_pdf
@@ -1524,6 +1536,41 @@ def q72_change_detect(spark, sf_dir):
     )
 
 
+def q73_temporal_trend(spark, sf_dir):
+    """Per-pixel least-squares temporal trend over real chip stacks
+    (operators/band_math.temporal_trend): OLS slope/intercept of
+    value ~ days-since-first-scene at every pixel, the greening/drift
+    screen.  ONE shuffle; the fold is a pure Catalyst ``aggregate`` over
+    a deterministically sorted observation array, so the DuckDB oracle
+    (sources/truth.temporal_trend_truth_pdf) matches bit-exactly."""
+    from rasteret_spark.operators import band_math as bm
+    from rasteret_spark.operators import raster_mosaic as rmo
+
+    stack = rmo.chip_stack_pixels(
+        _chip_pairs(spark), bands=(0, 1), max_images_per_chip=None
+    )
+    out = bm.temporal_trend(stack)
+
+    def _wsum(col):
+        return F.aggregate(
+            F.zip_with(
+                F.col(col),
+                F.sequence(F.lit(1), F.size(F.col(col))),
+                lambda v, i: F.coalesce(v, F.lit(0.0)) * i.cast("double"),
+            ),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+
+    return out.select(
+        "chip_id", "band", "n_t",
+        F.size(
+            F.filter(F.col("slope"), lambda v: v.isNotNull())
+        ).alias("slope_valid"),
+        _wsum("slope").alias("slope_wsum"),
+        _wsum("intercept").alias("intercept_wsum"),
+    )
+
+
 def q63_overview_serve(spark, sf_dir):
     """COG overview serving: for every pyramid-bearing TIFF, read the same
     centered window at full resolution AND at factor-4 zoom — the coarse
@@ -1759,6 +1806,7 @@ SF_INDEPENDENT_QUERIES = {
     "q64_band_index", "q65_temporal_median", "q66_pixel_series",
     "q67_overview_pixels", "q68_label_masks", "q69_gap_fill",
     "q70_class_stats", "q71_focal_filters", "q72_change_detect",
+    "q73_temporal_trend",
 }
 
 
@@ -1822,6 +1870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_class_stats": q70_class_stats,
         "q71_focal_filters": q71_focal_filters,
         "q72_change_detect": q72_change_detect,
+        "q73_temporal_trend": q73_temporal_trend,
         "q64_band_index": q64_band_index,
         "q65_temporal_median": q65_temporal_median,
         "q66_pixel_series": q66_pixel_series,
@@ -1926,6 +1975,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT chip_id, band, n_before, n_after,
                    delta_valid, delta_changed, delta_wsum
             FROM read_parquet('{_ensure_change_detect_truth()}')
+        """,
+        "q73_temporal_trend": f"""
+            SELECT chip_id, band, n_t, slope_valid,
+                   slope_wsum, intercept_wsum
+            FROM read_parquet('{_ensure_temporal_trend_truth()}')
         """,
         "q69_gap_fill": f"""
             SELECT chip_id, t_index, image_id, band,

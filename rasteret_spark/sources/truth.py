@@ -909,6 +909,89 @@ def change_detect_truth_pdf(
     return pdf
 
 
+def temporal_trend_truth_pdf(
+    bbox: tuple[float, float, float, float],
+    size: int,
+    xres: float,
+    stride: int,
+    bands: tuple[int, ...] = (0, 1),
+    max_images_per_chip: int = 32,
+    n_images: int = 120,
+    seed: int = 42,
+    per_seconds: float = 86400.0,
+) -> pd.DataFrame:
+    """Expected output of the per-pixel temporal-trend query: per
+    (chip, band), the OLS slope/intercept of value ~ time (days from the
+    group's first timestep) folded SEQUENTIALLY over observations sorted by
+    (datetime, image_id) — the exact accumulation order of the engine's
+    ``array_sort`` + ``aggregate`` spelling, so sums are bit-identical —
+    then the engine's scalar projections (valid-fit count and
+    index-weighted folds of both arrays, nulls as 0)."""
+    import datetime as dt
+
+    epoch0 = dt.datetime(1970, 1, 1)
+    chips = chip_grid_truth(bbox, size, xres, stride=stride)
+    sidecars = [_image_sidecar(i, seed) for i in range(n_images)]
+    rows: list[dict] = []
+    for chip in chips:
+        kept = _chip_cands_truth(chip, sidecars)[:max_images_per_chip]
+        for band in bands:
+            planes = [
+                (t["datetime"], t["image_id"],
+                 _truth_nearest(t, band, chip).ravel())
+                for t in kept
+                if band < t["n_bands"]
+            ]
+            if not planes:
+                continue
+            planes.sort(key=lambda p: (p[0], p[1]))
+            t0 = (planes[0][0] - epoch0).total_seconds()
+            ts = [
+                ((d - epoch0).total_seconds() - t0) / per_seconds
+                for d, _, _ in planes
+            ]
+            n_px = planes[0][2].size
+            slope = np.full(n_px, np.nan)
+            intercept = np.full(n_px, np.nan)
+            for i in range(n_px):
+                n = st = sv = stt = stv = 0.0
+                for t, (_, _, plane) in zip(ts, planes):
+                    v = plane[i]
+                    if not np.isnan(v):
+                        n += 1.0
+                        st += t
+                        sv += v
+                        stt += t * t
+                        stv += t * v
+                den = n * stt - st * st
+                if den != 0.0:
+                    slope[i] = (n * stv - st * sv) / den
+                    intercept[i] = (sv - slope[i] * st) / n
+            valid = ~np.isnan(slope)
+            rows.append(
+                {
+                    "chip_id": chip["chip_id"],
+                    "band": band,
+                    "n_t": len(planes),
+                    "slope_valid": int(valid.sum()),
+                    "slope_wsum": _fold_sum(
+                        (0.0 if np.isnan(m) else m) * (i + 1)
+                        for i, m in enumerate(slope)
+                    ),
+                    "intercept_wsum": _fold_sum(
+                        (0.0 if np.isnan(b) else b) * (i + 1)
+                        for i, b in enumerate(intercept)
+                    ),
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    for c in ("band", "n_t", "slope_valid"):
+        pdf[c] = pdf[c].astype("int32")
+    for c in ("slope_wsum", "intercept_wsum"):
+        pdf[c] = pdf[c].astype("float64")
+    return pdf
+
+
 def gap_fill_truth_pdf(
     bbox: tuple[float, float, float, float],
     size: int,

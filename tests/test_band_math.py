@@ -374,6 +374,104 @@ class TestChangeDetect:
         assert (got["delta_changed"] < got["delta_valid"]).any()
 
 
+class TestTemporalTrend:
+    @pytest.fixture(scope="class")
+    def stack(self, spark):
+        import datetime as dt
+
+        # days 0, 10, 20, 40 from the first scene; pixel patterns:
+        # 0 = clean linear (slope 0.5/day), 1 = two points, 2 = one point,
+        # 3 = all null, 4 = noisy
+        days = [0, 10, 20, 40]
+        arrs = [
+            [0.0, 1.0, None, None, 3.0],
+            [5.0, None, 7.0, None, 1.0],
+            [10.0, 2.0, None, None, 9.0],
+            [20.0, None, None, None, 4.0],
+        ]
+        rows = [
+            {"chip_id": "c", "band": 0, "t_index": t, "image_id": f"i{t}",
+             "datetime": dt.datetime(2023, 1, 1) + dt.timedelta(days=d),
+             "values": arrs[t], **GRID}
+            for t, d in enumerate(days)
+        ]
+        return spark.createDataFrame(rows), days, arrs
+
+    def test_matches_polyfit(self, stack):
+        df, days, arrs = stack
+        r = bm.temporal_trend(df).collect()[0]
+        assert r.n_t == 4
+        for i in range(5):
+            pts = [(d, row[i]) for d, row in zip(days, arrs)
+                   if row[i] is not None]
+            if len(pts) < 2:
+                assert r.slope[i] is None and r.intercept[i] is None
+                continue
+            t = np.array([p[0] for p in pts], dtype=float)
+            v = np.array([p[1] for p in pts], dtype=float)
+            m, b = np.polyfit(t, v, 1)
+            assert abs(r.slope[i] - m) < 1e-9
+            assert abs(r.intercept[i] - b) < 1e-9
+
+    def test_duplicate_times_and_order_invariance(self, stack, spark):
+        import datetime as dt
+
+        df, _, _ = stack
+        # all observations at ONE timestamp -> den == 0 -> null fit
+        d0 = dt.datetime(2023, 1, 1)
+        dup = spark.createDataFrame([
+            {"chip_id": "c", "band": 0, "t_index": t, "image_id": f"i{t}",
+             "datetime": d0, "values": [float(t)]}
+            for t in range(3)
+        ])
+        r = bm.temporal_trend(dup).collect()[0]
+        assert r.slope[0] is None and r.intercept[0] is None
+        # shuffled input rows produce BIT-identical folds (array_sort)
+        from pyspark.sql import functions as sf
+
+        a = bm.temporal_trend(df).collect()[0]
+        b = bm.temporal_trend(
+            df.repartition(7).sortWithinPartitions(sf.rand(3))
+        ).collect()[0]
+        assert list(a.slope) == list(b.slope)
+        assert list(a.intercept) == list(b.intercept)
+        with pytest.raises(ValueError, match="needs column"):
+            bm.temporal_trend(df.drop("datetime"))
+
+    def test_plan_pure_catalyst_single_shuffle(self, stack):
+        df, _, _ = stack
+        plan = (bm.temporal_trend(df)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "EvalPython" not in plan and "InPandas" not in plan
+        assert plan.count("Exchange") == 1
+
+    def test_truth_mirror_agrees_on_real_chips(self, spark):
+        """q73 closure: engine OLS over real encoded chip stacks equals the
+        independent numpy sequential-fold truth mirror, bit for bit."""
+        import duckdb
+
+        import __spark_entry__ as entry
+
+        got = (
+            entry.q73_temporal_trend(spark, entry.ORACLE_SF_DIR)
+            .toPandas()
+            .sort_values(["chip_id", "band"])
+            .reset_index(drop=True)
+        )
+        want = (
+            duckdb.sql(entry.oracle_sql()["q73_temporal_trend"])
+            .df()
+            .sort_values(["chip_id", "band"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want) and len(got) > 0
+        ints = {"band": "int64", "n_t": "int64", "slope_valid": "int64"}
+        pd.testing.assert_frame_equal(
+            got.astype(ints), want.astype(ints), check_exact=True
+        )
+        assert got["slope_valid"].sum() > 0
+
+
 def test_index_rows_assemble_to_georeferenced_arrays(spark):
     """R10 closure for derived arrays: band-math output rows assemble
     through the driver-side adapter with honest georeferencing."""
