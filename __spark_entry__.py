@@ -756,7 +756,26 @@ def _ensure_change_detect_truth() -> str:
             threshold=CHANGE_THRESHOLD, bands=(0, 1),
         )
 
-    return _ensure_truth_parquet("change_detect_truth", build)
+    # split/threshold live in THIS module, outside the truth-module hash —
+    # bake them into the cache key so edits regenerate
+    return _ensure_truth_parquet(
+        f"change_detect_truth_{CHANGE_SPLIT_TS[:10]}_{CHANGE_THRESHOLD:g}",
+        build,
+    )
+
+
+def _ensure_terrain_truth() -> str:
+    def build():
+        from rasteret_spark.sources.truth import terrain_truth_pdf
+
+        return terrain_truth_pdf(
+            HOTSPOT_BBOX, CHIP_SIZE, CHIP_RES, stride=CHIP_STRIDE,
+            steep_tan2=STEEP_TAN2, bands=(0, 1),
+        )
+
+    # the threshold constant lives in THIS module, outside the truth-module
+    # hash — bake it into the cache key so edits regenerate
+    return _ensure_truth_parquet(f"terrain_truth_{STEEP_TAN2:g}", build)
 
 
 def _ensure_temporal_trend_truth() -> str:
@@ -1536,6 +1555,63 @@ def q72_change_detect(spark, sf_dir):
     )
 
 
+# steepness cut in squared-gradient (tan^2) units, transcendental-free so
+# both sides compare exactly; the synthetic chips are reflectance-over-
+# degrees, so the scale sits between the surface's median and upper
+# quartile |grad|^2 (~6.4e7 / ~3.0e8) rather than at a DEM-style angle
+STEEP_TAN2 = 1.0e8
+
+
+def q74_terrain(spark, sf_dir):
+    """Terrain derivatives where the pixels are (operators/focal.terrain):
+    first-valid mosaic -> Horn 3x3 gradients -> slope/aspect/hillshade as
+    a pure Catalyst projection (no Python nodes, zero added shuffles).
+    The DuckDB oracle pins the transcendental-free surface bit-exactly
+    (gradient folds + steep-pixel counts vs an independent numpy Horn
+    mirror from pre-encode truth); the trig outputs are pinned by
+    tolerance + compass-convention oracles in tests/test_focal.py."""
+    from rasteret_spark.operators import focal
+    from rasteret_spark.operators import raster_mosaic as rmo
+
+    mosaic = rmo.first_valid_mosaic_pixels(
+        _chip_pairs(spark), bands=(0, 1), max_images_per_chip=None
+    )
+    t = focal.terrain(
+        mosaic, outs=("dzdx", "dzdy", "slope", "aspect", "hillshade")
+    )
+
+    def _wsum(col):
+        return F.aggregate(
+            F.zip_with(
+                F.col(col),
+                F.sequence(F.lit(1), F.size(F.col(col))),
+                lambda v, i: F.coalesce(v, F.lit(0.0)) * i.cast("double"),
+            ),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+
+    steep = F.size(
+        F.filter(
+            F.zip_with(
+                F.col("dzdx"), F.col("dzdy"),
+                lambda p, q: F.when(
+                    p.isNotNull(), p * p + q * q > F.lit(STEEP_TAN2)
+                ),
+            ),
+            lambda b: b,
+        )
+    )
+    return t.select(
+        "chip_id", "band",
+        F.size(
+            F.filter(F.col("dzdx"), lambda v: v.isNotNull())
+        ).alias("grad_valid"),
+        _wsum("dzdx").alias("dzdx_wsum"),
+        _wsum("dzdy").alias("dzdy_wsum"),
+        steep.alias("steep_px"),
+    )
+
+
 def q73_temporal_trend(spark, sf_dir):
     """Per-pixel least-squares temporal trend over real chip stacks
     (operators/band_math.temporal_trend): OLS slope/intercept of
@@ -1806,7 +1882,7 @@ SF_INDEPENDENT_QUERIES = {
     "q64_band_index", "q65_temporal_median", "q66_pixel_series",
     "q67_overview_pixels", "q68_label_masks", "q69_gap_fill",
     "q70_class_stats", "q71_focal_filters", "q72_change_detect",
-    "q73_temporal_trend",
+    "q73_temporal_trend", "q74_terrain",
 }
 
 
@@ -1871,6 +1947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_focal_filters": q71_focal_filters,
         "q72_change_detect": q72_change_detect,
         "q73_temporal_trend": q73_temporal_trend,
+        "q74_terrain": q74_terrain,
         "q64_band_index": q64_band_index,
         "q65_temporal_median": q65_temporal_median,
         "q66_pixel_series": q66_pixel_series,
@@ -1980,6 +2057,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT chip_id, band, n_t, slope_valid,
                    slope_wsum, intercept_wsum
             FROM read_parquet('{_ensure_temporal_trend_truth()}')
+        """,
+        "q74_terrain": f"""
+            SELECT chip_id, band, grad_valid,
+                   dzdx_wsum, dzdy_wsum, steep_px
+            FROM read_parquet('{_ensure_terrain_truth()}')
         """,
         "q69_gap_fill": f"""
             SELECT chip_id, t_index, image_id, band,

@@ -1708,6 +1708,74 @@ def focal_truth_pdf(
     return pdf
 
 
+def _horn_gradients_np(
+    a2d: np.ndarray, xres: float, yres: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Horn 3x3 gradients with the engine's exact expression tree
+    (operators/focal.terrain): replicate-clamped taps in row-major offset
+    order a b c / d e f / g h i, dzdx east-west over |xres|, dzdy y-up
+    north-south over |yres|; any NaN tap -> NaN gradients."""
+    taps = list(_focal_taps(a2d, 1))
+    a, b, c, d, _, f, g, h, i = taps
+    p = ((c + 2.0 * f + i) - (a + 2.0 * d + g)) / (8.0 * abs(xres))
+    q = ((a + 2.0 * b + c) - (g + 2.0 * h + i)) / (8.0 * abs(yres))
+    bad = np.zeros(a2d.shape, dtype=bool)
+    for tap in taps:
+        bad |= np.isnan(tap)
+    return np.where(bad, np.nan, p), np.where(bad, np.nan, q)
+
+
+def terrain_truth_pdf(
+    bbox: tuple[float, float, float, float],
+    size: int,
+    xres: float,
+    stride: int,
+    steep_tan2: float,
+    bands: tuple[int, ...] = (0, 1),
+    max_images_per_chip: int = 32,
+    n_images: int = 120,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Expected output of the terrain query: first-valid composites over
+    truth arrays, Horn gradients of the canvas, then the engine's
+    arithmetic-exact scalar projections — valid-gradient count,
+    position-weighted sequential folds of dzdx/dzdy, and the count of
+    pixels steeper than the threshold (``dzdx^2 + dzdy^2 > steep_tan2``,
+    transcendental-free so the DuckDB hash is bit-exact; the trig
+    surfaces are pinned by pytest tolerance oracles instead)."""
+    chips = chip_grid_truth(bbox, size, xres, stride=stride)
+    sidecars = [_image_sidecar(i, seed) for i in range(n_images)]
+    rows: list[dict] = []
+    for chip in chips:
+        cands = _chip_cands_truth(chip, sidecars)
+        if not cands:
+            continue
+        kept = cands[:max_images_per_chip]
+        for band in bands:
+            canvas, _ = _composite_chip(chip, kept, band)
+            p, q = _horn_gradients_np(
+                canvas, chip["chip_xres"], chip["chip_yres"]
+            )
+            valid = ~np.isnan(p)
+            mag2 = p * p + q * q
+            rows.append(
+                {
+                    "chip_id": chip["chip_id"],
+                    "band": band,
+                    "grad_valid": int(valid.sum()),
+                    "dzdx_wsum": _wfold(p.ravel()),
+                    "dzdy_wsum": _wfold(q.ravel()),
+                    "steep_px": int((mag2[valid] > steep_tan2).sum()),
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    for c in ("band", "grad_valid", "steep_px"):
+        pdf[c] = pdf[c].astype("int32")
+    for c in ("dzdx_wsum", "dzdy_wsum"):
+        pdf[c] = pdf[c].astype("float64")
+    return pdf
+
+
 def augment_truth_pdf(
     bbox: tuple[float, float, float, float],
     size: int,

@@ -202,6 +202,128 @@ def test_plan_is_pure_projection(per_band):
     assert plan.count("Exchange") == 0
 
 
+def _np_terrain(a2d, xres, yres, z_factor=1.0, altitude=45.0, azimuth=315.0):
+    """Independent numpy Horn mirror: replicate-pad windows, Esri slope /
+    compass aspect / hillshade; any-NaN window -> all outputs NaN."""
+    import math
+
+    win = _windows(a2d, 1)  # row-major offsets: a b c d e f g h i
+    a, b, c, d, _, f, g, h, i = [win[..., k] for k in range(9)]
+    p = ((c + 2 * f + i) - (a + 2 * d + g)) / (8 * abs(xres))
+    q = ((a + 2 * b + c) - (g + 2 * h + i)) / (8 * abs(yres))
+    srad = np.arctan(z_factor * np.sqrt(p * p + q * q))
+    arad = np.arctan2(-q, -p)
+    compass = (450.0 - np.degrees(arad)) % 360.0
+    compass = np.where((p == 0) & (q == 0), np.nan, compass)
+    zen = math.radians(90.0 - altitude)
+    azm = math.radians((360.0 - azimuth + 90.0) % 360.0)
+    hs = 255.0 * (math.cos(zen) * np.cos(srad)
+                  + math.sin(zen) * np.sin(srad) * np.cos(azm - arad))
+    hs = np.maximum(0.0, hs)
+    bad = np.isnan(win).any(-1)
+    out = {}
+    for name, arr in [("dzdx", p), ("dzdy", q), ("slope", np.degrees(srad)),
+                      ("aspect", compass), ("hillshade", hs)]:
+        out[name] = np.where(bad, np.nan, arr)
+    return out
+
+
+def test_terrain_matches_numpy(per_band):
+    df, truth = per_band
+    got = {r.chip_id: r for r in focal.terrain(
+        df, outs=("dzdx", "dzdy", "slope", "aspect", "hillshade"),
+        z_factor=2.0, altitude=30.0, azimuth=225.0,
+    ).collect()}
+    for chip, a2d in truth.items():
+        want = _np_terrain(a2d, 0.1, -0.1, z_factor=2.0,
+                           altitude=30.0, azimuth=225.0)
+        for name in ("dzdx", "dzdy", "slope", "aspect", "hillshade"):
+            gv = np.asarray([np.nan if v is None else v
+                             for v in got[chip][name]])
+            np.testing.assert_allclose(
+                gv, want[name].ravel(), atol=1e-9, equal_nan=True,
+                err_msg=f"{chip}:{name}")
+    # fully-null chip: all outputs null; 1x1 chip: flat -> slope 0
+    assert all(v is None for v in got["c3"].slope)
+    r4 = got["c4"]
+    assert r4.slope[0] == 0.0 and r4.aspect[0] is None
+    assert abs(r4.hillshade[0] - 255.0 * np.cos(np.radians(60.0))) < 1e-9
+
+
+def test_terrain_compass_conventions(spark):
+    """Hand ramps pin the aspect compass: downslope to the east -> 90,
+    south -> 180, west -> 270, north -> 0; slope angle is exact."""
+    w = h = 3
+    ramps = {
+        # z falls eastward by 1 per column; |xres|=1 -> tan(slope)=1 -> 45
+        "east": [[2.0, 1.0, 0.0]] * 3,
+        "west": [[0.0, 1.0, 2.0]] * 3,
+        # z falls southward (row index grows south)
+        "south": [[2.0] * 3, [1.0] * 3, [0.0] * 3],
+        "north": [[0.0] * 3, [1.0] * 3, [2.0] * 3],
+    }
+    rows = [{"chip_id": k, "band": 0,
+             "values": [float(v) for row in vals for v in row],
+             "chip_xmin": 0.0, "chip_ymax": 0.0, "chip_xres": 1.0,
+             "chip_yres": -1.0, "chip_w": w, "chip_h": h, "grid_epsg": 32633}
+            for k, vals in ramps.items()]
+    got = {r.chip_id: r for r in
+           focal.terrain(spark.createDataFrame(rows)).collect()}
+    for k, want_aspect in [("east", 90.0), ("south", 180.0),
+                           ("west", 270.0), ("north", 0.0)]:
+        r = got[k]
+        center = 4  # middle pixel of 3x3
+        assert abs(r.slope[center] - 45.0) < 1e-9, k
+        assert abs(r.aspect[center] - want_aspect) < 1e-9, k
+    # sun at default 315 az / 45 alt: a NW-facing slope is brightest
+    nw = {r.chip_id: r for r in focal.terrain(spark.createDataFrame([
+        {**rows[0], "chip_id": "nw",
+         "values": [2.0, 1.0, 0.0, 1.0, 0.5, -0.5, 0.0, -0.5, -1.5][::-1]}
+    ])).collect()}["nw"]
+    assert nw.hillshade[4] > got["east"].hillshade[4]
+
+
+def test_terrain_validation_and_plan(per_band):
+    df, _ = per_band
+    with pytest.raises(ValueError, match="unknown terrain"):
+        focal.terrain(df, outs=("slope", "curvature"))
+    with pytest.raises(ValueError, match="needs column"):
+        focal.terrain(df.drop("chip_xres"))
+    plan = (focal.terrain(df)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert plan.count("Exchange") == 0
+
+
+def test_terrain_truth_mirror_agrees_on_real_chips(spark):
+    """q74 closure: the engine's Horn gradients over real encoded mosaics
+    equal the independent numpy truth mirror, bit for bit, and the steep
+    threshold is not degenerate."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    got = (
+        entry.q74_terrain(spark, entry.ORACLE_SF_DIR)
+        .toPandas()
+        .sort_values(["chip_id", "band"])
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(entry.oracle_sql()["q74_terrain"])
+        .df()
+        .sort_values(["chip_id", "band"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    ints = {"band": "int64", "grad_valid": "int64", "steep_px": "int64"}
+    pd.testing.assert_frame_equal(
+        got.astype(ints), want.astype(ints), check_exact=True
+    )
+    assert got["steep_px"].sum() > 0
+    assert (got["steep_px"] < got["grad_valid"]).any()
+
+
 def test_focal_over_real_mosaic_composes(spark, images_pdf):
     """End-to-end: real-blob mosaic -> focal mean -> Sobel over the smoothed
     band, checked against numpy over the SAME mosaic rows."""
