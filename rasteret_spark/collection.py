@@ -452,6 +452,53 @@ class Collection:
         per_band = self.mosaic(bbox, size, xres, bands=bands, **mosaic_kwargs)
         return fo.focal_stats(per_band, stat=stat, radius=radius)
 
+    def change(
+        self, bbox, size: int, xres: float, split_ts, stat: str = "median",
+        threshold: float | None = None, bands=(0,), **chip_kwargs,
+    ) -> DataFrame:
+        """Two-epoch per-pixel change detection over the chip stacks for
+        ``bbox``: composite the scenes before/after ``split_ts`` with the
+        same statistic and delta them per pixel (plus changed-pixel counts
+        when ``threshold`` is given) — `operators/band_math.change_detect`
+        over :meth:`chips` rows, one shuffle, pure Catalyst."""
+        from rasteret_spark.operators import band_math as bm
+
+        stack = self.chips(bbox, size, xres, bands=bands, **chip_kwargs)
+        return bm.change_detect(
+            stack, split_ts, stat=stat, threshold=threshold
+        )
+
+    def trend(
+        self, bbox, size: int, xres: float, bands=(0,),
+        per_seconds: float = 86400.0, **chip_kwargs,
+    ) -> DataFrame:
+        """Per-pixel least-squares temporal trend (OLS slope/intercept of
+        value ~ days) over the chip stacks for ``bbox`` — the
+        greening/drift screen, `operators/band_math.temporal_trend` over
+        :meth:`chips` rows (one shuffle, deterministic folds)."""
+        from rasteret_spark.operators import band_math as bm
+
+        stack = self.chips(bbox, size, xres, bands=bands, **chip_kwargs)
+        return bm.temporal_trend(stack, per_seconds=per_seconds)
+
+    def terrain(
+        self, bbox, size: int, xres: float,
+        outs=("slope", "aspect", "hillshade"), z_factor: float = 1.0,
+        altitude: float = 45.0, azimuth: float = 315.0, bands=(0,),
+        **mosaic_kwargs,
+    ) -> DataFrame:
+        """Mosaic ``bands`` over ``bbox`` and derive gdaldem-style terrain
+        products (Horn gradients, slope, compass aspect, hillshade) per
+        pixel — `operators/focal.terrain`, a pure Catalyst projection with
+        zero added shuffles.  Extra kwargs pass to :meth:`mosaic`."""
+        from rasteret_spark.operators import focal as fo
+
+        per_band = self.mosaic(bbox, size, xres, bands=bands, **mosaic_kwargs)
+        return fo.terrain(
+            per_band, outs=tuple(outs), z_factor=z_factor,
+            altitude=altitude, azimuth=azimuth,
+        )
+
     def gap_fill(self, bbox, size: int, xres: float, bands=(0,), **chip_kwargs):
         """Serve [T, C, H, W] chip stacks with per-pixel temporal gaps
         repaired: interior nulls interpolate linearly in time between their

@@ -287,6 +287,54 @@ def test_focal_facade_matches_manual(spark, coll, images_pdf):
     assert checked
 
 
+def test_change_trend_terrain_facades_match_manual(spark, coll, images_pdf):
+    """Collection.change / .trend / .terrain == the operator composed by
+    hand over the same chips/mosaic rows."""
+    from rasteret_spark.operators import band_math as bm
+    from rasteret_spark.operators import focal as fo
+
+    im = images_pdf[images_pdf["n_bands"] >= 1].iloc[0]
+    bbox = (
+        float(im["xmin"]), float(im["ymin"]),
+        float(im["xmin"]) + 0.02, float(im["ymin"]) + 0.02,
+    )
+    kw = dict(size=16, xres=0.00125, bands=(0,))
+    split = str(images_pdf["datetime"].median())
+
+    def _key(df):
+        return df.toPandas().sort_values(
+            ["chip_id", "band"]).reset_index(drop=True)
+
+    got = _key(coll.change(bbox, split_ts=split, threshold=10.0, **kw))
+    manual = _key(bm.change_detect(
+        coll.chips(bbox, **kw), split, threshold=10.0))
+    assert len(got) >= 1 and list(got["chip_id"]) == list(manual["chip_id"])
+    assert (got["delta_valid"] == manual["delta_valid"]).all()
+    assert (got["delta_changed"] == manual["delta_changed"]).all()
+
+    got_t = _key(coll.trend(bbox, **kw))
+    manual_t = _key(bm.temporal_trend(coll.chips(bbox, **kw)))
+    assert list(got_t["n_t"]) == list(manual_t["n_t"])
+    for g, m in zip(got_t["slope"], manual_t["slope"]):
+        ga = np.asarray([np.nan if v is None else v for v in g], dtype=float)
+        ma = np.asarray([np.nan if v is None else v for v in m], dtype=float)
+        np.testing.assert_allclose(ga, ma, atol=0, equal_nan=True)
+
+    got_r = _key(coll.terrain(bbox, outs=("dzdx", "slope"), **kw))
+    manual_r = _key(fo.terrain(
+        coll.mosaic(bbox, size=16, xres=0.00125, bands=(0,)),
+        outs=("dzdx", "slope"),
+    ))
+    assert list(got_r.columns) == list(manual_r.columns)
+    checked = False
+    for g, m in zip(got_r["slope"], manual_r["slope"]):
+        ga = np.asarray([np.nan if v is None else v for v in g], dtype=float)
+        ma = np.asarray([np.nan if v is None else v for v in m], dtype=float)
+        np.testing.assert_allclose(ga, ma, atol=0, equal_nan=True)
+        checked = checked or np.isfinite(ga).any()
+    assert checked
+
+
 def test_pixel_series_matches_flat_samples(spark, coll, points_pdf, images_pdf):
     """pixel_series == the flat per-(point,image) samples folded by hand:
     same observation sets, chronological order, exact means."""
