@@ -114,7 +114,8 @@ BENCH_QUERIES = [
     "q62_tiff_enrich_zonal", "q63_overview_serve", "q64_band_index",
     "q65_temporal_median", "q66_pixel_series", "q67_overview_pixels",
     "q68_label_masks", "q69_gap_fill", "q70_class_stats",
-    "q71_focal_filters",
+    "q71_focal_filters", "q72_change_detect", "q73_temporal_trend",
+    "q74_terrain",
 ]
 
 
