@@ -764,6 +764,18 @@ def _ensure_change_detect_truth() -> str:
     )
 
 
+def _ensure_chip_stats_truth() -> str:
+    def build():
+        from rasteret_spark.sources.truth import chip_stats_truth_pdf
+
+        return chip_stats_truth_pdf(
+            HOTSPOT_BBOX, CHIP_SIZE, CHIP_RES, stride=CHIP_STRIDE,
+            probs=(0.25, 0.5, 0.75), bands=(0, 1),
+        )
+
+    return _ensure_truth_parquet("chip_stats_truth", build)
+
+
 def _ensure_terrain_truth() -> str:
     def build():
         from rasteret_spark.sources.truth import terrain_truth_pdf
@@ -1612,6 +1624,25 @@ def q74_terrain(spark, sf_dir):
     )
 
 
+def q75_chip_stats(spark, sf_dir):
+    """Per-chip radiometric QA (operators/band_math.chip_stats): exact
+    linear-interpolated quantiles, range, null fraction and saturation
+    counts over mosaic canvases — the chip-quality screen, a ZERO-shuffle
+    Catalyst projection.  DuckDB-oracled bit-exactly against a hand-coded
+    numpy quantile mirror from pre-encode truth (same arithmetic tree)."""
+    from rasteret_spark.operators import band_math as bm
+    from rasteret_spark.operators import raster_mosaic as rmo
+
+    mosaic = rmo.first_valid_mosaic_pixels(
+        _chip_pairs(spark), bands=(0, 1), max_images_per_chip=None
+    )
+    out = bm.chip_stats(mosaic, probs=(0.25, 0.5, 0.75))
+    return out.select(
+        "chip_id", "band", "n_valid", "null_frac", "vmin", "vmax",
+        "at_max_px", "q25", "q50", "q75",
+    )
+
+
 def q73_temporal_trend(spark, sf_dir):
     """Per-pixel least-squares temporal trend over real chip stacks
     (operators/band_math.temporal_trend): OLS slope/intercept of
@@ -1882,7 +1913,7 @@ SF_INDEPENDENT_QUERIES = {
     "q64_band_index", "q65_temporal_median", "q66_pixel_series",
     "q67_overview_pixels", "q68_label_masks", "q69_gap_fill",
     "q70_class_stats", "q71_focal_filters", "q72_change_detect",
-    "q73_temporal_trend", "q74_terrain",
+    "q73_temporal_trend", "q74_terrain", "q75_chip_stats",
 }
 
 
@@ -1948,6 +1979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_change_detect": q72_change_detect,
         "q73_temporal_trend": q73_temporal_trend,
         "q74_terrain": q74_terrain,
+        "q75_chip_stats": q75_chip_stats,
         "q64_band_index": q64_band_index,
         "q65_temporal_median": q65_temporal_median,
         "q66_pixel_series": q66_pixel_series,
@@ -2062,6 +2094,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT chip_id, band, grad_valid,
                    dzdx_wsum, dzdy_wsum, steep_px
             FROM read_parquet('{_ensure_terrain_truth()}')
+        """,
+        "q75_chip_stats": f"""
+            SELECT chip_id, band, n_valid, null_frac, vmin, vmax,
+                   at_max_px, q25, q50, q75
+            FROM read_parquet('{_ensure_chip_stats_truth()}')
         """,
         "q69_gap_fill": f"""
             SELECT chip_id, t_index, image_id, band,

@@ -403,6 +403,56 @@ def temporal_trend(
     )
 
 
+def chip_stats(
+    per_band: DataFrame,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    value_col: str = "values",
+) -> DataFrame:
+    """Per-chip radiometric QA: exact linear-interpolated quantiles, value
+    range, null fraction and saturated-pixel count over one chip band's
+    pixel array — the chip-quality screen (drop cloudy/flat/clipped chips
+    before they reach a training set).
+
+    ZERO shuffles: every statistic is a Catalyst expression over the row's
+    own array (sort + index math), so the pass pipelines into whatever
+    produced the rows.  Quantiles use the linear-interpolation convention
+    ``v[lo] + (v[hi] - v[lo]) * (p*(n-1) - lo)`` over the ascending valid
+    pixels — numpy's default — emitted as ``q25`` for p=0.25 etc.;
+    ``at_max_px`` counts pixels equal to the chip maximum (saturation /
+    clipping indicator); ``null_frac`` is nodata coverage."""
+    if value_col not in per_band.columns:
+        raise ValueError(f"chip_stats needs column {value_col!r}")
+    for p in probs:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"quantile prob {p} outside [0, 1]")
+    vals = F.array_sort(
+        F.filter(F.col(value_col), lambda v: v.isNotNull())
+    )
+    n = F.size(vals)
+    n_px = F.size(F.col(value_col))
+    vmax = F.try_element_at(vals, F.lit(-1))
+    cols = [
+        n.alias("n_valid"),
+        F.when(
+            n_px > 0, (n_px - n).cast("double") / n_px.cast("double")
+        ).alias("null_frac"),
+        F.try_element_at(vals, F.lit(1)).alias("vmin"),
+        vmax.alias("vmax"),
+        F.size(
+            F.filter(F.col(value_col), lambda v: v == vmax)
+        ).alias("at_max_px"),
+    ]
+    for p in probs:
+        idx = F.lit(float(p)) * (n - 1).cast("double")
+        lo = F.floor(idx).cast("int")
+        hi = F.ceil(idx).cast("int")
+        vlo = F.get(vals, lo)
+        vhi = F.get(vals, hi)
+        q = F.when(n > 0, vlo + (vhi - vlo) * (idx - lo.cast("double")))
+        cols.append(q.alias(f"q{int(round(p * 100)):02d}"))
+    return per_band.select("*", *cols)
+
+
 def threshold_mask(
     indexed: DataFrame,
     index_col: str,

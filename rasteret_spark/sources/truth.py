@@ -1776,6 +1776,71 @@ def terrain_truth_pdf(
     return pdf
 
 
+def chip_stats_truth_pdf(
+    bbox: tuple[float, float, float, float],
+    size: int,
+    xres: float,
+    stride: int,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    bands: tuple[int, ...] = (0, 1),
+    max_images_per_chip: int = 32,
+    n_images: int = 120,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Expected output of the chip-QA query: first-valid composites over
+    truth arrays, then per (chip, band) the engine's radiometric stats —
+    valid count, null fraction, min/max, saturated-pixel count and
+    linear-interpolated quantiles with the exact float expression
+    ``v[lo] + (v[hi] - v[lo]) * (p*(n-1) - lo)`` (hand-coded, not
+    np.percentile, so the arithmetic tree matches the Catalyst one)."""
+    import math
+
+    chips = chip_grid_truth(bbox, size, xres, stride=stride)
+    sidecars = [_image_sidecar(i, seed) for i in range(n_images)]
+    rows: list[dict] = []
+    for chip in chips:
+        cands = _chip_cands_truth(chip, sidecars)
+        if not cands:
+            continue
+        kept = cands[:max_images_per_chip]
+        for band in bands:
+            canvas, _ = _composite_chip(chip, kept, band)
+            flat = canvas.ravel()
+            s = np.sort(flat[~np.isnan(flat)])
+            n = int(s.size)
+            n_px = int(flat.size)
+            rec = {
+                "chip_id": chip["chip_id"],
+                "band": band,
+                "n_valid": n,
+                "null_frac": (
+                    float(n_px - n) / float(n_px) if n_px > 0 else None
+                ),
+                "vmin": float(s[0]) if n else None,
+                "vmax": float(s[-1]) if n else None,
+                "at_max_px": int((flat == s[-1]).sum()) if n else 0,
+            }
+            for p in probs:
+                key = f"q{int(round(p * 100)):02d}"
+                if n == 0:
+                    rec[key] = None
+                    continue
+                idx = float(p) * float(n - 1)
+                lo = math.floor(idx)
+                hi = math.ceil(idx)
+                rec[key] = float(
+                    s[lo] + (s[hi] - s[lo]) * (idx - float(lo))
+                )
+            rows.append(rec)
+    pdf = pd.DataFrame(rows)
+    for c in ("band", "n_valid", "at_max_px"):
+        pdf[c] = pdf[c].astype("int32")
+    for c in pdf.columns:
+        if c.startswith(("q", "v", "null_")) and c != "vband":
+            pdf[c] = pdf[c].astype("float64")
+    return pdf
+
+
 def augment_truth_pdf(
     bbox: tuple[float, float, float, float],
     size: int,

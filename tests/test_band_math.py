@@ -472,6 +472,78 @@ class TestTemporalTrend:
         assert got["slope_valid"].sum() > 0
 
 
+class TestChipStats:
+    def test_matches_numpy(self, per_band):
+        df, truth = per_band
+        got = {(r.chip_id, r.band): r
+               for r in bm.chip_stats(df).collect()}
+        for chip, vals in truth.items():
+            for band, arr in vals.items():
+                r = got[(chip, band)]
+                a = np.asarray([np.nan if v is None else v for v in arr])
+                s = np.sort(a[~np.isnan(a)])
+                assert r.n_valid == s.size
+                assert abs(r.null_frac - (a.size - s.size) / a.size) < 1e-15
+                assert r.vmin == s[0] and r.vmax == s[-1]
+                assert r.at_max_px == int((a == s[-1]).sum())
+                for p, col in [(0.25, r.q25), (0.5, r.q50), (0.75, r.q75)]:
+                    want = np.percentile(s, p * 100)  # linear interp
+                    assert abs(col - want) < 1e-12, (chip, band, p)
+
+    def test_empty_and_constant_chips(self, spark):
+        df = spark.createDataFrame([
+            {"chip_id": "null", "band": 0, "values": [None, None]},
+            {"chip_id": "const", "band": 0, "values": [5.0, 5.0, None]},
+            {"chip_id": "one", "band": 0, "values": [3.0]},
+        ])
+        got = {r.chip_id: r for r in bm.chip_stats(df).collect()}
+        r = got["null"]
+        assert r.n_valid == 0 and r.null_frac == 1.0
+        assert r.vmin is None and r.q50 is None and r.at_max_px == 0
+        r = got["const"]
+        assert r.at_max_px == 2 and r.q25 == 5.0 and r.q75 == 5.0
+        assert abs(r.null_frac - 1.0 / 3.0) < 1e-15
+        r = got["one"]
+        assert r.q25 == r.q50 == r.q75 == 3.0 and r.null_frac == 0.0
+        with pytest.raises(ValueError, match="outside"):
+            bm.chip_stats(df, probs=(1.5,))
+        with pytest.raises(ValueError, match="needs column"):
+            bm.chip_stats(df.drop("values"))
+
+    def test_plan_zero_shuffle(self, per_band):
+        df, _ = per_band
+        plan = (bm.chip_stats(df)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "EvalPython" not in plan and "InPandas" not in plan
+        assert plan.count("Exchange") == 0
+
+    def test_truth_mirror_agrees_on_real_chips(self, spark):
+        """q75 closure: engine QA stats over real encoded mosaics equal the
+        hand-coded numpy quantile mirror, bit for bit."""
+        import duckdb
+
+        import __spark_entry__ as entry
+
+        got = (
+            entry.q75_chip_stats(spark, entry.ORACLE_SF_DIR)
+            .toPandas()
+            .sort_values(["chip_id", "band"])
+            .reset_index(drop=True)
+        )
+        want = (
+            duckdb.sql(entry.oracle_sql()["q75_chip_stats"])
+            .df()
+            .sort_values(["chip_id", "band"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want) and len(got) > 0
+        ints = {"band": "int64", "n_valid": "int64", "at_max_px": "int64"}
+        pd.testing.assert_frame_equal(
+            got.astype(ints), want.astype(ints), check_exact=True
+        )
+        assert (got["n_valid"] > 0).any()
+
+
 def test_index_rows_assemble_to_georeferenced_arrays(spark):
     """R10 closure for derived arrays: band-math output rows assemble
     through the driver-side adapter with honest georeferencing."""
