@@ -355,51 +355,68 @@ def temporal_trend(
         *[F.first(c).alias(c) for c in carry_cols
           if c in stack.columns and c not in key_cols],
     )
-    t0 = F.element_at("_obs", 1)["t"].cast("double")
+    first = F.try_element_at(F.col("_obs"), F.lit(1))
+    t0 = first["t"].cast("double")
     zero = F.lit(0.0)
-    acc0 = F.struct(
-        zero.alias("n"), zero.alias("st"), zero.alias("sv"),
-        zero.alias("stt"), zero.alias("stv"),
+    # empty groups (every values array null) have no first element; clamp
+    # so array_repeat never sees a null/negative count
+    n_px = F.greatest(
+        F.lit(0), F.coalesce(F.size(first["v"]), F.lit(0))
     )
 
-    def px(i: Column) -> Column:
-        def step(acc: Column, e: Column) -> Column:
-            v = F.get(e["v"], i)
-            t = (e["t"].cast("double") - t0) / F.lit(float(per_seconds))
-            return F.when(
-                v.isNotNull(),
-                F.struct(
-                    (acc["n"] + 1.0).alias("n"),
-                    (acc["st"] + t).alias("st"),
-                    (acc["sv"] + v).alias("sv"),
-                    (acc["stt"] + t * t).alias("stt"),
-                    (acc["stv"] + t * v).alias("stv"),
-                ),
-            ).otherwise(acc)
-
-        a = F.aggregate(F.col("_obs"), acc0, step)
-        den = a["n"] * a["stt"] - a["st"] * a["st"]
-        slope = F.when(den != zero, (a["n"] * a["stv"] - a["st"] * a["sv"]) / den)
-        return F.struct(
-            slope.alias("m"),
-            ((a["sv"] - slope * a["st"]) / a["n"]).alias("b"),
+    # time-major folds: five array accumulators updated once per timestep
+    # with a vectorized zip_with — per pixel the add sequence is identical
+    # to a per-pixel loop (same T order), so sums stay bit-reproducible,
+    # but Catalyst never allocates a per-pixel struct accumulator
+    def fold(update) -> Column:
+        return F.aggregate(
+            F.col("_obs"),
+            F.array_repeat(zero, n_px),
+            lambda acc, e: F.zip_with(
+                acc, e["v"], lambda a, v: update(
+                    a, v, (e["t"].cast("double") - t0)
+                    / F.lit(float(per_seconds)),
+                )
+            ),
         )
 
-    n_px = F.size(F.element_at("_obs", 1)["v"])
-    fits = F.when(
-        F.size("_obs") > 0,
-        F.transform(F.sequence(F.lit(0), n_px - 1), px),
-    )
+    def valid_add(term):
+        return lambda a, v, t: F.when(v.isNotNull(), a + term(v, t)).otherwise(a)
+
+    sums = {
+        "n": fold(valid_add(lambda v, t: F.lit(1.0))),
+        "st": fold(valid_add(lambda v, t: t)),
+        "sv": fold(valid_add(lambda v, t: v)),
+        "stt": fold(valid_add(lambda v, t: t * t)),
+        "stv": fold(valid_add(lambda v, t: t * v)),
+    }
     carry = [c for c in g.columns if c != "_obs"]
-    return (
-        g.select(
-            *carry, F.size("_obs").alias("n_t"), fits.alias("_fit")
+    folded = g.select(
+        *carry,
+        F.size("_obs").alias("n_t"),
+        *[e.alias(f"_{k}") for k, e in sums.items()],
+    )
+    i = F.sequence(F.lit(0), F.size("_n") - 1)
+
+    def at(col: str, j: Column) -> Column:
+        return F.get(F.col(col), j)
+
+    def fit(j: Column) -> Column:
+        n, st, sv = at("_n", j), at("_st", j), at("_sv", j)
+        stt, stv = at("_stt", j), at("_stv", j)
+        den = n * stt - st * st
+        slope = F.when(den != zero, (n * stv - st * sv) / den)
+        return F.struct(
+            slope.alias("m"), ((sv - slope * st) / n).alias("b")
         )
-        .select(
-            *carry, "n_t",
-            F.transform("_fit", lambda s: s["m"]).alias("slope"),
-            F.transform("_fit", lambda s: s["b"]).alias("intercept"),
-        )
+
+    fits = F.when(F.col("n_t") > 0, F.transform(i, fit))
+    return folded.select(
+        *carry, "n_t", fits.alias("_fit")
+    ).select(
+        *carry, "n_t",
+        F.transform("_fit", lambda s: s["m"]).alias("slope"),
+        F.transform("_fit", lambda s: s["b"]).alias("intercept"),
     )
 
 

@@ -426,6 +426,15 @@ class TestTemporalTrend:
         ])
         r = bm.temporal_trend(dup).collect()[0]
         assert r.slope[0] is None and r.intercept[0] is None
+        # a group whose every values array is null collects ZERO
+        # observations -> n_t 0, null fit arrays (no crash)
+        rn = bm.temporal_trend(spark.createDataFrame(
+            [{"chip_id": "c", "band": 0, "t_index": t, "image_id": f"i{t}",
+              "datetime": d0, "values": None} for t in range(2)],
+            "chip_id string, band int, t_index int, image_id string, "
+            "datetime timestamp, values array<double>",
+        )).collect()[0]
+        assert rn.n_t == 0 and rn.slope is None and rn.intercept is None
         # shuffled input rows produce BIT-identical folds (array_sort)
         from pyspark.sql import functions as sf
 
