@@ -764,6 +764,15 @@ def _ensure_change_detect_truth() -> str:
     )
 
 
+def _ensure_build_overviews_truth() -> str:
+    def build():
+        from rasteret_spark.sources.truth import build_overviews_truth_pdf
+
+        return build_overviews_truth_pdf(96, factors=(2, 4))
+
+    return _ensure_truth_parquet("build_overviews_truth_96", build)
+
+
 def _ensure_chip_stats_truth() -> str:
     def build():
         from rasteret_spark.sources.truth import chip_stats_truth_pdf
@@ -1643,6 +1652,53 @@ def q75_chip_stats(spark, sf_dir):
     )
 
 
+def q76_build_overviews(spark, sf_dir):
+    """Distributed overview building (operators/pyramids.build_overviews —
+    the engine's gdaladdo): every strip TIFF gains a nearest-neighbour
+    [2, 4] pyramid with its container/codec/georeferencing preserved;
+    already-pyramided rows pass through, lossy full-res rows are never
+    re-encoded.  A verify pass re-parses each built blob and checksums the
+    factor-2 level's band-0 plane; DuckDB-oracled against the pre-encode
+    truth decimation (lossless codecs round-trip bit-exactly)."""
+    import pandas as pd
+
+    from rasteret_spark.operators import pyramids
+
+    images = _tiff_images_cached(spark, 96)
+    built = pyramids.build_overviews(images, factors=(2, 4))
+
+    schema = ("image_id string, status string, n_levels_in int, "
+              "n_levels_out int, ov_checksum double")
+
+    def verify(batches):
+        import numpy as np
+
+        from rasteret_spark.format import tiff
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                cs = None
+                if row["status"] == "ok":
+                    a = tiff.decode_full(
+                        bytes(row["bytes"]), band=0, ifd=1
+                    ).astype(np.float64).ravel()
+                    cs = float(np.nansum(a * np.arange(1, a.size + 1)))
+                out.append({
+                    "image_id": row["image_id"],
+                    "status": row["status"],
+                    "n_levels_in": int(row["n_levels_in"]),
+                    "n_levels_out": int(row["n_levels_out"]),
+                    "ov_checksum": cs,
+                })
+            yield pd.DataFrame(out, columns=[
+                "image_id", "status", "n_levels_in", "n_levels_out",
+                "ov_checksum",
+            ])
+
+    return built.mapInPandas(verify, schema=schema)
+
+
 def q73_temporal_trend(spark, sf_dir):
     """Per-pixel least-squares temporal trend over real chip stacks
     (operators/band_math.temporal_trend): OLS slope/intercept of
@@ -1914,6 +1970,7 @@ SF_INDEPENDENT_QUERIES = {
     "q67_overview_pixels", "q68_label_masks", "q69_gap_fill",
     "q70_class_stats", "q71_focal_filters", "q72_change_detect",
     "q73_temporal_trend", "q74_terrain", "q75_chip_stats",
+    "q76_build_overviews",
 }
 
 
@@ -1980,6 +2037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_temporal_trend": q73_temporal_trend,
         "q74_terrain": q74_terrain,
         "q75_chip_stats": q75_chip_stats,
+        "q76_build_overviews": q76_build_overviews,
         "q64_band_index": q64_band_index,
         "q65_temporal_median": q65_temporal_median,
         "q66_pixel_series": q66_pixel_series,
@@ -2099,6 +2157,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT chip_id, band, n_valid, null_frac, vmin, vmax,
                    at_max_px, q25, q50, q75
             FROM read_parquet('{_ensure_chip_stats_truth()}')
+        """,
+        "q76_build_overviews": f"""
+            SELECT image_id, status, n_levels_in, n_levels_out, ov_checksum
+            FROM read_parquet('{_ensure_build_overviews_truth()}')
         """,
         "q69_gap_fill": f"""
             SELECT chip_id, t_index, image_id, band,

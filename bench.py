@@ -115,7 +115,7 @@ BENCH_QUERIES = [
     "q65_temporal_median", "q66_pixel_series", "q67_overview_pixels",
     "q68_label_masks", "q69_gap_fill", "q70_class_stats",
     "q71_focal_filters", "q72_change_detect", "q73_temporal_trend",
-    "q74_terrain",
+    "q74_terrain", "q75_chip_stats", "q76_build_overviews",
 ]
 
 

@@ -193,6 +193,16 @@ def lzw_encode(data: bytes) -> bytes:
         w = bytes([byte])
     if w:
         emit(table[w], width)
+        # the decoder appends a (speculative) table entry for this final
+        # code even though the encoder assigns none — mid-stream its table
+        # sits one behind (len == next_code - 1), after the final code it
+        # catches up (len == next_code).  If that catch-up lands exactly on
+        # the early-change boundary the decoder reads EOI one bit wider, so
+        # the encoder must widen with it — otherwise the tail desyncs and
+        # the stream over-decodes (data-dependent: caught by an overview
+        # strip whose final data code sat at next_code == 2^11 - 1).
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
     emit(_LZW_EOI, width)
     if bitcnt:
         out.append((bitbuf << (8 - bitcnt)) & 0xFF)

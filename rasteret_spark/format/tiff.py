@@ -651,18 +651,18 @@ def decode_chunky_tile(raw: bytes, m: TiffMeta) -> np.ndarray:
     return chunky
 
 
-def decode_full(src, band: int | None = None) -> np.ndarray:
+def decode_full(src, band: int | None = None, ifd: int = 0) -> np.ndarray:
     """Whole-image decode of a TIFF blob/path.
 
     Returns (h, w) for single-sample; (h, w, spp) for chunky multi-sample;
     (bands, h, w) for planar multi-sample (band=None) or (h, w) for one
-    band."""
+    band.  ``ifd`` selects a directory in the chain (overview levels)."""
     if isinstance(src, (bytes, bytearray, memoryview)):
         blob = bytes(src)
         read = blob_read(blob)
     else:
         read = file_read(src)
-    m = parse_tiff(read)
+    m = parse_tiff(read, ifd=ifd)
     spp = m.samples_per_pixel
     if spp > 1 and m.planar_config == 1:
         out = np.zeros((m.height, m.width, spp), dtype=m.dtype)

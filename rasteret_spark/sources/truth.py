@@ -1841,6 +1841,44 @@ def chip_stats_truth_pdf(
     return pdf
 
 
+def build_overviews_truth_pdf(
+    n_images: int = 96,
+    seed: int = 42,
+    factors: tuple[int, ...] = (2, 4),
+) -> pd.DataFrame:
+    """Expected output of the overview-building query: per TIFF row the
+    builder's status triage (already-pyramided rows pass through, lossy
+    full-res rows are never re-encoded, the rest gain ``1 + len(factors)``
+    levels) and, for built rows, the position-weighted checksum of the
+    factor-2 level's band-0 plane — the exact ``[::2, ::2]`` decimation of
+    the pre-encode array (lossless codecs round-trip bit-exactly)."""
+    rows: list[dict] = []
+    for i in range(n_images):
+        t = syn.make_tiff_image_truth(i, seed)
+        if t["tiled"]:  # generator writes tiled rows with a [2, 4] pyramid
+            status, n_in, n_out, cs = "has_overviews", 3, 3, None
+        elif t["fmt"] == "jpeg":
+            status, n_in, n_out, cs = "skipped_lossy", 1, 1, None
+        else:
+            a = t["expected"][0][::2, ::2].astype(np.float64).ravel()
+            cs = float(np.nansum(a * np.arange(1, a.size + 1)))
+            status, n_in, n_out = "ok", 1, 1 + len(factors)
+        rows.append(
+            {
+                "image_id": f"tif-{i:08d}",
+                "status": status,
+                "n_levels_in": n_in,
+                "n_levels_out": n_out,
+                "ov_checksum": cs,
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    for c in ("n_levels_in", "n_levels_out"):
+        pdf[c] = pdf[c].astype("int32")
+    pdf["ov_checksum"] = pdf["ov_checksum"].astype("float64")
+    return pdf
+
+
 def augment_truth_pdf(
     bbox: tuple[float, float, float, float],
     size: int,

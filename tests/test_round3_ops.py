@@ -25,6 +25,36 @@ def test_lzw_roundtrip(data):
     assert codecs.lzw_decode(enc, len(data)) == data
 
 
+def test_lzw_tail_early_change_boundary():
+    """Regression: when the FINAL data code leaves the table at exactly
+    2^w - 1 entries, the decoder's speculative last append triggers its
+    early change and EOI is read one bit wider — the encoder must widen
+    with it.  Before the fix the stream over-decoded past its own length
+    (caught by an overview strip in pyramid building); `lzw_decode(enc,
+    len(data))` masks it by truncating, so assert UNBOUNDED decode too."""
+    rng = np.random.default_rng(86)
+    hits = 0
+    for trial in range(300):
+        n = int(rng.integers(200, 4000))
+        data = bytes(
+            rng.integers(0, int(rng.integers(2, 20)), n).astype(np.uint8)
+        )
+        enc = codecs.lzw_encode(data)
+        dec = codecs.lzw_decode(enc, 1 << 30)  # run to EOI, no truncation
+        assert dec == data, f"tail desync at trial {trial} (n={n})"
+        hits += 1
+    assert hits == 300
+    # deterministic direct hit: single-symbol run sized so the last code
+    # lands on a width boundary for every boundary 2^9..2^11
+    for target in (511, 1023, 2047):
+        # runs of one symbol assign one entry per emitted code; length
+        # k*(k+1)/2 leaves next_code = 258 + k - 1 after the last assign
+        k = target - 258 + 1
+        data = b"z" * (k * (k + 1) // 2 + k + 1)
+        enc = codecs.lzw_encode(data)
+        assert codecs.lzw_decode(enc, 1 << 30) == data
+
+
 def test_lzw_table_reset_on_large_input():
     """> 4094 dictionary entries forces a mid-stream CLEAR + table reset."""
     rng = np.random.default_rng(6)
