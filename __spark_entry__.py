@@ -764,6 +764,18 @@ def _ensure_change_detect_truth() -> str:
     )
 
 
+def _ensure_spatial_stats_truth() -> str:
+    def build():
+        from rasteret_spark.sources.truth import spatial_stats_truth_pdf
+
+        return spatial_stats_truth_pdf(
+            HOTSPOT_BBOX, CHIP_SIZE, CHIP_RES, stride=CHIP_STRIDE,
+            bands=(0, 1),
+        )
+
+    return _ensure_truth_parquet("spatial_stats_truth", build)
+
+
 def _ensure_build_overviews_truth() -> str:
     def build():
         from rasteret_spark.sources.truth import build_overviews_truth_pdf
@@ -1652,6 +1664,24 @@ def q75_chip_stats(spark, sf_dir):
     )
 
 
+def q77_spatial_stats(spark, sf_dir):
+    """Per-chip spatial autocorrelation (operators/focal.spatial_stats):
+    rook-contiguity Moran's I and Geary's C over mosaic canvases — the
+    clustering/texture screen.  ZERO-shuffle pure Catalyst, no
+    transcendentals, every fold deterministically ordered; DuckDB-oracled
+    bit-exactly against an independent numpy mirror from pre-encode
+    truth."""
+    from rasteret_spark.operators import focal
+    from rasteret_spark.operators import raster_mosaic as rmo
+
+    mosaic = rmo.first_valid_mosaic_pixels(
+        _chip_pairs(spark), bands=(0, 1), max_images_per_chip=None
+    )
+    return focal.spatial_stats(mosaic).select(
+        "chip_id", "band", "n_valid", "w_pairs", "morans_i", "gearys_c",
+    )
+
+
 def q76_build_overviews(spark, sf_dir):
     """Distributed overview building (operators/pyramids.build_overviews —
     the engine's gdaladdo): every strip TIFF gains a nearest-neighbour
@@ -1970,7 +2000,7 @@ SF_INDEPENDENT_QUERIES = {
     "q67_overview_pixels", "q68_label_masks", "q69_gap_fill",
     "q70_class_stats", "q71_focal_filters", "q72_change_detect",
     "q73_temporal_trend", "q74_terrain", "q75_chip_stats",
-    "q76_build_overviews",
+    "q76_build_overviews", "q77_spatial_stats",
 }
 
 
@@ -2038,6 +2068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_terrain": q74_terrain,
         "q75_chip_stats": q75_chip_stats,
         "q76_build_overviews": q76_build_overviews,
+        "q77_spatial_stats": q77_spatial_stats,
         "q64_band_index": q64_band_index,
         "q65_temporal_median": q65_temporal_median,
         "q66_pixel_series": q66_pixel_series,
@@ -2161,6 +2192,10 @@ def oracle_sql() -> dict[str, str]:
         "q76_build_overviews": f"""
             SELECT image_id, status, n_levels_in, n_levels_out, ov_checksum
             FROM read_parquet('{_ensure_build_overviews_truth()}')
+        """,
+        "q77_spatial_stats": f"""
+            SELECT chip_id, band, n_valid, w_pairs, morans_i, gearys_c
+            FROM read_parquet('{_ensure_spatial_stats_truth()}')
         """,
         "q69_gap_fill": f"""
             SELECT chip_id, t_index, image_id, band,

@@ -265,6 +265,103 @@ def terrain(
     )
 
 
+def spatial_stats(
+    per_band: DataFrame,
+    value_col: str = "values",
+) -> DataFrame:
+    """Per-chip spatial autocorrelation: Moran's I and Geary's C under
+    rook contiguity (unit weights between orthogonally adjacent VALID
+    pixels, no edge wrap, no replicate padding) — the texture/clustering
+    screen that separates coherent scenes from salt-and-pepper noise or
+    constant slabs before they reach a training set.
+
+    Adds ``n_valid``, ``w_pairs`` (directed valid-adjacent pair count,
+    each undirected pair counted twice — the standard W), ``morans_i``
+    and ``gearys_c``; both statistics are null when the chip has no
+    adjacent valid pair or zero variance.  ZERO shuffles and no
+    transcendentals — every sum folds in a fixed (pixel-major, then
+    N/S/W/E offset) order, so independent mirrors reproduce the floats
+    bit-exactly."""
+    _require(per_band, value_col)
+    w = F.col("chip_w").cast("int")
+    h = F.col("chip_h").cast("int")
+    vals = F.col(value_col)
+    n_px = w * h
+
+    def seq() -> Column:
+        return F.sequence(F.lit(0), n_px - 1)
+
+    def fold(arr: Column) -> Column:
+        return F.aggregate(
+            F.filter(arr, lambda v: v.isNotNull()),
+            F.lit(0.0), lambda a, v: a + v,
+        )
+
+    n_valid = F.size(F.filter(vals, lambda v: v.isNotNull()))
+    mean = F.when(n_valid > 0, fold(vals) / n_valid.cast("double"))
+
+    def at(i: Column) -> Column:
+        return F.try_element_at(vals, i + F.lit(1))
+
+    def rook(i: Column):
+        """N/S/W/E neighbor values; out-of-chip -> null (no clamping)."""
+        r = F.floor(i / w).cast("int")
+        c = (i % w).cast("int")
+        north = F.when(r > 0, at(i - w))
+        south = F.when(r < h - 1, at(i + w))
+        west = F.when(c > 0, at(i - 1))
+        east = F.when(c < w - 1, at(i + 1))
+        return [north, south, west, east]
+
+    def dev(v: Column) -> Column:
+        return v - mean
+
+    # per-pixel terms (null where the center pixel is null), folded
+    # pixel-major; neighbor contributions accumulate in N/S/W/E order
+    def links(i: Column) -> Column:
+        v = at(i)
+        cnt = sum(
+            F.when(nb.isNotNull(), 1).otherwise(0) for nb in rook(i)
+        )
+        return F.when(v.isNotNull(), cnt.cast("double"))
+
+    def cross(i: Column) -> Column:
+        v = at(i)
+        s = F.lit(0.0)
+        for nb in rook(i):
+            s = s + F.coalesce(dev(nb), F.lit(0.0))
+        return F.when(v.isNotNull(), dev(v) * s)
+
+    def sqdiff(i: Column) -> Column:
+        v = at(i)
+        s = F.lit(0.0)
+        for nb in rook(i):
+            d = v - nb
+            s = s + F.coalesce(d * d, F.lit(0.0))
+        return F.when(v.isNotNull(), s)
+
+    def ssdev(i: Column) -> Column:
+        v = at(i)
+        return F.when(v.isNotNull(), dev(v) * dev(v))
+
+    w_pairs = fold(F.transform(seq(), links))
+    num_i = fold(F.transform(seq(), cross))
+    num_c = fold(F.transform(seq(), sqdiff))
+    den = fold(F.transform(seq(), ssdev))
+    nv = n_valid.cast("double")
+    ok = (w_pairs > 0) & (den != 0.0)
+    return per_band.select(
+        "*",
+        n_valid.alias("n_valid"),
+        w_pairs.cast("bigint").alias("w_pairs"),
+        F.when(ok, (nv / w_pairs) * (num_i / den)).alias("morans_i"),
+        F.when(
+            ok & (nv > 1.0),
+            ((nv - 1.0) / (2.0 * w_pairs)) * (num_c / den),
+        ).alias("gearys_c"),
+    )
+
+
 def sobel(
     per_band: DataFrame,
     value_col: str = "values",

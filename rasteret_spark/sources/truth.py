@@ -1841,6 +1841,93 @@ def chip_stats_truth_pdf(
     return pdf
 
 
+def _spatial_stats_np(a2d: np.ndarray) -> dict:
+    """Mirror of ``focal.spatial_stats`` over one chip plane: rook-contiguity
+    Moran's I / Geary's C with the engine's exact fold orders (pixel-major,
+    neighbors N/S/W/E, nulls as 0 contributions)."""
+    h, w = a2d.shape
+    flat = a2d.ravel()
+    valid = ~np.isnan(flat)
+    n = int(valid.sum())
+    mean = _fold_sum(v for v in flat if not np.isnan(v)) / n if n else None
+
+    def nbrs(i: int):
+        r, c = divmod(i, w)
+        out = []
+        out.append(flat[i - w] if r > 0 else np.nan)
+        out.append(flat[i + w] if r < h - 1 else np.nan)
+        out.append(flat[i - 1] if c > 0 else np.nan)
+        out.append(flat[i + 1] if c < w - 1 else np.nan)
+        return out
+
+    w_pairs = num_i = num_c = den = 0.0
+    for i in range(flat.size):
+        v = flat[i]
+        if np.isnan(v):
+            continue
+        nb = nbrs(i)
+        w_pairs += float(sum(0 if np.isnan(x) else 1 for x in nb))
+        s = 0.0
+        for x in nb:
+            s = s + (0.0 if np.isnan(x) else (x - mean))
+        num_i += (v - mean) * s
+        s2 = 0.0
+        for x in nb:
+            d = v - x
+            s2 = s2 + (0.0 if np.isnan(d) else d * d)
+        num_c += s2
+        den += (v - mean) * (v - mean)
+    ok = w_pairs > 0 and den != 0.0
+    return {
+        "n_valid": n,
+        "w_pairs": int(w_pairs),
+        "morans_i": (n / w_pairs) * (num_i / den) if ok else None,
+        "gearys_c": (
+            ((n - 1.0) / (2.0 * w_pairs)) * (num_c / den)
+            if ok and n > 1 else None
+        ),
+    }
+
+
+def spatial_stats_truth_pdf(
+    bbox: tuple[float, float, float, float],
+    size: int,
+    xres: float,
+    stride: int,
+    bands: tuple[int, ...] = (0, 1),
+    max_images_per_chip: int = 32,
+    n_images: int = 120,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Expected output of the spatial-autocorrelation query: first-valid
+    composites over truth arrays, then rook Moran's I / Geary's C per
+    (chip, band) with the engine's fold orders mirrored bit-exactly."""
+    chips = chip_grid_truth(bbox, size, xres, stride=stride)
+    sidecars = [_image_sidecar(i, seed) for i in range(n_images)]
+    rows: list[dict] = []
+    for chip in chips:
+        cands = _chip_cands_truth(chip, sidecars)
+        if not cands:
+            continue
+        kept = cands[:max_images_per_chip]
+        for band in bands:
+            canvas, _ = _composite_chip(chip, kept, band)
+            rows.append(
+                {
+                    "chip_id": chip["chip_id"],
+                    "band": band,
+                    **_spatial_stats_np(canvas),
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    for c in ("band", "n_valid"):
+        pdf[c] = pdf[c].astype("int32")
+    pdf["w_pairs"] = pdf["w_pairs"].astype("int64")
+    for c in ("morans_i", "gearys_c"):
+        pdf[c] = pdf[c].astype("float64")
+    return pdf
+
+
 def build_overviews_truth_pdf(
     n_images: int = 96,
     seed: int = 42,

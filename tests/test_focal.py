@@ -295,6 +295,97 @@ def test_terrain_validation_and_plan(per_band):
     assert plan.count("Exchange") == 0
 
 
+def _np_spatial(a2d):
+    """Independent Moran/Geary mirror: vectorized numpy (different
+    accumulation shape from both the engine and the truth module)."""
+    h, w = a2d.shape
+    valid = ~np.isnan(a2d)
+    n = valid.sum()
+    mean = np.nanmean(a2d)
+    dev = np.where(valid, a2d - mean, 0.0)
+    wp = num_i = num_c = 0.0
+    for dr, dc in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        src = a2d[max(0, dr):h + min(0, dr), max(0, dc):w + min(0, dc)]
+        dst = a2d[max(0, -dr):h + min(0, -dr), max(0, -dc):w + min(0, -dc)]
+        m = ~np.isnan(src) & ~np.isnan(dst)
+        wp += m.sum()
+        num_i += np.sum(np.where(m, (src - mean) * (dst - mean), 0.0))
+        num_c += np.sum(np.where(m, (src - dst) ** 2, 0.0))
+    den = np.sum(dev * dev)
+    if wp == 0 or den == 0:
+        return None, None, int(n), int(wp)
+    return (
+        (n / wp) * (num_i / den),
+        ((n - 1) / (2 * wp)) * (num_c / den),
+        int(n), int(wp),
+    )
+
+
+def test_spatial_stats_match_numpy(per_band):
+    df, truth = per_band
+    got = {r.chip_id: r for r in focal.spatial_stats(df).collect()}
+    for chip, a2d in truth.items():
+        mi, gc, n, wp = _np_spatial(a2d)
+        r = got[chip]
+        assert (r.n_valid, r.w_pairs) == (n, wp)
+        assert abs(r.morans_i - mi) < 1e-9 and abs(r.gearys_c - gc) < 1e-9
+    # degenerate chips: all-null and 1x1 -> null statistics
+    assert got["c3"].morans_i is None and got["c3"].w_pairs == 0
+    assert got["c4"].morans_i is None  # single pixel: no pairs
+
+
+def test_spatial_stats_known_patterns(spark):
+    """Hand-pinned extremes: a constant chip has zero variance (null I);
+    a checkerboard is perfectly dispersed (I = -1 for this size); a
+    half/half split is strongly clustered (I near +1)."""
+    w = h = 4
+    checker = [[float((r + c) % 2) for c in range(w)] for r in range(h)]
+    halves = [[0.0] * w if r < h // 2 else [1.0] * w for r in range(h)]
+    rows = [
+        {"chip_id": k, "band": 0,
+         "values": [v for row in vals for v in row],
+         **_grid(w=w, h=h)}
+        for k, vals in [("checker", checker), ("halves", halves),
+                        ("const", [[7.0] * w] * h)]
+    ]
+    got = {r.chip_id: r for r in
+           focal.spatial_stats(spark.createDataFrame(rows)).collect()}
+    assert got["const"].morans_i is None and got["const"].n_valid == 16
+    assert got["checker"].morans_i == -1.0  # every neighbor pair opposes
+    assert got["halves"].morans_i > 0.5
+    assert got["checker"].gearys_c > 1.0 and got["halves"].gearys_c < 0.5
+    plan = (focal.spatial_stats(spark.createDataFrame(rows))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "EvalPython" not in plan and plan.count("Exchange") == 0
+
+
+def test_spatial_stats_truth_mirror_agrees_on_real_chips(spark):
+    """q77 closure: engine Moran/Geary over real encoded mosaics equal the
+    independent numpy truth mirror, bit for bit."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    got = (
+        entry.q77_spatial_stats(spark, entry.ORACLE_SF_DIR)
+        .toPandas()
+        .sort_values(["chip_id", "band"])
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(entry.oracle_sql()["q77_spatial_stats"])
+        .df()
+        .sort_values(["chip_id", "band"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    ints = {"band": "int64", "n_valid": "int64", "w_pairs": "int64"}
+    pd.testing.assert_frame_equal(
+        got.astype(ints), want.astype(ints), check_exact=True
+    )
+    assert got["morans_i"].notna().any()
+
+
 def test_terrain_truth_mirror_agrees_on_real_chips(spark):
     """q74 closure: the engine's Horn gradients over real encoded mosaics
     equal the independent numpy truth mirror, bit for bit, and the steep
