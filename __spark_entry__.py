@@ -797,6 +797,58 @@ def _ensure_chip_stats_truth() -> str:
     return _ensure_truth_parquet("chip_stats_truth", build)
 
 
+def _ensure_qa_mask_truth() -> str:
+    def build():
+        from rasteret_spark.sources.truth import qa_mask_truth_pdf
+
+        return qa_mask_truth_pdf(
+            HOTSPOT_BBOX, CHIP_SIZE, CHIP_RES, stride=CHIP_STRIDE,
+            data_band=0, qa_band=1, bit=QA_BIT,
+        )
+
+    # the bit constant lives in THIS module, outside the truth-module hash
+    return _ensure_truth_parquet(f"qa_mask_truth_b{QA_BIT}", build)
+
+
+def _ensure_stretch_truth() -> str:
+    def build():
+        from rasteret_spark.sources.truth import stretch_truth_pdf
+
+        return stretch_truth_pdf(
+            HOTSPOT_BBOX, CHIP_SIZE, CHIP_RES, stride=CHIP_STRIDE,
+            p_lo=0.02, p_hi=0.98, bands=(0, 1),
+        )
+
+    return _ensure_truth_parquet("stretch_truth", build)
+
+
+def _ensure_chip_histogram_truth() -> str:
+    def build():
+        from rasteret_spark.sources.truth import chip_histogram_truth_pdf
+
+        return chip_histogram_truth_pdf(
+            HOTSPOT_BBOX, CHIP_SIZE, CHIP_RES, stride=CHIP_STRIDE,
+            lo=HIST_LO, hi=HIST_HI, n_bins=HIST_BINS, bands=(0, 1),
+        )
+
+    # bin params live in THIS module — bake them into the cache key
+    return _ensure_truth_parquet(
+        f"chip_histogram_truth_{HIST_LO:g}_{HIST_HI:g}_{HIST_BINS}", build
+    )
+
+
+def _ensure_train_split_truth() -> str:
+    def build():
+        from rasteret_spark.sources.truth import train_split_truth_pdf
+
+        return train_split_truth_pdf(
+            HOTSPOT_BBOX, CHIP_SIZE, CHIP_RES, stride=CHIP_STRIDE,
+            bands=(0, 1),
+        )
+
+    return _ensure_truth_parquet("train_split_truth", build)
+
+
 def _ensure_terrain_truth() -> str:
     def build():
         from rasteret_spark.sources.truth import terrain_truth_pdf
@@ -1729,6 +1781,105 @@ def q76_build_overviews(spark, sf_dir):
     return built.mapInPandas(verify, schema=schema)
 
 
+QA_BIT = 1
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 4000.0, 8
+
+
+def _wsum_arr(col):
+    """Position-weighted sequential fold of a pixel array column (nulls as
+    0) — the deterministic, order-pinned scalar the oracle hash compares."""
+    return F.aggregate(
+        F.zip_with(
+            F.col(col),
+            F.sequence(F.lit(1), F.size(F.col(col))),
+            lambda v, i: F.coalesce(v, F.lit(0.0)) * i.cast("double"),
+        ),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+
+
+def q78_qa_mask(spark, sf_dir):
+    """QA-bitmask cloud-style masking (operators/band_math.qa_mask): band 1
+    of each chip composite is read as an integer-coded QA word, bit 1
+    flags a pixel, and flagged/unknown pixels null out of the band-0 data
+    — the Landsat QA_PIXEL workflow executed WHERE the pixels are.  One
+    pivot shuffle, pure Catalyst bit math; DuckDB-oracled bit-exactly
+    against an independent numpy mirror from pre-encode truth."""
+    from rasteret_spark.operators import band_math as bm
+    from rasteret_spark.operators import raster_mosaic as rmo
+
+    mosaic = rmo.first_valid_mosaic_pixels(
+        _chip_pairs(spark), bands=(0, 1), max_images_per_chip=None
+    )
+    out = bm.qa_mask(mosaic, data_band=0, qa_band=1, bit=QA_BIT)
+    return out.select(
+        "chip_id", "qa_valid", "qa_flagged", "kept_px",
+        _wsum_arr("masked").alias("masked_wsum"),
+    )
+
+
+def q79_stretch(spark, sf_dir):
+    """Robust percentile contrast stretch (operators/band_math.stretch):
+    per-chip p2/p98 cut points, pixels rescaled to [0, 1] — the
+    training-chip normalization pass, ZERO shuffles past the mosaic.
+    DuckDB-oracled bit-exactly (cut points, clip counts and the
+    position-weighted fold of the stretched canvas)."""
+    from rasteret_spark.operators import band_math as bm
+    from rasteret_spark.operators import raster_mosaic as rmo
+
+    mosaic = rmo.first_valid_mosaic_pixels(
+        _chip_pairs(spark), bands=(0, 1), max_images_per_chip=None
+    )
+    out = bm.stretch(mosaic, p_lo=0.02, p_hi=0.98)
+    return out.select(
+        "chip_id", "band", "cut_lo", "cut_hi", "clip_lo_px", "clip_hi_px",
+        _wsum_arr("stretched").alias("stretch_wsum"),
+    )
+
+
+def q80_chip_histogram(spark, sf_dir):
+    """Per-chip fixed-bin histograms (operators/band_math.chip_histogram):
+    8 bins over [0, 4000) with edge-bin clamping — the distribution
+    fingerprint for dataset balance / domain-shift reports.  ZERO added
+    shuffles (a projection over the mosaic rows); integer bin counts are
+    order-independent, so the DuckDB oracle is exact by construction."""
+    from rasteret_spark.operators import band_math as bm
+    from rasteret_spark.operators import raster_mosaic as rmo
+
+    mosaic = rmo.first_valid_mosaic_pixels(
+        _chip_pairs(spark), bands=(0, 1), max_images_per_chip=None
+    )
+    out = bm.chip_histogram(
+        mosaic, lo=HIST_LO, hi=HIST_HI, n_bins=HIST_BINS
+    )
+    return out.select(
+        "chip_id", "band", *[f"h{k}" for k in range(HIST_BINS)]
+    )
+
+
+def q81_train_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (operators/splits): every
+    chip hashes to a split via Catalyst xxhash64 — stable across runs,
+    partitionings and appends, unlike randomSplit.  Each row carries its
+    composite valid count and position-weighted fold so the oracle checks
+    the split is bound to the RIGHT chip contents; the hash itself is
+    mirrored bit-equal from the public XXH64 spec in sources/truth.py."""
+    from rasteret_spark.operators import raster_mosaic as rmo
+    from rasteret_spark.operators import splits
+
+    mosaic = rmo.first_valid_mosaic_pixels(
+        _chip_pairs(spark), bands=(0, 1), max_images_per_chip=None
+    )
+    out = splits.assign_split(mosaic, key_col="chip_id")
+    return out.select(
+        "chip_id", "band", "split",
+        F.size(
+            F.filter(F.col("values"), lambda v: v.isNotNull())
+        ).alias("n_valid"),
+        _wsum_arr("values").alias("v_wsum"),
+    )
+
+
 def q73_temporal_trend(spark, sf_dir):
     """Per-pixel least-squares temporal trend over real chip stacks
     (operators/band_math.temporal_trend): OLS slope/intercept of
@@ -2000,7 +2151,8 @@ SF_INDEPENDENT_QUERIES = {
     "q67_overview_pixels", "q68_label_masks", "q69_gap_fill",
     "q70_class_stats", "q71_focal_filters", "q72_change_detect",
     "q73_temporal_trend", "q74_terrain", "q75_chip_stats",
-    "q76_build_overviews", "q77_spatial_stats",
+    "q76_build_overviews", "q77_spatial_stats", "q78_qa_mask",
+    "q79_stretch", "q80_chip_histogram", "q81_train_split",
 }
 
 
@@ -2069,6 +2221,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_chip_stats": q75_chip_stats,
         "q76_build_overviews": q76_build_overviews,
         "q77_spatial_stats": q77_spatial_stats,
+        "q78_qa_mask": q78_qa_mask,
+        "q79_stretch": q79_stretch,
+        "q80_chip_histogram": q80_chip_histogram,
+        "q81_train_split": q81_train_split,
         "q64_band_index": q64_band_index,
         "q65_temporal_median": q65_temporal_median,
         "q66_pixel_series": q66_pixel_series,
@@ -2196,6 +2352,23 @@ def oracle_sql() -> dict[str, str]:
         "q77_spatial_stats": f"""
             SELECT chip_id, band, n_valid, w_pairs, morans_i, gearys_c
             FROM read_parquet('{_ensure_spatial_stats_truth()}')
+        """,
+        "q78_qa_mask": f"""
+            SELECT chip_id, qa_valid, qa_flagged, kept_px, masked_wsum
+            FROM read_parquet('{_ensure_qa_mask_truth()}')
+        """,
+        "q79_stretch": f"""
+            SELECT chip_id, band, cut_lo, cut_hi, clip_lo_px, clip_hi_px,
+                   stretch_wsum
+            FROM read_parquet('{_ensure_stretch_truth()}')
+        """,
+        "q80_chip_histogram": f"""
+            SELECT chip_id, band, h0, h1, h2, h3, h4, h5, h6, h7
+            FROM read_parquet('{_ensure_chip_histogram_truth()}')
+        """,
+        "q81_train_split": f"""
+            SELECT chip_id, band, split, n_valid, v_wsum
+            FROM read_parquet('{_ensure_train_split_truth()}')
         """,
         "q69_gap_fill": f"""
             SELECT chip_id, t_index, image_id, band,

@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "q68_label_masks", "q69_gap_fill", "q70_class_stats",
     "q71_focal_filters", "q72_change_detect", "q73_temporal_trend",
     "q74_terrain", "q75_chip_stats", "q76_build_overviews",
+    "q77_spatial_stats",
 ]
 
 

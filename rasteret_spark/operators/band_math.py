@@ -470,6 +470,187 @@ def chip_stats(
     return per_band.select("*", *cols)
 
 
+def qa_mask(
+    per_band: DataFrame,
+    data_band: int = 0,
+    qa_band: int = 1,
+    bit: int = 1,
+    key_cols: tuple[str, ...] = ("chip_id",),
+    out_col: str = "masked",
+) -> DataFrame:
+    """Bitmask QA screening — the Landsat/Sentinel cloud-mask workflow
+    (QA_PIXEL / SCL band interpreted bit-wise, flagged pixels nulled out of
+    the data band before any statistic or training chip is cut).  The
+    reference reads QA bands as ordinary assets and leaves masking to
+    driver-side xarray (`examples/landsat_xarray.py`); at 100 TB the mask
+    must be applied WHERE the pixels are.
+
+    Takes per-band pixel rows (one row per chip x band), pivots once on the
+    chip key (the ONLY shuffle), decodes ``bit`` of the integer-coded QA
+    pixels (``floor`` -> int64 -> shift/AND, matching numpy's arithmetic
+    shift for negatives) and nulls every data pixel whose QA pixel is
+    flagged OR missing.  Adds:
+
+    - ``qa_flag   array<boolean>`` — true where the bit is set (null where
+      the QA pixel itself is nodata),
+    - ``<out_col> array<double>``  — the data band with flagged/unknown
+      pixels nulled,
+    - ``qa_valid`` / ``qa_flagged`` / ``kept_px`` counts.
+
+    Pure Catalyst after the pivot: no Python nodes, no second shuffle."""
+    if not 0 <= bit <= 62:
+        raise ValueError(f"qa bit {bit} outside [0, 62]")
+    p = pivot_bands(per_band, key_cols=key_cols)
+    data = F.try_element_at("bands", F.lit(data_band))
+    qa = F.try_element_at("bands", F.lit(qa_band))
+    flag = F.transform(
+        qa,
+        lambda v: F.when(
+            v.isNotNull(),
+            F.shiftright(F.floor(v).cast("long"), bit).bitwiseAND(F.lit(1))
+            == F.lit(1),
+        ),
+    )
+    carry = [c for c in p.columns if c != "bands"]
+    # keep a pixel only when its QA pixel is PRESENT and NOT flagged: an
+    # unknown QA pixel is treated as flagged (conservative, the convention
+    # cloud-optimized pipelines use).  m == False is null-safe here because
+    # a null m makes the whole condition null -> when() yields null.
+    staged = p.select(
+        *carry,
+        flag.alias("qa_flag"),
+        F.zip_with(
+            data,
+            flag,
+            lambda v, m: F.when(m == F.lit(False), v),
+        ).alias(out_col),
+    )
+    # second projection so the qa_flag/masked lambdas evaluate once
+    # (Catalyst does not CSE higher-order lambdas)
+    return staged.select(
+        "*",
+        F.size(
+            F.filter(F.col("qa_flag"), lambda b: b.isNotNull())
+        ).alias("qa_valid"),
+        F.size(F.filter(F.col("qa_flag"), lambda b: b)).alias("qa_flagged"),
+        F.size(
+            F.filter(F.col(out_col), lambda v: v.isNotNull())
+        ).alias("kept_px"),
+    )
+
+
+def stretch(
+    per_band: DataFrame,
+    p_lo: float = 0.02,
+    p_hi: float = 0.98,
+    value_col: str = "values",
+    out_col: str = "stretched",
+) -> DataFrame:
+    """Robust percentile contrast stretch — the training-chip normalization
+    step (clip at the p2/p98 pixel quantiles, rescale to [0, 1]) that every
+    EO ML pipeline applies before tensors leave the loader; the reference
+    leaves it to torchvision transforms driver-side
+    (`src/rasteret/integrations/torchgeo.py:292-299`).
+
+    ZERO shuffles: the quantile cut points use the same linear-interpolation
+    expression tree as :func:`chip_stats` over the row's own sorted valid
+    pixels, and the rescale is ``clamp((v - lo) / (hi - lo), 0, 1)`` per
+    pixel (``hi == lo`` -> flat chip -> 0.0).  Adds ``cut_lo`` / ``cut_hi``,
+    the stretched array, and ``clip_lo_px`` / ``clip_hi_px`` counts so a
+    QA filter can drop chips that clipped too much signal."""
+    if not 0.0 <= p_lo <= p_hi <= 1.0:
+        raise ValueError(f"need 0 <= p_lo <= p_hi <= 1, got {p_lo}, {p_hi}")
+
+    def _quant(vals: Column, n: Column, p: float) -> Column:
+        idx = F.lit(float(p)) * (n - 1).cast("double")
+        lo = F.floor(idx).cast("int")
+        vlo = F.get(vals, lo)
+        vhi = F.get(vals, F.ceil(idx).cast("int"))
+        return F.when(n > 0, vlo + (vhi - vlo) * (idx - lo.cast("double")))
+
+    sorted_alias = f"_{out_col}_sorted"
+    staged = per_band.select(
+        "*",
+        F.array_sort(
+            F.filter(F.col(value_col), lambda v: v.isNotNull())
+        ).alias(sorted_alias),
+    )
+    n = F.size(F.col(sorted_alias))
+    cut = staged.select(
+        "*",
+        _quant(F.col(sorted_alias), n, p_lo).alias("cut_lo"),
+        _quant(F.col(sorted_alias), n, p_hi).alias("cut_hi"),
+    ).drop(sorted_alias)
+    lo_c, hi_c = F.col("cut_lo"), F.col("cut_hi")
+    scaled = F.transform(
+        F.col(value_col),
+        lambda v: F.when(
+            v.isNotNull(),
+            F.when(
+                hi_c > lo_c,
+                F.least(
+                    F.greatest((v - lo_c) / (hi_c - lo_c), F.lit(0.0)),
+                    F.lit(1.0),
+                ),
+            ).otherwise(F.lit(0.0)),
+        ),
+    )
+    out = cut.select("*", scaled.alias(out_col))
+    return out.select(
+        "*",
+        F.size(
+            F.filter(F.col(value_col), lambda v: v < lo_c)
+        ).alias("clip_lo_px"),
+        F.size(
+            F.filter(F.col(value_col), lambda v: v > hi_c)
+        ).alias("clip_hi_px"),
+    )
+
+
+def chip_histogram(
+    per_band: DataFrame,
+    lo: float,
+    hi: float,
+    n_bins: int = 8,
+    value_col: str = "values",
+    prefix: str = "h",
+) -> DataFrame:
+    """Per-chip fixed-bin histogram as a ZERO-shuffle Catalyst projection —
+    the distribution fingerprint used for dataset balance reports, domain
+    -shift detection between acquisition batches, and histogram-matching
+    prep.  Bin k (columns ``<prefix>0 .. <prefix>{n_bins-1}``) counts valid
+    pixels with ``clamp(floor((v - lo) / width), 0, n_bins - 1) == k`` —
+    out-of-range pixels land in the edge bins so every valid pixel is
+    counted exactly once (the numpy.histogram edge convention for clipped
+    data)."""
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    if not 1 <= n_bins <= 64:
+        raise ValueError(f"n_bins {n_bins} outside [1, 64]")
+    width = (hi - lo) / float(n_bins)
+
+    def _bin(v: Column) -> Column:
+        raw = F.floor((v - F.lit(float(lo))) / F.lit(width))
+        return F.least(
+            F.greatest(raw, F.lit(0).cast("long")),
+            F.lit(n_bins - 1).cast("long"),
+        )
+
+    def _count_bin(k: int) -> Column:
+        # closure factory, NOT a default-arg lambda: pyspark dispatches the
+        # (x, i) two-argument lambda form by arity, so `lambda v, k=k` would
+        # silently receive the array INDEX as k
+        return F.size(
+            F.filter(
+                F.col(value_col),
+                lambda v: v.isNotNull() & (_bin(v) == F.lit(k)),
+            )
+        )
+
+    cols = [_count_bin(k).alias(f"{prefix}{k}") for k in range(n_bins)]
+    return per_band.select("*", *cols)
+
+
 def threshold_mask(
     indexed: DataFrame,
     index_col: str,

@@ -1928,6 +1928,246 @@ def spatial_stats_truth_pdf(
     return pdf
 
 
+def qa_mask_truth_pdf(
+    bbox: tuple[float, float, float, float],
+    size: int,
+    xres: float,
+    stride: int,
+    data_band: int = 0,
+    qa_band: int = 1,
+    bit: int = 1,
+    max_images_per_chip: int = 32,
+    n_images: int = 120,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Expected output of the QA-bitmask query: composite the data and QA
+    bands over truth arrays, decode ``bit`` of ``int64(floor(qa_pixel))``
+    (arithmetic shift, numpy == JVM semantics), null data pixels whose QA
+    pixel is flagged or missing, then the engine's counts and
+    position-weighted fold — all hand-mirrored, no Spark in the loop."""
+    import math
+
+    chips = chip_grid_truth(bbox, size, xres, stride=stride)
+    sidecars = [_image_sidecar(i, seed) for i in range(n_images)]
+    rows: list[dict] = []
+    for chip in chips:
+        cands = _chip_cands_truth(chip, sidecars)
+        if not cands:
+            continue
+        kept = cands[:max_images_per_chip]
+        data, _ = _composite_chip(chip, kept, data_band)
+        qa, _ = _composite_chip(chip, kept, qa_band)
+        dflat, qflat = data.ravel(), qa.ravel()
+        masked = np.full(dflat.shape, np.nan)
+        qa_valid = qa_flagged = 0
+        for i in range(qflat.size):
+            q = qflat[i]
+            if np.isnan(q):
+                continue  # unknown QA -> pixel dropped
+            qa_valid += 1
+            if (int(math.floor(q)) >> bit) & 1:
+                qa_flagged += 1
+            else:
+                masked[i] = dflat[i]
+        rows.append(
+            {
+                "chip_id": chip["chip_id"],
+                "qa_valid": qa_valid,
+                "qa_flagged": qa_flagged,
+                "kept_px": int((~np.isnan(masked)).sum()),
+                "masked_wsum": _wfold(masked),
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    for c in ("qa_valid", "qa_flagged", "kept_px"):
+        pdf[c] = pdf[c].astype("int32")
+    pdf["masked_wsum"] = pdf["masked_wsum"].astype("float64")
+    return pdf
+
+
+def _quantile_truth(s: np.ndarray, p: float) -> float | None:
+    """The engine's linear-interpolated quantile over an ASCENDING valid
+    array, with the exact arithmetic tree (hand-coded, not np.percentile)."""
+    import math
+
+    n = int(s.size)
+    if n == 0:
+        return None
+    idx = float(p) * float(n - 1)
+    lo = math.floor(idx)
+    hi = math.ceil(idx)
+    return float(s[lo] + (s[hi] - s[lo]) * (idx - float(lo)))
+
+
+def stretch_truth_pdf(
+    bbox: tuple[float, float, float, float],
+    size: int,
+    xres: float,
+    stride: int,
+    p_lo: float = 0.02,
+    p_hi: float = 0.98,
+    bands: tuple[int, ...] = (0, 1),
+    max_images_per_chip: int = 32,
+    n_images: int = 120,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Expected output of the percentile-stretch query: composites over
+    truth arrays, the engine's quantile cut points, per-pixel
+    ``clamp((v - lo) / (hi - lo), 0, 1)`` (flat chip -> 0.0), clip counts
+    and the position-weighted fold of the stretched canvas."""
+    chips = chip_grid_truth(bbox, size, xres, stride=stride)
+    sidecars = [_image_sidecar(i, seed) for i in range(n_images)]
+    rows: list[dict] = []
+    for chip in chips:
+        cands = _chip_cands_truth(chip, sidecars)
+        if not cands:
+            continue
+        kept = cands[:max_images_per_chip]
+        for band in bands:
+            canvas, _ = _composite_chip(chip, kept, band)
+            flat = canvas.ravel()
+            s = np.sort(flat[~np.isnan(flat)])
+            cut_lo = _quantile_truth(s, p_lo)
+            cut_hi = _quantile_truth(s, p_hi)
+            stretched = np.full(flat.shape, np.nan)
+            clip_lo = clip_hi = 0
+            for i in range(flat.size):
+                v = flat[i]
+                if np.isnan(v):
+                    continue
+                if v < cut_lo:
+                    clip_lo += 1
+                if v > cut_hi:
+                    clip_hi += 1
+                if cut_hi > cut_lo:
+                    u = (v - cut_lo) / (cut_hi - cut_lo)
+                    stretched[i] = min(max(u, 0.0), 1.0)
+                else:
+                    stretched[i] = 0.0
+            rows.append(
+                {
+                    "chip_id": chip["chip_id"],
+                    "band": band,
+                    "cut_lo": cut_lo,
+                    "cut_hi": cut_hi,
+                    "clip_lo_px": clip_lo,
+                    "clip_hi_px": clip_hi,
+                    "stretch_wsum": _wfold(stretched),
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    for c in ("band", "clip_lo_px", "clip_hi_px"):
+        pdf[c] = pdf[c].astype("int32")
+    for c in ("cut_lo", "cut_hi", "stretch_wsum"):
+        pdf[c] = pdf[c].astype("float64")
+    return pdf
+
+
+def chip_histogram_truth_pdf(
+    bbox: tuple[float, float, float, float],
+    size: int,
+    xres: float,
+    stride: int,
+    lo: float,
+    hi: float,
+    n_bins: int = 8,
+    bands: tuple[int, ...] = (0, 1),
+    max_images_per_chip: int = 32,
+    n_images: int = 120,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Expected output of the histogram query: per (chip, band) bin counts
+    with the engine's exact bin rule ``clamp(floor((v - lo) / width), 0,
+    n_bins - 1)`` over composited truth arrays (same float divide, same
+    edge-bin clamping)."""
+    import math
+
+    width = (hi - lo) / float(n_bins)
+    chips = chip_grid_truth(bbox, size, xres, stride=stride)
+    sidecars = [_image_sidecar(i, seed) for i in range(n_images)]
+    rows: list[dict] = []
+    for chip in chips:
+        cands = _chip_cands_truth(chip, sidecars)
+        if not cands:
+            continue
+        kept = cands[:max_images_per_chip]
+        for band in bands:
+            canvas, _ = _composite_chip(chip, kept, band)
+            flat = canvas.ravel()
+            counts = [0] * n_bins
+            for v in flat:
+                if np.isnan(v):
+                    continue
+                k = int(math.floor((v - lo) / width))
+                counts[min(max(k, 0), n_bins - 1)] += 1
+            rec = {"chip_id": chip["chip_id"], "band": band}
+            for k in range(n_bins):
+                rec[f"h{k}"] = counts[k]
+            rows.append(rec)
+    pdf = pd.DataFrame(rows)
+    pdf["band"] = pdf["band"].astype("int32")
+    for k in range(n_bins):
+        pdf[f"h{k}"] = pdf[f"h{k}"].astype("int32")
+    return pdf
+
+
+def train_split_truth_pdf(
+    bbox: tuple[float, float, float, float],
+    size: int,
+    xres: float,
+    stride: int,
+    fractions: tuple[float, ...] = (0.8, 0.1, 0.1),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    salt: str = "",
+    bands: tuple[int, ...] = (0, 1),
+    max_images_per_chip: int = 32,
+    n_images: int = 120,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Expected output of the split-assignment query: the xxhash64 mirror
+    (seed 42 over UTF-8 bytes, bit-equal to Catalyst) buckets each chip_id
+    into ``pmod(h, 1e6)``, cumulative fractions carve the splits, and each
+    chip row carries its composite valid count + position-weighted fold so
+    the oracle checks the split is assigned to the RIGHT chip contents."""
+    buckets = 1_000_000
+    bounds = []
+    cum = 0.0
+    for f in fractions[:-1]:
+        cum += f
+        bounds.append(int(round(cum * buckets)))
+    chips = chip_grid_truth(bbox, size, xres, stride=stride)
+    sidecars = [_image_sidecar(i, seed) for i in range(n_images)]
+    rows: list[dict] = []
+    for chip in chips:
+        cands = _chip_cands_truth(chip, sidecars)
+        if not cands:
+            continue
+        kept = cands[:max_images_per_chip]
+        u = _xxh64_str(chip["chip_id"] + salt) % buckets
+        split = names[-1]
+        for b, name in zip(bounds, names[:-1]):
+            if u < b:
+                split = name
+                break
+        for band in bands:
+            canvas, _ = _composite_chip(chip, kept, band)
+            flat = canvas.ravel()
+            rows.append(
+                {
+                    "chip_id": chip["chip_id"],
+                    "band": band,
+                    "split": split,
+                    "n_valid": int((~np.isnan(flat)).sum()),
+                    "v_wsum": _wfold(flat),
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    for c in ("band", "n_valid"):
+        pdf[c] = pdf[c].astype("int32")
+    pdf["v_wsum"] = pdf["v_wsum"].astype("float64")
+    return pdf
+
+
 def build_overviews_truth_pdf(
     n_images: int = 96,
     seed: int = 42,
