@@ -499,6 +499,65 @@ class Collection:
             altitude=altitude, azimuth=azimuth,
         )
 
+    def qa_mask(
+        self, bbox, size: int, xres: float, data_band: int = 0,
+        qa_band: int = 1, bit: int = 1, **mosaic_kwargs,
+    ) -> DataFrame:
+        """Mosaic a data band and a QA band over ``bbox`` and null every
+        data pixel whose QA pixel has ``bit`` set (or is missing) — the
+        Landsat QA_PIXEL / Sentinel SCL cloud-mask flow executed where the
+        pixels are (`operators/band_math.qa_mask`: one pivot shuffle, pure
+        Catalyst bit math)."""
+        from rasteret_spark.operators import band_math as bm
+
+        per_band = self.mosaic(
+            bbox, size, xres, bands=(data_band, qa_band), **mosaic_kwargs
+        )
+        return bm.qa_mask(
+            per_band, data_band=data_band, qa_band=qa_band, bit=bit
+        )
+
+    def normalize(
+        self, bbox, size: int, xres: float, p_lo: float = 0.02,
+        p_hi: float = 0.98, bands=(0,), **mosaic_kwargs,
+    ) -> DataFrame:
+        """Mosaic ``bands`` over ``bbox`` and robust-stretch every chip to
+        [0, 1] (clip at the per-chip ``p_lo``/``p_hi`` quantiles) — the
+        training-chip normalization pass, `operators/band_math.stretch`,
+        zero added shuffles."""
+        from rasteret_spark.operators import band_math as bm
+
+        per_band = self.mosaic(bbox, size, xres, bands=bands, **mosaic_kwargs)
+        return bm.stretch(per_band, p_lo=p_lo, p_hi=p_hi)
+
+    def histogram(
+        self, bbox, size: int, xres: float, lo: float, hi: float,
+        n_bins: int = 8, bands=(0,), **mosaic_kwargs,
+    ) -> DataFrame:
+        """Per-chip fixed-bin pixel histograms over ``bbox`` — the dataset
+        balance / domain-shift fingerprint,
+        `operators/band_math.chip_histogram`, zero added shuffles."""
+        from rasteret_spark.operators import band_math as bm
+
+        per_band = self.mosaic(bbox, size, xres, bands=bands, **mosaic_kwargs)
+        return bm.chip_histogram(per_band, lo=lo, hi=hi, n_bins=n_bins)
+
+    def train_split(
+        self, df: DataFrame, key_col: str = "chip_id",
+        fractions=(0.8, 0.1, 0.1), names=("train", "val", "test"),
+        salt: str = "",
+    ) -> DataFrame:
+        """Deterministic train/val/test assignment for any chip table this
+        collection produced: hash-bucket ``key_col`` so every row lands in
+        the same split across runs, partitionings and appends —
+        `operators/splits.assign_split`, a pure projection."""
+        from rasteret_spark.operators import splits as sp
+
+        return sp.assign_split(
+            df, key_col=key_col, fractions=tuple(fractions),
+            names=tuple(names), salt=salt,
+        )
+
     def gap_fill(self, bbox, size: int, xres: float, bands=(0,), **chip_kwargs):
         """Serve [T, C, H, W] chip stacks with per-pixel temporal gaps
         repaired: interior nulls interpolate linearly in time between their

@@ -335,6 +335,55 @@ def test_change_trend_terrain_facades_match_manual(spark, coll, images_pdf):
     assert checked
 
 
+def test_training_prep_facades_match_manual(spark, coll, images_pdf):
+    """Collection.qa_mask / .normalize / .histogram / .train_split == the
+    operator composed by hand over the same mosaic rows."""
+    from rasteret_spark.operators import band_math as bm
+    from rasteret_spark.operators import splits as sp
+
+    im = images_pdf[images_pdf["n_bands"] >= 2].iloc[0]
+    bbox = (
+        float(im["xmin"]), float(im["ymin"]),
+        float(im["xmin"]) + 0.02, float(im["ymin"]) + 0.02,
+    )
+
+    def _key(df):
+        keys = [k for k in ("chip_id", "band") if k in df.columns]
+        return df.toPandas().sort_values(keys).reset_index(drop=True)
+
+    got = _key(coll.qa_mask(bbox, size=16, xres=0.00125, bit=1))
+    manual = _key(bm.qa_mask(
+        coll.mosaic(bbox, size=16, xres=0.00125, bands=(0, 1)), bit=1))
+    assert len(got) >= 1 and list(got["chip_id"]) == list(manual["chip_id"])
+    assert (got["qa_flagged"] == manual["qa_flagged"]).all()
+    assert (got["kept_px"] == manual["kept_px"]).all()
+
+    got_s = _key(coll.normalize(bbox, size=16, xres=0.00125, bands=(0,)))
+    manual_s = _key(bm.stretch(
+        coll.mosaic(bbox, size=16, xres=0.00125, bands=(0,))))
+    assert (got_s["clip_lo_px"] == manual_s["clip_lo_px"]).all()
+    checked = False
+    for g, m in zip(got_s["stretched"], manual_s["stretched"]):
+        ga = np.asarray([np.nan if v is None else v for v in g], dtype=float)
+        ma = np.asarray([np.nan if v is None else v for v in m], dtype=float)
+        np.testing.assert_allclose(ga, ma, atol=0, equal_nan=True)
+        checked = checked or np.isfinite(ga).any()
+    assert checked
+
+    got_h = _key(coll.histogram(
+        bbox, size=16, xres=0.00125, lo=0.0, hi=4000.0, n_bins=4))
+    manual_h = _key(bm.chip_histogram(
+        coll.mosaic(bbox, size=16, xres=0.00125, bands=(0,)),
+        lo=0.0, hi=4000.0, n_bins=4))
+    for k in range(4):
+        assert (got_h[f"h{k}"] == manual_h[f"h{k}"]).all()
+
+    base = coll.mosaic(bbox, size=16, xres=0.00125, bands=(0,))
+    got_sp = _key(coll.train_split(base))
+    manual_sp = _key(sp.assign_split(base))
+    assert list(got_sp["split"]) == list(manual_sp["split"])
+
+
 def test_pixel_series_matches_flat_samples(spark, coll, points_pdf, images_pdf):
     """pixel_series == the flat per-(point,image) samples folded by hand:
     same observation sets, chronological order, exact means."""
