@@ -442,9 +442,20 @@ def chip_stats(
     for p in probs:
         if not 0.0 <= p <= 1.0:
             raise ValueError(f"quantile prob {p} outside [0, 1]")
-    vals = F.array_sort(
-        F.filter(F.col(value_col), lambda v: v.isNotNull())
+    # stage the sorted valid pixels ONCE: Catalyst does not CSE
+    # lambda-bearing expressions, so inlining the sort into every statistic
+    # re-sorts per output column — and re-sorts PER ELEMENT inside the
+    # at_max_px filter lambda (O(N^2 log N) per chip).  A separate
+    # projection pins a single sort per row; CollapseProject keeps it
+    # (non-cheap expression, many references).
+    sorted_col = "_cs_sorted"
+    staged = per_band.select(
+        "*",
+        F.array_sort(
+            F.filter(F.col(value_col), lambda v: v.isNotNull())
+        ).alias(sorted_col),
     )
+    vals = F.col(sorted_col)
     n = F.size(vals)
     n_px = F.size(F.col(value_col))
     vmax = F.try_element_at(vals, F.lit(-1))
@@ -467,7 +478,7 @@ def chip_stats(
         vhi = F.get(vals, hi)
         q = F.when(n > 0, vlo + (vhi - vlo) * (idx - lo.cast("double")))
         cols.append(q.alias(f"q{int(round(p * 100)):02d}"))
-    return per_band.select("*", *cols)
+    return staged.select("*", *cols).drop(sorted_col)
 
 
 def qa_mask(

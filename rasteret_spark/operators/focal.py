@@ -297,8 +297,22 @@ def spatial_stats(
             F.lit(0.0), lambda a, v: a + v,
         )
 
-    n_valid = F.size(F.filter(vals, lambda v: v.isNotNull()))
-    mean = F.when(n_valid > 0, fold(vals) / n_valid.cast("double"))
+    # stage n_valid/mean as real columns: Catalyst does not CSE
+    # lambda-bearing expressions, so inlining the mean (a full-array fold)
+    # into the per-pixel cross/ssdev lambdas re-folds the whole array PER
+    # PIXEL — O(N^2) per chip.  A separate projection evaluates each once
+    # per row; CollapseProject keeps it (non-cheap, many references).
+    nv_col, mean_col = "_ss_n_valid", "_ss_mean"
+    n_valid_expr = F.size(F.filter(vals, lambda v: v.isNotNull()))
+    per_band = per_band.select(
+        "*",
+        n_valid_expr.alias(nv_col),
+        F.when(
+            n_valid_expr > 0, fold(vals) / n_valid_expr.cast("double")
+        ).alias(mean_col),
+    )
+    n_valid = F.col(nv_col)
+    mean = F.col(mean_col)
 
     def at(i: Column) -> Column:
         return F.try_element_at(vals, i + F.lit(1))
@@ -344,10 +358,18 @@ def spatial_stats(
         v = at(i)
         return F.when(v.isNotNull(), dev(v) * dev(v))
 
-    w_pairs = fold(F.transform(seq(), links))
-    num_i = fold(F.transform(seq(), cross))
-    num_c = fold(F.transform(seq(), sqdiff))
-    den = fold(F.transform(seq(), ssdev))
+    # the four folds are each referenced several times in the output
+    # expressions — stage them too (same CSE rationale as the mean)
+    wp_col, ni_col, nc_col, den_col = "_ss_wp", "_ss_ni", "_ss_nc", "_ss_den"
+    per_band = per_band.select(
+        "*",
+        fold(F.transform(seq(), links)).alias(wp_col),
+        fold(F.transform(seq(), cross)).alias(ni_col),
+        fold(F.transform(seq(), sqdiff)).alias(nc_col),
+        fold(F.transform(seq(), ssdev)).alias(den_col),
+    )
+    w_pairs, num_i = F.col(wp_col), F.col(ni_col)
+    num_c, den = F.col(nc_col), F.col(den_col)
     nv = n_valid.cast("double")
     ok = (w_pairs > 0) & (den != 0.0)
     return per_band.select(
@@ -359,7 +381,7 @@ def spatial_stats(
             ok & (nv > 1.0),
             ((nv - 1.0) / (2.0 * w_pairs)) * (num_c / den),
         ).alias("gearys_c"),
-    )
+    ).drop(nv_col, mean_col, wp_col, ni_col, nc_col, den_col)
 
 
 def sobel(
