@@ -694,6 +694,17 @@ def _ensure_mosaic_native_truth() -> str:
     return _ensure_truth_parquet("mosaic_native_truth", build)
 
 
+def _ensure_cog_export_truth() -> str:
+    def build():
+        from rasteret_spark.sources.truth import cog_export_truth_pdf
+
+        return cog_export_truth_pdf(
+            HOTSPOT_BBOX, 96, 0.001, stride=96, bands=(0, 1)
+        )
+
+    return _ensure_truth_parquet("cog_export_truth", build)
+
+
 def _ensure_chip_stack_truth() -> str:
     def build():
         from rasteret_spark.sources.truth import chip_stack_truth_pdf
@@ -1121,6 +1132,8 @@ def q47_lsh_ann(spark, sf_dir):
 # way, `src/rasteret/integrations/torchgeo.py:1013-1025`)
 HOTSPOT_BBOX = (13.35, 52.448, 13.452, 52.55)
 CHIP_SIZE, CHIP_RES, CHIP_STRIDE = 32, 0.001, 35
+# q82 export grid: 96-px chips so the COG overview ladder is non-trivial
+COG_SIZE, COG_RES, COG_STRIDE = 96, 0.001, 96
 
 
 def _chips_df(spark):
@@ -1880,6 +1893,84 @@ def q81_train_split(spark, sf_dir):
     )
 
 
+def q82_cog_export(spark, sf_dir):
+    """Distributed COG export + independent file re-read (the sink leg the
+    read-only reference lacks): mosaic the hotspot on a 96-px grid, write
+    one tiled+overviewed GeoTIFF per chip through the writer registry
+    (`operators/raster_sink.write_cogs` — ONE shuffle, executor-side atomic
+    writes, per-chip quarantine), then verify from the FILES alone
+    (binaryFile scan -> IFD chain parse -> full decode).  The DuckDB oracle
+    (sources/truth.cog_export_truth_pdf) mirrors the float32 storage cast
+    and the overview ladder from pre-encode truth, so pixel sums from the
+    written files are bit-exact, not approximate."""
+    from rasteret_spark.operators import chips as ch
+    from rasteret_spark.operators import raster_mosaic as rmo
+    from rasteret_spark.operators import raster_sink as rsink
+
+    images = _images_df(spark)
+    img_light = images.select(
+        "image_id",
+        F.col("xmin").alias("img_xmin"), F.col("ymin").alias("img_ymin"),
+        F.col("xmax").alias("img_xmax"), F.col("ymax").alias("img_ymax"),
+    )
+    grid = ch.chip_requests(
+        spark, HOTSPOT_BBOX, COG_SIZE, COG_RES, stride=COG_STRIDE
+    )
+    pairs = rmo.chip_candidates(
+        grid, img_light, images.select("image_id", "datetime", "bytes"),
+        res=7, max_images_per_chip=rmo.DEFAULT_MAX_IMAGES_PER_CHIP,
+    )
+    px = rmo.first_valid_mosaic_pixels(pairs, bands=(0, 1), max_images_per_chip=None)
+    out_dir = (
+        f"/tmp/rasteret_spark_oracle/"
+        f"cogs_{COG_SIZE}_{COG_RES}_{COG_STRIDE}_{_gen_fingerprint()}"
+    )
+    man = rsink.write_cogs(px, out_dir)
+    bad = man.filter(F.col("status") != "ok").count()  # materializes the export
+    if bad:
+        raise RuntimeError(f"{bad} chips failed COG export")
+
+    files = spark.read.format("binaryFile").load(out_dir + "/*.tif")
+
+    def verify(batches):
+        import numpy as np
+        import pandas as pd
+
+        from rasteret_spark.format import tiff as tf
+
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                blob = bytes(r["content"])
+                chip_id = r["path"].rsplit("/", 1)[1].removesuffix(".tif")
+                metas = tf.parse_tiff_chain(tf.blob_read(blob))
+                full = tf.decode_full(blob)
+                arr = full if full.ndim == 3 else full[None]
+                for bi in range(arr.shape[0]):
+                    a64 = arr[bi].astype(np.float64)
+                    filled = int((~np.isnan(a64)).sum())
+                    out.append(
+                        {
+                            "chip_id": chip_id,
+                            "band": bi,
+                            "width": metas[0].width,
+                            "height": metas[0].height,
+                            "n_overviews": len(metas) - 1,
+                            "filled": filled,
+                            "v_sum": float(np.nansum(a64)) if filled else None,
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(
+        verify,
+        schema=(
+            "chip_id string, band int, width int, height int, "
+            "n_overviews int, filled bigint, v_sum double"
+        ),
+    )
+
+
 def q73_temporal_trend(spark, sf_dir):
     """Per-pixel least-squares temporal trend over real chip stacks
     (operators/band_math.temporal_trend): OLS slope/intercept of
@@ -2225,6 +2316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_stretch": q79_stretch,
         "q80_chip_histogram": q80_chip_histogram,
         "q81_train_split": q81_train_split,
+        "q82_cog_export": q82_cog_export,
         "q64_band_index": q64_band_index,
         "q65_temporal_median": q65_temporal_median,
         "q66_pixel_series": q66_pixel_series,
@@ -2369,6 +2461,10 @@ def oracle_sql() -> dict[str, str]:
         "q81_train_split": f"""
             SELECT chip_id, band, split, n_valid, v_wsum
             FROM read_parquet('{_ensure_train_split_truth()}')
+        """,
+        "q82_cog_export": f"""
+            SELECT chip_id, band, width, height, n_overviews, filled, v_sum
+            FROM read_parquet('{_ensure_cog_export_truth()}')
         """,
         "q69_gap_fill": f"""
             SELECT chip_id, t_index, image_id, band,

@@ -117,7 +117,7 @@ BENCH_QUERIES = [
     "q71_focal_filters", "q72_change_detect", "q73_temporal_trend",
     "q74_terrain", "q75_chip_stats", "q76_build_overviews",
     "q77_spatial_stats", "q78_qa_mask", "q79_stretch",
-    "q80_chip_histogram", "q81_train_split",
+    "q80_chip_histogram", "q81_train_split", "q82_cog_export",
 ]
 
 

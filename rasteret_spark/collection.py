@@ -351,6 +351,26 @@ class Collection:
             pairs, bands=bands, method=method, max_images_per_chip=None
         )
 
+    def to_cogs(
+        self, out_dir: str, bbox, size: int, xres: float, bands=(0,),
+        method: str = "nearest", date_range: tuple | None = None,
+        grid_epsg: int | str | None = None, **sink_kwargs,
+    ) -> DataFrame:
+        """Mosaic the query window and export each chip as a tiled,
+        overviewed GeoTIFF (COG layout) under ``out_dir`` — the outbound
+        leg of the raster pipeline (the reference only READS COGs; this
+        engine also materializes them, so its outputs feed back through
+        ``Collection.from_hrefs`` / ``ingest_rasters``).  Returns the
+        manifest DataFrame (one row per chip: href, sha256, georeferencing,
+        status)."""
+        from rasteret_spark.operators import raster_sink
+
+        px = self.mosaic(
+            bbox, size, xres, bands=bands, method=method,
+            date_range=date_range, grid_epsg=grid_epsg,
+        )
+        return raster_sink.write_cogs(px, out_dir, **sink_kwargs)
+
     def chips(
         self, bbox, size: int, xres: float, stride: int | None = None,
         random_n: int | None = None, seed: int = 0, bands=(0,),

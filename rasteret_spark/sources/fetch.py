@@ -304,6 +304,50 @@ def fetch(url: str, fetchers: dict[str, Callable[[str], bytes]] | None = None) -
     return fn(url)
 
 
+# --- writers: the outbound transport (sinks) ---------------------------------
+def _put_file(url: str, data: bytes) -> None:
+    """Atomic local write: temp file in the target directory, fsync, rename —
+    a reader (or a re-run after a crash) never observes a half-written blob."""
+    import os
+
+    path = urlparse(url).path if "://" in url else url
+    d = os.path.dirname(path) or "."
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".{os.path.basename(path)}.tmp-{os.getpid()}")
+    with open(tmp, "wb") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+_WRITERS: dict[str, Callable[[str, bytes], None]] = {
+    "file": _put_file,
+}
+
+
+def register_writer(scheme: str, fn: Callable[[str, bytes], None]) -> None:
+    """Register/override the blob writer for a URL scheme (e.g. "s3").
+    ``fn(url, data)`` must write the whole object idempotently (PUT
+    semantics) and be picklable — it executes on executors.  Plan builders
+    snapshot the registry at build time (``dict(_WRITERS)``), mirroring
+    ``fetch_blobs(fetchers=...)``."""
+    _WRITERS[scheme.lower()] = fn
+
+
+def put(
+    url: str,
+    data: bytes,
+    writers: dict[str, Callable[[str, bytes], None]] | None = None,
+) -> None:
+    reg = _WRITERS if writers is None else writers
+    scheme = urlparse(url).scheme.lower() if "://" in url else "file"
+    fn = reg.get(scheme)
+    if fn is None:
+        raise ValueError(f"no writer registered for scheme {scheme!r} ({url})")
+    fn(url, data)
+
+
 def _backoff_s(url: str, attempt: int, base_delay: float) -> float:
     """Exponential backoff with DETERMINISTIC per-(url, attempt) jitter in
     [0, 25%] — decorrelates a thundering herd of executors retrying the same

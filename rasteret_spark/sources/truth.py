@@ -591,6 +591,63 @@ _TIFF_COMP_CODE = {"raw": 0, "deflate": 1, "packbits": 4, "lzw": 6,
                    "zstd": 7, "jpeg": 8, "lerc": 9}
 
 
+def cog_export_truth_pdf(
+    bbox: tuple[float, float, float, float],
+    size: int,
+    xres: float,
+    stride: int,
+    bands: tuple[int, ...] = (0, 1),
+    max_images_per_chip: int = 32,
+    n_images: int = 120,
+    seed: int = 42,
+    overview_min_dim: int = 32,
+) -> pd.DataFrame:
+    """Expected re-read verification of the COG export sink (q82): compose
+    the first-valid mosaic truth per chip, cast each band plane to float32
+    (the sink's storage dtype) the way the file roundtrip does, and mirror
+    the nearest-neighbour overview ladder the writer contracts (powers of
+    two while the decimated image stays >= ``overview_min_dim`` — spelled
+    here independently of ``raster_sink._overview_factors``).
+
+    ``filled``/``v_sum`` are computed from the float32-then-float64 pixel
+    sequence in row-major order — exactly what decoding the written file
+    yields — so the oracle is bit-exact, not approximate."""
+    chips = chip_grid_truth(bbox, size, xres, stride=stride)
+    sidecars = [_image_sidecar(i, seed) for i in range(n_images)]
+    rows: list[dict] = []
+    for chip in chips:
+        cands = _chip_cands_truth(chip, sidecars)
+        if not cands:
+            continue
+        kept = cands[:max_images_per_chip]
+        w, h = int(chip["chip_w"]), int(chip["chip_h"])
+        n_ov, f = 0, 2
+        while n_ov < 6 and min(w, h) // f >= overview_min_dim:
+            n_ov += 1
+            f *= 2
+        for band in bands:
+            canvas, _ = _composite_chip(chip, kept, band)
+            a64 = canvas.astype(np.float32).astype(np.float64)
+            filled = int((~np.isnan(a64)).sum())
+            rows.append(
+                {
+                    "chip_id": chip["chip_id"],
+                    "band": band,
+                    "width": w,
+                    "height": h,
+                    "n_overviews": n_ov,
+                    "filled": filled,
+                    "v_sum": float(np.nansum(a64)) if filled else None,
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    for c in ("band", "width", "height", "n_overviews"):
+        pdf[c] = pdf[c].astype("int32")
+    pdf["filled"] = pdf["filled"].astype("int64")
+    pdf["v_sum"] = pdf["v_sum"].astype("float64")
+    return pdf
+
+
 def _tiff_sidecar(i: int, seed: int = 42) -> dict:
     """TIFF truth dict plus footprint bbox / caption / image_id (same corner
     and caption math as ``make_tiff_image_row``).  For the lossy jpeg rows

@@ -421,3 +421,26 @@ def test_pixel_series_matches_flat_samples(spark, coll, points_pdf, images_pdf):
     keys = set(zip(got["point_index"], got["band"]))
     want_keys = set(zip(flat["point_index"], flat["band"]))
     assert keys == want_keys
+
+
+def test_to_cogs_facade_writes_ingestable_files(tmp_path, spark, coll, images_pdf):
+    from rasteret_spark.format import tiff as tf
+
+    im = images_pdf.iloc[0]
+    bbox = (
+        float(im["xmin"]), float(im["ymin"]),
+        float(im["xmin"]) + 0.02, float(im["ymin"]) + 0.02,
+    )
+    out = str(tmp_path / "cogs")
+    man = coll.to_cogs(out, bbox, size=16, xres=0.00125, bands=(0,)).toPandas()
+    assert len(man) >= 1 and (man["status"] == "ok").all()
+    mos = coll.mosaic(bbox, size=16, xres=0.00125, bands=(0,)).toPandas()
+    by_id = {r["chip_id"]: r for _, r in mos.iterrows()}
+    for _, m in man.iterrows():
+        blob = open(m["href"], "rb").read()
+        got = tf.decode_full(blob)
+        want = np.asarray(
+            [np.nan if v is None else v for v in by_id[m["chip_id"]]["values"]],
+            dtype="float64",
+        ).reshape(got.shape).astype("float32")
+        assert np.array_equal(got, want, equal_nan=True)
