@@ -705,6 +705,26 @@ def _ensure_cog_export_truth() -> str:
     return _ensure_truth_parquet("cog_export_truth", build)
 
 
+def _ensure_shard_export_truth() -> str:
+    def build():
+        from rasteret_spark.sources.truth import shard_export_truth_pdf
+
+        return shard_export_truth_pdf(
+            HOTSPOT_BBOX, 32, 0.001, stride=35, n_shards=4, bands=(0, 1)
+        )
+
+    return _ensure_truth_parquet("shard_export_truth", build)
+
+
+def _ensure_image_shard_truth() -> str:
+    def build():
+        from rasteret_spark.sources.truth import image_shard_truth_pdf
+
+        return image_shard_truth_pdf(n_shards=4, n_images=120)
+
+    return _ensure_truth_parquet("image_shard_truth", build)
+
+
 def _ensure_chip_stack_truth() -> str:
     def build():
         from rasteret_spark.sources.truth import chip_stack_truth_pdf
@@ -1971,6 +1991,52 @@ def q82_cog_export(spark, sf_dir):
     )
 
 
+def q83_shard_export(spark, sf_dir):
+    """WebDataset-style tar-shard export + independent read-back: mosaic
+    chips hash-assign to shards (Catalyst xxhash64, append-stable), each
+    shard serializes as ONE deterministic ustar tar of <chip>.npy +
+    <chip>.json samples (`operators/shard_sink` — one shuffle, executor-
+    side writes), then samples are verified from the FILES alone through
+    the stdlib tarfile parser (an implementation the writer shares nothing
+    with).  Oracle: sources/truth.shard_export_truth_pdf mirrors the
+    float32 stack and the XXH64 shard assignment from pre-encode truth."""
+    from rasteret_spark.operators import raster_mosaic as rmo
+    from rasteret_spark.operators import shard_sink as ss
+
+    px = rmo.first_valid_mosaic_pixels(
+        _chip_pairs(spark), bands=(0, 1), max_images_per_chip=None  # capped upstream
+    )
+    out_dir = f"/tmp/rasteret_spark_oracle/shards_4_{_gen_fingerprint()}"
+    man = ss.write_tar_shards(px, out_dir, n_shards=4)
+    bad = man.filter(F.col("status") != "ok").count()  # materializes the export
+    if bad:
+        raise RuntimeError(f"{bad} shards failed export")
+    return ss.read_tar_shards(spark, out_dir + "/*.tar").select(
+        "chip_id", "shard_id", "n_bands", "height", "width", "filled", "v_sum"
+    )
+
+
+def q84_image_caption_shards(spark, sf_dir):
+    """Image+caption WebDataset export + independent read-back: whole
+    images decode through the container dispatch and serialize with their
+    caption bytes VERBATIM as <id>.npy/<id>.txt/<id>.json tar samples
+    (`operators/shard_sink.write_image_shards` — one shuffle, xxhash64
+    append-stable shard assignment, executor-side writes), then samples
+    are verified from the FILES alone via the stdlib tarfile parser.
+    Byte-for-byte caption equality is part of the contract.  Oracle:
+    sources/truth.image_shard_truth_pdf mirrors the float32 pixel sums,
+    captions and XXH64 shard assignment from pre-encode generator truth."""
+    from rasteret_spark.operators import shard_sink as ss
+
+    images = _images_df(spark).select("image_id", "bytes", "caption")
+    out_dir = f"/tmp/rasteret_spark_oracle/imgshards_4_{_gen_fingerprint()}"
+    man = ss.write_image_shards(images, out_dir, n_shards=4)
+    bad = man.filter(F.col("status") != "ok").count()  # materializes the export
+    if bad:
+        raise RuntimeError(f"{bad} shards failed export")
+    return ss.read_image_shards(spark, out_dir + "/*.tar")
+
+
 def q73_temporal_trend(spark, sf_dir):
     """Per-pixel least-squares temporal trend over real chip stacks
     (operators/band_math.temporal_trend): OLS slope/intercept of
@@ -2317,6 +2383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_chip_histogram": q80_chip_histogram,
         "q81_train_split": q81_train_split,
         "q82_cog_export": q82_cog_export,
+        "q83_shard_export": q83_shard_export,
+        "q84_image_caption_shards": q84_image_caption_shards,
         "q64_band_index": q64_band_index,
         "q65_temporal_median": q65_temporal_median,
         "q66_pixel_series": q66_pixel_series,
@@ -2465,6 +2533,15 @@ def oracle_sql() -> dict[str, str]:
         "q82_cog_export": f"""
             SELECT chip_id, band, width, height, n_overviews, filled, v_sum
             FROM read_parquet('{_ensure_cog_export_truth()}')
+        """,
+        "q83_shard_export": f"""
+            SELECT chip_id, shard_id, n_bands, height, width, filled, v_sum
+            FROM read_parquet('{_ensure_shard_export_truth()}')
+        """,
+        "q84_image_caption_shards": f"""
+            SELECT image_id, shard_id, n_bands, height, width, filled,
+                   v_sum, caption
+            FROM read_parquet('{_ensure_image_shard_truth()}')
         """,
         "q69_gap_fill": f"""
             SELECT chip_id, t_index, image_id, band,

@@ -371,6 +371,42 @@ class Collection:
         )
         return raster_sink.write_cogs(px, out_dir, **sink_kwargs)
 
+    def to_shards(
+        self, out_dir: str, bbox, size: int, xres: float, bands=(0,),
+        n_shards: int = 8, method: str = "nearest",
+        date_range: tuple | None = None,
+        grid_epsg: int | str | None = None, **sink_kwargs,
+    ) -> DataFrame:
+        """Mosaic the query window and export the chips as WebDataset-style
+        tar shards (`operators/shard_sink.write_tar_shards`) — the layout a
+        DataLoader fleet streams at training time.  Returns the shard
+        manifest DataFrame (href, sha256, sample counts, status)."""
+        from rasteret_spark.operators import shard_sink
+
+        px = self.mosaic(
+            bbox, size, xres, bands=bands, method=method,
+            date_range=date_range, grid_epsg=grid_epsg,
+        )
+        return shard_sink.write_tar_shards(
+            px, out_dir, n_shards=n_shards, **sink_kwargs
+        )
+
+    def to_image_shards(
+        self, out_dir: str, n_shards: int = 8, *,
+        caption_col: str | None = "caption", **sink_kwargs,
+    ) -> DataFrame:
+        """Export the collection's images (+ captions, byte-for-byte) as
+        WebDataset-style tar shards — <id>.npy/<id>.txt/<id>.json samples
+        (`operators/shard_sink.write_image_shards`).  Returns the shard
+        manifest DataFrame."""
+        from rasteret_spark.operators import shard_sink
+
+        return shard_sink.write_image_shards(
+            self.records, out_dir, n_shards=n_shards,
+            caption_col=caption_col if caption_col in self.records.columns else None,
+            **sink_kwargs,
+        )
+
     def chips(
         self, bbox, size: int, xres: float, stride: int | None = None,
         random_n: int | None = None, seed: int = 0, bands=(0,),

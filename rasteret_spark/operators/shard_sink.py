@@ -1,0 +1,381 @@
+"""WebDataset-style tar-shard export for training samples.
+
+At 100 TB, training data is served to DataLoader fleets as sequential tar
+shards (the WebDataset/TFRecord pattern: big sequential reads, no per-file
+metadata storms), not as millions of tiny files.  This sink turns per-chip
+mosaic/composite rows into that layout, distributed:
+
+- **ONE shuffle**: samples hash to shards with Catalyst ``xxhash64`` (the
+  same deterministic assignment family as ``operators/splits`` — stable
+  across runs, partitionings and appends), and the per-shard groupBy is the
+  only data movement.  Shard files write executor-side through the
+  pluggable writer registry (`sources/fetch.register_writer`).
+- **Byte-deterministic shards**: entries are sorted by sample key, the
+  from-scratch ustar writer (`format/ustar.py`) pins every varying header
+  field, ``.npy`` payloads use the fixed v1.0 format, and ``.json``
+  metadata serializes with sorted keys — the same input always produces
+  byte-identical shards (manifest carries sha256 so re-runs are provably
+  idempotent).
+- **Sample convention**: per chip ``<chip_id>.npy`` (float32,
+  (n_bands, h, w)) + ``<chip_id>.json`` (bands present, grid
+  georeferencing, filled count) sharing a basename — what WebDataset-style
+  loaders expect.
+
+``read_tar_shards`` closes the loop with the STDLIB ``tarfile`` parser (a
+genuinely independent implementation from the writer), yielding sample
+rows back as a DataFrame — so shard export is round-trip tested end to
+end, never writer-verifies-writer.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import json
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: N812
+
+SHARD_MANIFEST_SCHEMA = (
+    "shard_id int, href string, n_samples int, n_entries int, "
+    "n_bytes bigint, sha256 string, status string"
+)
+
+SAMPLE_SCHEMA = (
+    "chip_id string, shard_id int, n_bands int, height int, width int, "
+    "filled bigint, v_sum double, "
+    "chip_xmin double, chip_ymax double, chip_xres double, chip_yres double, "
+    "grid_epsg int"
+)
+
+_REQUIRED = ("chip_id", "band", "values", "chip_xmin", "chip_ymax",
+             "chip_xres", "chip_yres", "chip_w", "chip_h", "grid_epsg")
+
+
+def _npy_bytes(arr: np.ndarray) -> bytes:
+    buf = io.BytesIO()
+    np.lib.format.write_array(buf, arr, version=(1, 0))
+    return buf.getvalue()
+
+
+def _assign_shards(df: DataFrame, key_col: str, n_shards: int) -> DataFrame:
+    """``pmod(xxhash64(key), n_shards)`` shard assignment plus one skeleton
+    row per shard id, so empty shards still materialize as trailer-only
+    tars — loaders expect the contiguous shard-00000..N layout, and groupBy
+    alone never yields sample-less groups.  pandas groupby(dropna=True)
+    discards the null-key skeleton rows inside the export kernels."""
+    with_shard = df.withColumn(
+        "shard_id", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int")
+    )
+    skeleton = with_shard.sparkSession.range(n_shards).select(
+        *[
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in with_shard.schema.fields
+            if f.name != "shard_id"
+        ],
+        F.col("id").cast("int").alias("shard_id"),
+    )
+    return with_shard.unionByName(skeleton)
+
+
+def write_tar_shards(
+    pixels: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    *,
+    key_col: str = "chip_id",
+    dtype: str = "float32",
+    writers: dict | None = None,
+) -> DataFrame:
+    """Export per-chip pixel rows (MOSAIC_SCHEMA-shaped) as ``n_shards``
+    WebDataset-style tar shards under ``out_dir`` (``shard-00000.tar`` ...),
+    returning the manifest DataFrame (SHARD_MANIFEST_SCHEMA).
+
+    Samples assign to shards by ``pmod(xxhash64(key), n_shards)`` —
+    deterministic and append-stable, so an incremental re-export touches
+    only the shards whose samples changed."""
+    missing = [c for c in _REQUIRED if c not in pixels.columns]
+    if missing:
+        raise ValueError(f"write_tar_shards input missing columns {missing}")
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    from rasteret_spark.sources import fetch as fx
+
+    wreg = dict(fx._WRITERS) if writers is None else dict(writers)
+    out_dir = out_dir.rstrip("/")
+    np_dtype = np.dtype(dtype)
+
+    with_shard = _assign_shards(pixels, key_col, n_shards)
+
+    def export(pdf: pd.DataFrame) -> pd.DataFrame:
+        from rasteret_spark.format import ustar
+        from rasteret_spark.sources.fetch import put
+
+        shard_id = int(pdf.iloc[0]["shard_id"])
+        href = f"{out_dir}/shard-{shard_id:05d}.tar"
+        base = {
+            "shard_id": shard_id, "href": href, "n_samples": 0,
+            "n_entries": 0, "n_bytes": None, "sha256": None, "status": "ok",
+        }
+        try:
+            entries: list[tuple[str, bytes]] = []
+            n_samples = 0
+            for chip_id, g in sorted(pdf.groupby(key_col, sort=False),
+                                     key=lambda kv: str(kv[0])):
+                g = g[g["values"].notna()].sort_values("band")
+                if g.empty:
+                    continue
+                r0 = g.iloc[0]
+                w, h = int(r0["chip_w"]), int(r0["chip_h"])
+                planes = []
+                for vals in g["values"]:
+                    a = np.asarray(
+                        [np.nan if v is None else float(v) for v in vals],
+                        dtype="float64",
+                    )
+                    if a.size != w * h:
+                        raise ValueError(
+                            f"chip {chip_id}: band array size {a.size} != {w}x{h}"
+                        )
+                    planes.append(a.reshape(h, w).astype(np_dtype))
+                arr = np.stack(planes)
+                meta = {
+                    "bands": [int(b) for b in g["band"]],
+                    "chip_xmin": float(r0["chip_xmin"]),
+                    "chip_ymax": float(r0["chip_ymax"]),
+                    "chip_xres": float(r0["chip_xres"]),
+                    "chip_yres": float(r0["chip_yres"]),
+                    "grid_epsg": int(r0["grid_epsg"]),
+                    "filled": int(np.count_nonzero(~np.isnan(arr))),
+                }
+                entries.append(
+                    (f"{chip_id}.json",
+                     json.dumps(meta, sort_keys=True).encode())
+                )
+                entries.append((f"{chip_id}.npy", _npy_bytes(arr)))
+                n_samples += 1
+            blob = ustar.tar_bytes(entries)
+            put(href, blob, writers=wreg)
+            base.update(
+                n_samples=n_samples, n_entries=len(entries),
+                n_bytes=len(blob), sha256=hashlib.sha256(blob).hexdigest(),
+            )
+        except Exception as e:  # quarantine the shard, keep the export job
+            base["status"] = f"error: {type(e).__name__}: {e}"[:200]
+        return pd.DataFrame([base])
+
+    return with_shard.groupBy("shard_id").applyInPandas(
+        export, schema=SHARD_MANIFEST_SCHEMA
+    )
+
+
+def read_tar_shards(spark, pattern: str) -> DataFrame:
+    """Distributed shard reader: ``binaryFile`` scan of ``pattern`` ->
+    stdlib-``tarfile`` parse -> one row per sample with its metadata and
+    pixel aggregates (SAMPLE_SCHEMA).  The independent read leg of the
+    shard roundtrip; also the shape a training-side Spark job would use to
+    audit shards without touching the DataLoader path."""
+    files = spark.read.format("binaryFile").load(pattern)
+
+    def parse(batches):
+        import tarfile
+
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                name = r["path"].rsplit("/", 1)[1]
+                shard_id = int(name.removeprefix("shard-").removesuffix(".tar"))
+                with tarfile.open(fileobj=io.BytesIO(bytes(r["content"]))) as t:
+                    members = {m.name: t.extractfile(m).read()
+                               for m in t.getmembers() if m.isfile()}
+                for ename, payload in members.items():
+                    if not ename.endswith(".json"):
+                        continue
+                    chip_id = ename.removesuffix(".json")
+                    meta = json.loads(payload)
+                    arr = np.lib.format.read_array(
+                        io.BytesIO(members[f"{chip_id}.npy"])
+                    )
+                    a64 = arr.astype(np.float64)
+                    filled = int(np.count_nonzero(~np.isnan(a64)))
+                    out.append(
+                        {
+                            "chip_id": chip_id,
+                            "shard_id": shard_id,
+                            "n_bands": int(arr.shape[0]),
+                            "height": int(arr.shape[1]),
+                            "width": int(arr.shape[2]),
+                            "filled": filled,
+                            "v_sum": float(np.nansum(a64)) if filled else None,
+                            "chip_xmin": meta["chip_xmin"],
+                            "chip_ymax": meta["chip_ymax"],
+                            "chip_xres": meta["chip_xres"],
+                            "chip_yres": meta["chip_yres"],
+                            "grid_epsg": meta["grid_epsg"],
+                        }
+                    )
+            # explicit columns: an empty shard (zero samples hashed to it)
+            # parses to out == [] and a column-less frame would fail the
+            # Arrow schema check
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "chip_id", "shard_id", "n_bands", "height", "width",
+                    "filled", "v_sum", "chip_xmin", "chip_ymax", "chip_xres",
+                    "chip_yres", "grid_epsg",
+                ],
+            )
+
+    return files.mapInPandas(parse, schema=SAMPLE_SCHEMA)
+
+
+IMAGE_SAMPLE_SCHEMA = (
+    "image_id string, shard_id int, n_bands int, height int, width int, "
+    "filled bigint, v_sum double, caption string"
+)
+
+
+def write_image_shards(
+    images: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    *,
+    key_col: str = "image_id",
+    blob_col: str = "bytes",
+    caption_col: str | None = "caption",
+    dtype: str = "float32",
+    writers: dict | None = None,
+) -> DataFrame:
+    """Export whole images (+ their captions) as WebDataset-style tar
+    shards: per sample ``<image_id>.npy`` (float32 [C,H,W], decoded through
+    the container dispatch, nodata masked to NaN), ``<image_id>.txt`` (the
+    caption bytes EXACTLY as stored — byte-for-byte equality is part of the
+    engine's contract) and ``<image_id>.json`` (dims, band count, nodata,
+    filled).  Same guarantees as `write_tar_shards`: one shuffle,
+    xxhash64 append-stable assignment, deterministic bytes, every shard id
+    materialized, per-shard quarantine.  Returns the manifest DataFrame."""
+    for c in (key_col, blob_col):
+        if c not in images.columns:
+            raise ValueError(f"write_image_shards input missing column {c!r}")
+    if caption_col is not None and caption_col not in images.columns:
+        raise ValueError(f"write_image_shards input missing column {caption_col!r}")
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    from rasteret_spark.sources import fetch as fx
+
+    wreg = dict(fx._WRITERS) if writers is None else dict(writers)
+    out_dir = out_dir.rstrip("/")
+    np_dtype = np.dtype(dtype)
+    cols = [key_col, blob_col] + ([caption_col] if caption_col else [])
+    with_shard = _assign_shards(images.select(*cols), key_col, n_shards)
+
+    def export(pdf: pd.DataFrame) -> pd.DataFrame:
+        from rasteret_spark.format import container, ustar
+        from rasteret_spark.sources.fetch import put
+
+        shard_id = int(pdf.iloc[0]["shard_id"])
+        href = f"{out_dir}/shard-{shard_id:05d}.tar"
+        base = {
+            "shard_id": shard_id, "href": href, "n_samples": 0,
+            "n_entries": 0, "n_bytes": None, "sha256": None, "status": "ok",
+        }
+        try:
+            entries: list[tuple[str, bytes]] = []
+            n_samples = 0
+            real = pdf[pdf[key_col].notna()].sort_values(key_col)
+            for _, r in real.iterrows():
+                key = str(r[key_col])
+                blob = bytes(r[blob_col])
+                meta = container.parse_any(blob)
+                arr = container.decode_full_any(blob)
+                if arr.ndim == 2:
+                    arr = arr[None]
+                elif arr.shape[0] != meta.n_bands and arr.shape[-1] == meta.n_bands:
+                    arr = np.ascontiguousarray(np.moveaxis(arr, -1, 0))  # chunky
+                a = arr.astype(np_dtype)
+                if meta.nodata is not None and not np.isnan(meta.nodata):
+                    a = np.where(
+                        arr == np.asarray(meta.nodata).astype(arr.dtype), np.nan, a
+                    ).astype(np_dtype)
+                jmeta = {
+                    "n_bands": int(a.shape[0]),
+                    "height": int(a.shape[1]),
+                    "width": int(a.shape[2]),
+                    "nodata": None if meta.nodata is None else float(meta.nodata),
+                    "filled": int(np.count_nonzero(~np.isnan(a.astype("float64")))),
+                }
+                entries.append(
+                    (f"{key}.json", json.dumps(jmeta, sort_keys=True).encode())
+                )
+                entries.append((f"{key}.npy", _npy_bytes(a)))
+                if caption_col is not None:
+                    cap = r[caption_col]
+                    entries.append(
+                        (f"{key}.txt", b"" if cap is None else str(cap).encode())
+                    )
+                n_samples += 1
+            blob = ustar.tar_bytes(entries)
+            put(href, blob, writers=wreg)
+            base.update(
+                n_samples=n_samples, n_entries=len(entries),
+                n_bytes=len(blob), sha256=hashlib.sha256(blob).hexdigest(),
+            )
+        except Exception as e:  # quarantine the shard, keep the export job
+            base["status"] = f"error: {type(e).__name__}: {e}"[:200]
+        return pd.DataFrame([base])
+
+    return with_shard.groupBy("shard_id").applyInPandas(
+        export, schema=SHARD_MANIFEST_SCHEMA
+    )
+
+
+def read_image_shards(spark, pattern: str) -> DataFrame:
+    """Independent read leg for `write_image_shards`: ``binaryFile`` scan ->
+    stdlib ``tarfile`` -> one row per sample with pixel aggregates and the
+    caption decoded from its ``.txt`` bytes (IMAGE_SAMPLE_SCHEMA)."""
+    files = spark.read.format("binaryFile").load(pattern)
+
+    def parse(batches):
+        import tarfile
+
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                name = r["path"].rsplit("/", 1)[1]
+                shard_id = int(name.removeprefix("shard-").removesuffix(".tar"))
+                with tarfile.open(fileobj=io.BytesIO(bytes(r["content"]))) as t:
+                    members = {m.name: t.extractfile(m).read()
+                               for m in t.getmembers() if m.isfile()}
+                for ename, payload in members.items():
+                    if not ename.endswith(".json"):
+                        continue
+                    key = ename.removesuffix(".json")
+                    arr = np.lib.format.read_array(
+                        io.BytesIO(members[f"{key}.npy"])
+                    )
+                    a64 = arr.astype(np.float64)
+                    filled = int(np.count_nonzero(~np.isnan(a64)))
+                    cap = members.get(f"{key}.txt")
+                    out.append(
+                        {
+                            "image_id": key,
+                            "shard_id": shard_id,
+                            "n_bands": int(arr.shape[0]),
+                            "height": int(arr.shape[1]),
+                            "width": int(arr.shape[2]),
+                            "filled": filled,
+                            "v_sum": float(np.nansum(a64)) if filled else None,
+                            "caption": None if cap is None else cap.decode(),
+                        }
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "image_id", "shard_id", "n_bands", "height", "width",
+                    "filled", "v_sum", "caption",
+                ],
+            )
+
+    return files.mapInPandas(parse, schema=IMAGE_SAMPLE_SCHEMA)

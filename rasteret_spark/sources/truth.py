@@ -648,6 +648,99 @@ def cog_export_truth_pdf(
     return pdf
 
 
+def shard_export_truth_pdf(
+    bbox: tuple[float, float, float, float],
+    size: int,
+    xres: float,
+    stride: int,
+    n_shards: int,
+    bands: tuple[int, ...] = (0, 1),
+    max_images_per_chip: int = 32,
+    n_images: int = 120,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Expected sample rows read back from the tar-shard export (q83):
+    mosaic truth per chip, stacked band-major and cast to float32 (the
+    sink's .npy storage), shard assignment mirrored from Catalyst
+    ``pmod(xxhash64(chip_id), n_shards)`` via the XXH64 spec
+    implementation."""
+    chips = chip_grid_truth(bbox, size, xres, stride=stride)
+    sidecars = [_image_sidecar(i, seed) for i in range(n_images)]
+    rows: list[dict] = []
+    for chip in chips:
+        cands = _chip_cands_truth(chip, sidecars)
+        if not cands:
+            continue
+        kept = cands[:max_images_per_chip]
+        w, h = int(chip["chip_w"]), int(chip["chip_h"])
+        planes = [
+            _composite_chip(chip, kept, band)[0].astype(np.float32)
+            for band in bands
+        ]
+        a64 = np.stack(planes).astype(np.float64)
+        filled = int((~np.isnan(a64)).sum())
+        rows.append(
+            {
+                "chip_id": chip["chip_id"],
+                "shard_id": _xxh64_str(chip["chip_id"]) % n_shards,
+                "n_bands": len(bands),
+                "height": h,
+                "width": w,
+                "filled": filled,
+                "v_sum": float(np.nansum(a64)) if filled else None,
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    for c in ("shard_id", "n_bands", "height", "width"):
+        pdf[c] = pdf[c].astype("int32")
+    pdf["filled"] = pdf["filled"].astype("int64")
+    pdf["v_sum"] = pdf["v_sum"].astype("float64")
+    return pdf
+
+
+def image_shard_truth_pdf(
+    n_shards: int,
+    n_images: int = 120,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Expected sample rows read back from the image+caption tar-shard
+    export (q84): per image the float32 cast of the generator's pre-encode
+    ``expected`` array (nodata masked to NaN, mirroring the sink), the
+    caption VERBATIM, and the shard id mirrored from Catalyst
+    ``pmod(xxhash64(image_id), n_shards)`` via the XXH64 spec
+    implementation.  Pure generator math — crosses the whole
+    encode/decode/tar/read stack without reusing any of it."""
+    rows: list[dict] = []
+    for i in range(n_images):
+        t = syn.make_image_truth(i, seed)
+        image_id = f"img-{i:08d}"
+        exp = t["expected"]
+        a = exp.astype(np.float32)
+        nodata = t["nodata"]
+        if nodata is not None and not np.isnan(nodata):
+            a = np.where(exp == np.asarray(nodata).astype(exp.dtype), np.nan, a)
+        a64 = a.astype(np.float64)
+        filled = int(np.count_nonzero(~np.isnan(a64)))
+        rows.append(
+            {
+                "image_id": image_id,
+                "shard_id": _xxh64_str(image_id) % n_shards,
+                "n_bands": int(exp.shape[0]),
+                "height": int(exp.shape[1]),
+                "width": int(exp.shape[2]),
+                "filled": filled,
+                "v_sum": float(np.nansum(a64)) if filled else None,
+                "caption": t["caption"],
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    for c in ("shard_id", "n_bands", "height", "width"):
+        pdf[c] = pdf[c].astype("int32")
+    pdf["filled"] = pdf["filled"].astype("int64")
+    pdf["v_sum"] = pdf["v_sum"].astype("float64")
+    return pdf
+
+
 def _tiff_sidecar(i: int, seed: int = 42) -> dict:
     """TIFF truth dict plus footprint bbox / caption / image_id (same corner
     and caption math as ``make_tiff_image_row``).  For the lossy jpeg rows
