@@ -725,6 +725,17 @@ def _ensure_image_shard_truth() -> str:
     return _ensure_truth_parquet("image_shard_truth", build)
 
 
+def _ensure_global_band_stats_truth() -> str:
+    def build():
+        from rasteret_spark.sources.truth import global_band_stats_truth_pdf
+
+        return global_band_stats_truth_pdf(
+            HOTSPOT_BBOX, 32, 0.001, stride=35, bands=(0, 1)
+        )
+
+    return _ensure_truth_parquet("global_band_stats_truth", build)
+
+
 def _ensure_chip_stack_truth() -> str:
     def build():
         from rasteret_spark.sources.truth import chip_stack_truth_pdf
@@ -2016,6 +2027,23 @@ def q83_shard_export(spark, sf_dir):
     )
 
 
+def q85_global_band_stats(spark, sf_dir):
+    """Dataset-wide per-band normalization constants (mean/std/range/
+    coverage) over real mosaic pixels (`band_math.global_band_stats`):
+    each row folds to scalars JVM-side, ONE tiny shuffle of partials.
+    deterministic=True pins the float fold order (sorted per-chip
+    partials) so the oracle compare is bit-exact; the default partial-sum
+    path is the 100 TB shape.  Oracle: sources/truth.
+    global_band_stats_truth_pdf mirrors the identical IEEE fold."""
+    from rasteret_spark.operators import band_math as bm
+    from rasteret_spark.operators import raster_mosaic as rmo
+
+    px = rmo.first_valid_mosaic_pixels(
+        _chip_pairs(spark), bands=(0, 1), max_images_per_chip=None  # capped upstream
+    ).filter(F.col("values").isNotNull())
+    return bm.global_band_stats(px, deterministic=True)
+
+
 def q84_image_caption_shards(spark, sf_dir):
     """Image+caption WebDataset export + independent read-back: whole
     images decode through the container dispatch and serialize with their
@@ -2385,6 +2413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_cog_export": q82_cog_export,
         "q83_shard_export": q83_shard_export,
         "q84_image_caption_shards": q84_image_caption_shards,
+        "q85_global_band_stats": q85_global_band_stats,
         "q64_band_index": q64_band_index,
         "q65_temporal_median": q65_temporal_median,
         "q66_pixel_series": q66_pixel_series,
@@ -2542,6 +2571,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT image_id, shard_id, n_bands, height, width, filled,
                    v_sum, caption
             FROM read_parquet('{_ensure_image_shard_truth()}')
+        """,
+        "q85_global_band_stats": f"""
+            SELECT band, n_chips, n_px, n_valid, mean, std, vmin, vmax
+            FROM read_parquet('{_ensure_global_band_stats_truth()}')
         """,
         "q69_gap_fill": f"""
             SELECT chip_id, t_index, image_id, band,

@@ -118,7 +118,7 @@ BENCH_QUERIES = [
     "q74_terrain", "q75_chip_stats", "q76_build_overviews",
     "q77_spatial_stats", "q78_qa_mask", "q79_stretch",
     "q80_chip_histogram", "q81_train_split", "q82_cog_export",
-    "q83_shard_export", "q84_image_caption_shards",
+    "q83_shard_export", "q84_image_caption_shards", "q85_global_band_stats",
 ]
 
 

@@ -391,6 +391,25 @@ class Collection:
             px, out_dir, n_shards=n_shards, **sink_kwargs
         )
 
+    def band_stats(
+        self, bbox, size: int, xres: float, bands=(0,), method: str = "nearest",
+        date_range: tuple | None = None, grid_epsg: int | str | None = None,
+        **stats_kwargs,
+    ) -> DataFrame:
+        """Dataset-wide per-band normalization constants (mean/std/range/
+        coverage) over the query window's mosaic pixels
+        (`band_math.global_band_stats` — per-row JVM folds, one tiny
+        shuffle of partials)."""
+        from pyspark.sql import functions as F
+
+        from rasteret_spark.operators import band_math
+
+        px = self.mosaic(
+            bbox, size, xres, bands=bands, method=method,
+            date_range=date_range, grid_epsg=grid_epsg,
+        ).filter(F.col("values").isNotNull())
+        return band_math.global_band_stats(px, **stats_kwargs)
+
     def to_image_shards(
         self, out_dir: str, n_shards: int = 8, *,
         caption_col: str | None = "caption", **sink_kwargs,

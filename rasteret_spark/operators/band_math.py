@@ -691,3 +691,95 @@ def threshold_mask(
         "*",
         F.size(F.filter(F.col(out_col), lambda b: b)).alias(f"{out_col}_count"),
     )
+
+
+GLOBAL_STATS_SCHEMA = (
+    "band int, n_chips bigint, n_px bigint, n_valid bigint, "
+    "mean double, std double, vmin double, vmax double"
+)
+
+
+def global_band_stats(
+    per_band: DataFrame,
+    value_col: str = "values",
+    group_cols: tuple[str, ...] = ("band",),
+    deterministic: bool = False,
+    order_col: str = "chip_id",
+) -> DataFrame:
+    """Dataset-wide per-band pixel statistics — the normalization constants
+    (mean/std per channel) every training config bakes in, plus range and
+    coverage, over ANY per-band pixel rows (mosaic/chip-stack/composite
+    shaped: ``values array<double>``).
+
+    Scale shape: each row folds to a handful of scalars JVM-side
+    (``aggregate`` sum / sum-of-squares over the valid pixels — no Python,
+    no explode), then ONE tiny shuffle of per-partition partials (Catalyst
+    map-side combine on the groupBy) carries O(groups) rows to the final
+    agg.  100 TB of pixels reduce to bytes before anything moves.
+
+    ``std`` is the population standard deviation computed from
+    sum/sum-of-squares in float64; null (not 0) when a band has no valid
+    pixels.  Extra ``group_cols`` (e.g. ``("band", "split")``) give
+    per-split constants from the same single pass.
+
+    ``deterministic=True`` makes the float results BIT-exact across runs
+    and partitionings: the per-group partials fold in ``order_col`` order
+    (array_sort over collected structs) instead of Spark's
+    partition-arrival order, at the cost of collecting O(rows-per-group)
+    partial structs into one row — use for oracle comparisons and
+    reproducibility audits; the default partial-sum path is the 100 TB
+    shape (results then differ only in the last float bits)."""
+    missing = [c for c in (*group_cols, value_col) if c not in per_band.columns]
+    if deterministic and order_col not in per_band.columns:
+        missing.append(order_col)
+    if missing:
+        raise ValueError(f"global_band_stats input missing columns {missing}")
+    valid = F.filter(F.col(value_col), lambda v: v.isNotNull())
+    staged = per_band.select(
+        *group_cols,
+        *([order_col] if deterministic else []),
+        F.size(F.col(value_col)).cast("long").alias("_n_px"),
+        F.size(valid).cast("long").alias("_n_valid"),
+        F.aggregate(
+            valid, F.lit(0.0), lambda acc, v: acc + v
+        ).alias("_s"),
+        F.aggregate(
+            valid, F.lit(0.0), lambda acc, v: acc + v * v
+        ).alias("_ss"),
+        F.array_min(valid).alias("_vmin"),
+        F.array_max(valid).alias("_vmax"),
+    )
+    n = F.sum("_n_valid")
+    if deterministic:
+        # fold partials in order_col order — integer/min/max aggs are
+        # order-free already; only the float sums need the pinned order
+        parts = F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("k"),
+                    F.col("_s").alias("s"),
+                    F.col("_ss").alias("ss"),
+                )
+            )
+        )
+        s = F.aggregate(parts, F.lit(0.0), lambda acc, x: acc + x["s"])
+        ss = F.aggregate(parts, F.lit(0.0), lambda acc, x: acc + x["ss"])
+    else:
+        s = F.sum("_s")
+        ss = F.sum("_ss")
+    mean = s / n
+    # clamp tiny negative float residue of SS/N - mean^2 before the sqrt
+    var = F.greatest(ss / n - mean * mean, F.lit(0.0))
+    return (
+        staged.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_chips"),
+            F.sum("_n_px").alias("n_px"),
+            n.alias("n_valid"),
+            F.when(n > 0, mean).alias("mean"),
+            F.when(n > 0, F.sqrt(var)).alias("std"),
+            F.min("_vmin").alias("vmin"),
+            F.max("_vmax").alias("vmax"),
+        )
+        .orderBy(*group_cols)
+    )

@@ -698,6 +698,83 @@ def shard_export_truth_pdf(
     return pdf
 
 
+def global_band_stats_truth_pdf(
+    bbox: tuple[float, float, float, float],
+    size: int,
+    xres: float,
+    stride: int,
+    bands: tuple[int, ...] = (0, 1),
+    max_images_per_chip: int = 32,
+    n_images: int = 120,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Expected dataset-wide per-band normalization stats (q85): the
+    single-process numpy fold of the same mosaic truth planes the
+    distributed ``band_math.global_band_stats`` pass reduces — population
+    std from sum / sum-of-squares in float64."""
+    chips = sorted(
+        chip_grid_truth(bbox, size, xres, stride=stride),
+        key=lambda c: str(c["chip_id"]),
+    )
+    sidecars = [_image_sidecar(i, seed) for i in range(n_images)]
+    acc: dict[int, dict] = {
+        b: {"n_chips": 0, "n_px": 0, "n_valid": 0, "s": 0.0, "ss": 0.0,
+            "vmin": np.inf, "vmax": -np.inf}
+        for b in bands
+    }
+    # fold order mirrors the deterministic Catalyst pass bit-for-bit:
+    # per chip a sequential left fold over the row-major valid pixels
+    # (F.aggregate semantics, NOT numpy pairwise summation), then chips
+    # fold in sorted chip_id order (the array_sort'ed partial structs)
+    for chip in chips:
+        cands = _chip_cands_truth(chip, sidecars)
+        if not cands:
+            continue
+        kept = cands[:max_images_per_chip]
+        for b in bands:
+            plane = _composite_chip(chip, kept, b)[0].astype(np.float64)
+            a = acc[b]
+            v = plane.ravel()
+            v = v[~np.isnan(v)]
+            s = ss = 0.0
+            for x in v.tolist():
+                s += x
+                ss += x * x
+            a["n_chips"] += 1
+            a["n_px"] += plane.size
+            a["n_valid"] += v.size
+            a["s"] += s
+            a["ss"] += ss
+            if v.size:
+                a["vmin"] = min(a["vmin"], float(v.min()))
+                a["vmax"] = max(a["vmax"], float(v.max()))
+    rows = []
+    for b in bands:
+        a = acc[b]
+        n = a["n_valid"]
+        mean = a["s"] / n if n else None
+        var = max(a["ss"] / n - mean * mean, 0.0) if n else None
+        rows.append(
+            {
+                "band": b,
+                "n_chips": a["n_chips"],
+                "n_px": a["n_px"],
+                "n_valid": n,
+                "mean": mean,
+                "std": float(np.sqrt(var)) if n else None,
+                "vmin": a["vmin"] if n else None,
+                "vmax": a["vmax"] if n else None,
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    pdf["band"] = pdf["band"].astype("int32")
+    for c in ("n_chips", "n_px", "n_valid"):
+        pdf[c] = pdf[c].astype("int64")
+    for c in ("mean", "std", "vmin", "vmax"):
+        pdf[c] = pdf[c].astype("float64")
+    return pdf
+
+
 def image_shard_truth_pdf(
     n_shards: int,
     n_images: int = 120,
