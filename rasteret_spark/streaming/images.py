@@ -92,3 +92,57 @@ def stream_sample_points(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_image_shards(
+    image_stream: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    n_shards: int = 4,
+    caption_col: str | None = "caption",
+    manifest_dir: str | None = None,
+):
+    """Continuous training-data production: every arriving micro-batch of
+    images exports as WebDataset-style tar shards under
+    ``<out_dir>/epoch=<id>/shard-*.tar`` (`operators/shard_sink.
+    write_image_shards` — captions byte-for-byte, xxhash64 assignment,
+    executor-side writes).
+
+    Exactly-once: the sink inherits idempotency from the shard writer's
+    determinism — a replayed epoch regenerates byte-identical tars over
+    its own epoch directory (same samples -> same sha256), and the
+    optional manifest parquet writes with epoch-partition dynamic
+    OVERWRITE, so crash-replay never duplicates samples.  DataLoaders
+    consume epochs as they appear; shard ids stay contiguous per epoch."""
+    from rasteret_spark.operators import shard_sink
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        cap = caption_col if caption_col in batch_df.columns else None
+        man = shard_sink.write_image_shards(
+            batch_df,
+            f"{out_dir.rstrip('/')}/epoch={int(epoch_id)}",
+            n_shards=n_shards,
+            caption_col=cap,
+        )
+        if manifest_dir is None:
+            man.filter(F.col("status") != "ok").count()  # materialize export
+            return
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                man.withColumn("epoch", F.lit(int(epoch_id)))
+                .write.partitionBy("epoch")
+                .mode("overwrite")
+                .parquet(manifest_dir)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return (
+        image_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
