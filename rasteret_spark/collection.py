@@ -420,10 +420,14 @@ class Collection:
         manifest DataFrame."""
         from rasteret_spark.operators import shard_sink
 
+        # only the implicit default degrades to caption-less export when the
+        # column is absent; an explicitly named column must exist (a typo'd
+        # caption_col raising beats silently shipping shards without captions)
+        if caption_col == "caption" and "caption" not in self.records.columns:
+            caption_col = None
         return shard_sink.write_image_shards(
             self.records, out_dir, n_shards=n_shards,
-            caption_col=caption_col if caption_col in self.records.columns else None,
-            **sink_kwargs,
+            caption_col=caption_col, **sink_kwargs,
         )
 
     def chips(

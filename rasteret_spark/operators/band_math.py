@@ -693,11 +693,6 @@ def threshold_mask(
     )
 
 
-GLOBAL_STATS_SCHEMA = (
-    "band int, n_chips bigint, n_px bigint, n_valid bigint, "
-    "mean double, std double, vmin double, vmax double"
-)
-
 
 def global_band_stats(
     per_band: DataFrame,
@@ -734,6 +729,11 @@ def global_band_stats(
         missing.append(order_col)
     if missing:
         raise ValueError(f"global_band_stats input missing columns {missing}")
+    # a NULL values array (e.g. a quarantined decode in CHIP_STACK rows)
+    # would poison the whole group's sums (NULL partials; NULL-propagating
+    # deterministic fold) — such rows carry no pixels, so drop them here
+    # rather than making every caller remember to
+    per_band = per_band.filter(F.col(value_col).isNotNull())
     valid = F.filter(F.col(value_col), lambda v: v.isNotNull())
     staged = per_band.select(
         *group_cols,

@@ -65,9 +65,18 @@ def _assign_shards(df: DataFrame, key_col: str, n_shards: int) -> DataFrame:
     row per shard id, so empty shards still materialize as trailer-only
     tars — loaders expect the contiguous shard-00000..N layout, and groupBy
     alone never yields sample-less groups.  pandas groupby(dropna=True)
-    discards the null-key skeleton rows inside the export kernels."""
+    discards the null-key skeleton rows inside the export kernels.
+
+    Rows whose key is NULL cannot name a tar member; they route to the
+    sentinel shard ``-1`` whose manifest row the export kernels emit as a
+    quarantine error (instead of int(NaN)-crashing the whole job on a
+    null-keyed group)."""
+    key = F.col(key_col)
     with_shard = df.withColumn(
-        "shard_id", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int")
+        "shard_id",
+        F.when(key.isNull(), F.lit(-1))
+        .otherwise(F.pmod(F.xxhash64(key), F.lit(n_shards)))
+        .cast("int"),
     )
     skeleton = with_shard.sparkSession.range(n_shards).select(
         *[
@@ -114,6 +123,12 @@ def write_tar_shards(
         from rasteret_spark.sources.fetch import put
 
         shard_id = int(pdf.iloc[0]["shard_id"])
+        if shard_id < 0:  # the null-key quarantine shard — no file to write
+            return pd.DataFrame([{
+                "shard_id": shard_id, "href": None, "n_samples": 0,
+                "n_entries": 0, "n_bytes": None, "sha256": None,
+                "status": f"error: {len(pdf)} rows with null {key_col}",
+            }])
         href = f"{out_dir}/shard-{shard_id:05d}.tar"
         base = {
             "shard_id": shard_id, "href": href, "n_samples": 0,
@@ -171,12 +186,13 @@ def write_tar_shards(
     )
 
 
-def read_tar_shards(spark, pattern: str) -> DataFrame:
-    """Distributed shard reader: ``binaryFile`` scan of ``pattern`` ->
-    stdlib-``tarfile`` parse -> one row per sample with its metadata and
-    pixel aggregates (SAMPLE_SCHEMA).  The independent read leg of the
-    shard roundtrip; also the shape a training-side Spark job would use to
-    audit shards without touching the DataLoader path."""
+def _read_shard_samples(spark, pattern: str, columns: list[str],
+                        schema: str, build_row) -> DataFrame:
+    """Shared tar-walk for the shard readers: ``binaryFile`` scan ->
+    stdlib ``tarfile`` parse -> ``build_row(key, shard_id, members)`` per
+    ``<key>.json`` member.  One place for the shard-id filename parse,
+    member extraction and the empty-shard explicit-columns edge (a
+    column-less pandas frame would fail the Arrow schema check)."""
     files = spark.read.format("binaryFile").load(pattern)
 
     def parse(batches):
@@ -190,45 +206,56 @@ def read_tar_shards(spark, pattern: str) -> DataFrame:
                 with tarfile.open(fileobj=io.BytesIO(bytes(r["content"]))) as t:
                     members = {m.name: t.extractfile(m).read()
                                for m in t.getmembers() if m.isfile()}
-                for ename, payload in members.items():
-                    if not ename.endswith(".json"):
-                        continue
-                    chip_id = ename.removesuffix(".json")
-                    meta = json.loads(payload)
-                    arr = np.lib.format.read_array(
-                        io.BytesIO(members[f"{chip_id}.npy"])
-                    )
-                    a64 = arr.astype(np.float64)
-                    filled = int(np.count_nonzero(~np.isnan(a64)))
-                    out.append(
-                        {
-                            "chip_id": chip_id,
-                            "shard_id": shard_id,
-                            "n_bands": int(arr.shape[0]),
-                            "height": int(arr.shape[1]),
-                            "width": int(arr.shape[2]),
-                            "filled": filled,
-                            "v_sum": float(np.nansum(a64)) if filled else None,
-                            "chip_xmin": meta["chip_xmin"],
-                            "chip_ymax": meta["chip_ymax"],
-                            "chip_xres": meta["chip_xres"],
-                            "chip_yres": meta["chip_yres"],
-                            "grid_epsg": meta["grid_epsg"],
-                        }
-                    )
-            # explicit columns: an empty shard (zero samples hashed to it)
-            # parses to out == [] and a column-less frame would fail the
-            # Arrow schema check
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "chip_id", "shard_id", "n_bands", "height", "width",
-                    "filled", "v_sum", "chip_xmin", "chip_ymax", "chip_xres",
-                    "chip_yres", "grid_epsg",
-                ],
-            )
+                for ename in members:
+                    if ename.endswith(".json"):
+                        out.append(
+                            build_row(ename.removesuffix(".json"), shard_id, members)
+                        )
+            yield pd.DataFrame(out, columns=columns)
 
-    return files.mapInPandas(parse, schema=SAMPLE_SCHEMA)
+    return files.mapInPandas(parse, schema=schema)
+
+
+def _npy_pixel_stats(members: dict, key: str) -> dict:
+    arr = np.lib.format.read_array(io.BytesIO(members[f"{key}.npy"]))
+    a64 = arr.astype(np.float64)
+    filled = int(np.count_nonzero(~np.isnan(a64)))
+    return {
+        "n_bands": int(arr.shape[0]),
+        "height": int(arr.shape[1]),
+        "width": int(arr.shape[2]),
+        "filled": filled,
+        "v_sum": float(np.nansum(a64)) if filled else None,
+    }
+
+
+def read_tar_shards(spark, pattern: str) -> DataFrame:
+    """Distributed shard reader: one row per chip sample with its grid
+    metadata and pixel aggregates (SAMPLE_SCHEMA).  The independent read
+    leg of the shard roundtrip (stdlib tarfile, nothing shared with the
+    writer); also the shape a training-side Spark job would use to audit
+    shards without touching the DataLoader path."""
+
+    def build_row(key, shard_id, members):
+        meta = json.loads(members[f"{key}.json"])
+        return {
+            "chip_id": key,
+            "shard_id": shard_id,
+            **_npy_pixel_stats(members, key),
+            "chip_xmin": meta["chip_xmin"],
+            "chip_ymax": meta["chip_ymax"],
+            "chip_xres": meta["chip_xres"],
+            "chip_yres": meta["chip_yres"],
+            "grid_epsg": meta["grid_epsg"],
+        }
+
+    return _read_shard_samples(
+        spark, pattern,
+        ["chip_id", "shard_id", "n_bands", "height", "width", "filled",
+         "v_sum", "chip_xmin", "chip_ymax", "chip_xres", "chip_yres",
+         "grid_epsg"],
+        SAMPLE_SCHEMA, build_row,
+    )
 
 
 IMAGE_SAMPLE_SCHEMA = (
@@ -252,8 +279,9 @@ def write_image_shards(
     shards: per sample ``<image_id>.npy`` (float32 [C,H,W], decoded through
     the container dispatch, nodata masked to NaN), ``<image_id>.txt`` (the
     caption bytes EXACTLY as stored — byte-for-byte equality is part of the
-    engine's contract) and ``<image_id>.json`` (dims, band count, nodata,
-    filled).  Same guarantees as `write_tar_shards`: one shuffle,
+    engine's contract; a NULL caption writes NO .txt member, so missing and
+    empty round-trip distinctly) and ``<image_id>.json`` (dims, band count,
+    nodata, filled).  Same guarantees as `write_tar_shards`: one shuffle,
     xxhash64 append-stable assignment, deterministic bytes, every shard id
     materialized, per-shard quarantine.  Returns the manifest DataFrame."""
     for c in (key_col, blob_col):
@@ -276,6 +304,12 @@ def write_image_shards(
         from rasteret_spark.sources.fetch import put
 
         shard_id = int(pdf.iloc[0]["shard_id"])
+        if shard_id < 0:  # the null-key quarantine shard — no file to write
+            return pd.DataFrame([{
+                "shard_id": shard_id, "href": None, "n_samples": 0,
+                "n_entries": 0, "n_bytes": None, "sha256": None,
+                "status": f"error: {len(pdf)} rows with null {key_col}",
+            }])
         href = f"{out_dir}/shard-{shard_id:05d}.tar"
         base = {
             "shard_id": shard_id, "href": href, "n_samples": 0,
@@ -290,10 +324,20 @@ def write_image_shards(
                 blob = bytes(r[blob_col])
                 meta = container.parse_any(blob)
                 arr = container.decode_full_any(blob)
+                # disambiguate layout by the PARSED dims, not shape
+                # heuristics (a chunky image whose height equals its band
+                # count would misclassify otherwise)
+                planar = (meta.n_bands, meta.height, meta.width)
+                chunky = (meta.height, meta.width, meta.n_bands)
                 if arr.ndim == 2:
                     arr = arr[None]
-                elif arr.shape[0] != meta.n_bands and arr.shape[-1] == meta.n_bands:
-                    arr = np.ascontiguousarray(np.moveaxis(arr, -1, 0))  # chunky
+                elif arr.shape != planar and arr.shape == chunky:
+                    arr = np.ascontiguousarray(np.moveaxis(arr, -1, 0))
+                elif arr.shape != planar:
+                    raise ValueError(
+                        f"{key}: decoded shape {arr.shape} matches neither "
+                        f"planar {planar} nor chunky {chunky}"
+                    )
                 a = arr.astype(np_dtype)
                 if meta.nodata is not None and not np.isnan(meta.nodata):
                     a = np.where(
@@ -310,11 +354,8 @@ def write_image_shards(
                     (f"{key}.json", json.dumps(jmeta, sort_keys=True).encode())
                 )
                 entries.append((f"{key}.npy", _npy_bytes(a)))
-                if caption_col is not None:
-                    cap = r[caption_col]
-                    entries.append(
-                        (f"{key}.txt", b"" if cap is None else str(cap).encode())
-                    )
+                if caption_col is not None and not pd.isna(r[caption_col]):
+                    entries.append((f"{key}.txt", str(r[caption_col]).encode()))
                 n_samples += 1
             blob = ustar.tar_bytes(entries)
             put(href, blob, writers=wreg)
@@ -332,50 +373,23 @@ def write_image_shards(
 
 
 def read_image_shards(spark, pattern: str) -> DataFrame:
-    """Independent read leg for `write_image_shards`: ``binaryFile`` scan ->
-    stdlib ``tarfile`` -> one row per sample with pixel aggregates and the
-    caption decoded from its ``.txt`` bytes (IMAGE_SAMPLE_SCHEMA)."""
-    files = spark.read.format("binaryFile").load(pattern)
+    """Independent read leg for `write_image_shards`: one row per sample
+    with pixel aggregates and the caption decoded from its ``.txt`` bytes
+    (IMAGE_SAMPLE_SCHEMA; a sample without a .txt member reads back as a
+    NULL caption, distinct from an empty one)."""
 
-    def parse(batches):
-        import tarfile
+    def build_row(key, shard_id, members):
+        cap = members.get(f"{key}.txt")
+        return {
+            "image_id": key,
+            "shard_id": shard_id,
+            **_npy_pixel_stats(members, key),
+            "caption": None if cap is None else cap.decode(),
+        }
 
-        for pdf in batches:
-            out = []
-            for _, r in pdf.iterrows():
-                name = r["path"].rsplit("/", 1)[1]
-                shard_id = int(name.removeprefix("shard-").removesuffix(".tar"))
-                with tarfile.open(fileobj=io.BytesIO(bytes(r["content"]))) as t:
-                    members = {m.name: t.extractfile(m).read()
-                               for m in t.getmembers() if m.isfile()}
-                for ename, payload in members.items():
-                    if not ename.endswith(".json"):
-                        continue
-                    key = ename.removesuffix(".json")
-                    arr = np.lib.format.read_array(
-                        io.BytesIO(members[f"{key}.npy"])
-                    )
-                    a64 = arr.astype(np.float64)
-                    filled = int(np.count_nonzero(~np.isnan(a64)))
-                    cap = members.get(f"{key}.txt")
-                    out.append(
-                        {
-                            "image_id": key,
-                            "shard_id": shard_id,
-                            "n_bands": int(arr.shape[0]),
-                            "height": int(arr.shape[1]),
-                            "width": int(arr.shape[2]),
-                            "filled": filled,
-                            "v_sum": float(np.nansum(a64)) if filled else None,
-                            "caption": None if cap is None else cap.decode(),
-                        }
-                    )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "image_id", "shard_id", "n_bands", "height", "width",
-                    "filled", "v_sum", "caption",
-                ],
-            )
-
-    return files.mapInPandas(parse, schema=IMAGE_SAMPLE_SCHEMA)
+    return _read_shard_samples(
+        spark, pattern,
+        ["image_id", "shard_id", "n_bands", "height", "width", "filled",
+         "v_sum", "caption"],
+        IMAGE_SAMPLE_SCHEMA, build_row,
+    )

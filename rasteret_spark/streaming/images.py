@@ -30,6 +30,20 @@ IMAGE_STREAM_SCHEMA = T.StructType(
 )
 
 
+def _overwrite_epoch_partition(df: DataFrame, path: str) -> None:
+    """Dynamic-partition OVERWRITE of the ``epoch=`` partition the frame
+    carries — the idempotency half of exactly-once for foreachBatch sinks
+    (a replayed epoch overwrites its own output instead of appending
+    duplicates).  Saves/restores the session-wide overwrite-mode conf."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.partitionBy("epoch").mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def read_image_stream(spark: SparkSession, path: str, files_per_trigger: int = 4) -> DataFrame:
     return (
         spark.readStream.schema(IMAGE_STREAM_SCHEMA)
@@ -73,18 +87,9 @@ def stream_sample_points(
             cands, batch_df.select("image_id", "bytes"), max_ring=max_ring,
             broadcast_points=True,
         )
-        spark = batch_df.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                out.withColumn("epoch", F.lit(int(epoch_id)))
-                .write.partitionBy("epoch")
-                .mode("overwrite")
-                .parquet(out_path)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        _overwrite_epoch_partition(
+            out.withColumn("epoch", F.lit(int(epoch_id))), out_path
+        )
 
     return (
         image_stream.writeStream.foreachBatch(process)
@@ -125,20 +130,20 @@ def stream_image_shards(
             caption_col=cap,
         )
         if manifest_dir is None:
-            man.filter(F.col("status") != "ok").count()  # materialize export
+            # no durable failure record -> a swallowed error would silently
+            # lose training samples forever (the epoch still commits);
+            # raising instead fails the batch so the stream retries it
+            bad = man.filter(F.col("status") != "ok").count()
+            if bad:
+                raise RuntimeError(
+                    f"epoch {epoch_id}: {bad} shards failed export"
+                )
             return
-        spark = batch_df.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                man.withColumn("epoch", F.lit(int(epoch_id)))
-                .write.partitionBy("epoch")
-                .mode("overwrite")
-                .parquet(manifest_dir)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # with a manifest dir, failures ARE the durable record: quarantined
+        # shard rows land in the epoch partition for an auditor to replay
+        _overwrite_epoch_partition(
+            man.withColumn("epoch", F.lit(int(epoch_id))), manifest_dir
+        )
 
     return (
         image_stream.writeStream.foreachBatch(process)

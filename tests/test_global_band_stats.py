@@ -25,6 +25,9 @@ def _rows():
             )
     # a band-2 group that is entirely null
     rows.append({"chip_id": "gbs-000", "band": 2, "values": [None] * 8})
+    # a NULL values ARRAY (quarantined decode shape) — must be ignored,
+    # not poison the band's sums / counts
+    rows.append({"chip_id": "gbs-dead", "band": 0, "values": None})
     return rows
 
 
@@ -42,7 +45,7 @@ def test_matches_numpy(spark, stats_input):
     got = {r["band"]: r for r in bm.global_band_stats(stats_input).collect()}
     rows = _rows()
     for band in (0, 1):
-        g = [r for r in rows if r["band"] == band]
+        g = [r for r in rows if r["band"] == band and r["values"] is not None]
         flat = np.array(
             [v for r in g for v in r["values"] if v is not None], dtype="float64"
         )

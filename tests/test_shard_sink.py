@@ -304,3 +304,40 @@ def test_streaming_shard_export_matches_batch_and_replays_idempotent(
         for p in Path(out).rglob("*.tar")
     }
     assert before == after
+
+
+def test_null_keys_quarantine_and_null_captions_roundtrip(
+    spark, images_pdf, tmp_path_factory
+):
+    """A null sample key routes to the sentinel shard -1 as a manifest
+    error row (never an int(NaN) task crash); a NULL caption writes no
+    .txt member and reads back as NULL — distinct from an empty one."""
+    import tarfile
+
+    sub = images_pdf[["image_id", "bytes", "caption"]].head(6).copy()
+    sub.loc[sub.index[1], "caption"] = None
+    sub.loc[sub.index[2], "image_id"] = None
+    out = str(tmp_path_factory.mktemp("imgshards_null"))
+    man = ss.write_image_shards(
+        spark.createDataFrame(sub), out, n_shards=2
+    ).toPandas()
+    bad = man[man["shard_id"] == -1]
+    assert len(bad) == 1
+    assert bad.iloc[0]["status"].startswith("error: 1 rows with null")
+    assert bad.iloc[0]["href"] is None
+    good = man[man["shard_id"] >= 0]
+    assert set(good["status"]) == {"ok"} and good["n_samples"].sum() == 5
+
+    nulled = sub.iloc[1]["image_id"]
+    names = set()
+    for href in good["href"]:
+        with tarfile.open(href) as t:
+            names |= {m.name for m in t.getmembers()}
+    assert f"{nulled}.json" in names and f"{nulled}.txt" not in names
+
+    back = ss.read_image_shards(spark, out + "/*.tar").toPandas()
+    caps = dict(zip(back["image_id"], back["caption"]))
+    assert caps[nulled] is None
+    # the generator's empty-string captions stay "" (not conflated w/ null)
+    for _, r in sub.iloc[[0] + list(range(3, 6))].iterrows():
+        assert caps[r["image_id"]] == r["caption"]
