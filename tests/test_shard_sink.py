@@ -341,3 +341,19 @@ def test_null_keys_quarantine_and_null_captions_roundtrip(
     # the generator's empty-string captions stay "" (not conflated w/ null)
     for _, r in sub.iloc[[0] + list(range(3, 6))].iterrows():
         assert caps[r["image_id"]] == r["caption"]
+
+
+def test_shard_sink_plan_single_exchange(spark, shard_pixels, images_pdf):
+    """Scale shape pinned: both sinks move data exactly once — one
+    hash-partitioning Exchange (the per-shard groupBy) feeding the export
+    kernel; no extra repartition, no second pass over the payloads."""
+    man = ss.write_tar_shards(shard_pixels, "/tmp/_plan_probe", n_shards=4)
+    plan = man._jdf.queryExecution().executedPlan().toString()
+    # upstream (mosaic) exchanges show in the lineage; the SINK adds one
+    assert plan.count("Exchange hashpartitioning(shard_id") == 1, plan
+
+    images = spark.createDataFrame(images_pdf[["image_id", "bytes", "caption"]])
+    man2 = ss.write_image_shards(images, "/tmp/_plan_probe2", n_shards=4)
+    plan2 = man2._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("Exchange hashpartitioning(shard_id") == 1, plan2
+    assert plan2.count("Exchange hashpartitioning") == 1, plan2  # blobs move once
