@@ -156,6 +156,10 @@ _LZW_MAX = 4094  # reset threshold
 
 
 def lzw_encode(data: bytes) -> bytes:
+    # Strings in the table are represented as (prefix_code, next_byte) pairs
+    # — the textbook trie keying — so the hot loop allocates no bytes
+    # objects.  The emitted code sequence is identical to the byte-string
+    # table formulation (greedy longest-match over the same dictionary).
     out = bytearray()
     bitbuf = 0
     bitcnt = 0
@@ -168,17 +172,21 @@ def lzw_encode(data: bytes) -> bytes:
             bitcnt -= 8
             out.append((bitbuf >> bitcnt) & 0xFF)
 
-    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    table: dict[int, int] = {}
     next_code, width = _LZW_FIRST, 9
     emit(_LZW_CLEAR, width)
-    w = b""
+    w = -1  # current match: a code (single bytes are their own codes)
     for byte in data:
-        wb = w + bytes([byte])
-        if wb in table:
-            w = wb
+        if w < 0:
+            w = byte
             continue
-        emit(table[w], width)
-        table[wb] = next_code
+        key = (w << 8) | byte
+        nxt = table.get(key)
+        if nxt is not None:
+            w = nxt
+            continue
+        emit(w, width)
+        table[key] = next_code
         next_code += 1
         # libtiff-compatible width accounting (verified against real-world
         # LZW fixtures): the encoder widens once the next code to assign no
@@ -188,11 +196,11 @@ def lzw_encode(data: bytes) -> bytes:
             width += 1
         if next_code >= _LZW_MAX:
             emit(_LZW_CLEAR, width)
-            table = {bytes([i]): i for i in range(256)}
+            table = {}
             next_code, width = _LZW_FIRST, 9
-        w = bytes([byte])
-    if w:
-        emit(table[w], width)
+        w = byte
+    if w >= 0:
+        emit(w, width)
         # the decoder appends a (speculative) table entry for this final
         # code even though the encoder assigns none — mid-stream its table
         # sits one behind (len == next_code - 1), after the final code it
@@ -210,6 +218,140 @@ def lzw_encode(data: bytes) -> bytes:
 
 
 def lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF 6.0 LZW decode, same semantics as the per-symbol reference loop
+    (``_lzw_decode_ref`` below, kept as the parity oracle) but restructured
+    for speed:
+
+    * codes are extracted from the bit stream VECTORIZED per constant-width
+      segment — between CLEAR codes the decoder's width schedule is
+      deterministic in the code count (widen at table length (1<<w)-1, one
+      new entry per code after the first), so whole runs of 9/10/11/12-bit
+      codes pull out of numpy in one gather instead of a per-code shift loop;
+    * every table entry is, by construction, a contiguous slice of the
+      OUTPUT produced so far (the entry completed while processing code_k is
+      the previous emission plus the first byte of the current one, which
+      are adjacent in the output) — so the table is two int lists
+      (start, length) and each emission is one C-speed bytearray slice copy
+      instead of bytes concatenation.
+    """
+    n_bits = len(data) * 8
+    if n_bits == 0:
+        return b""
+    src = np.frombuffer(data, dtype=np.uint8)
+    # pad so the 3-byte gather below never reads past the end
+    padded = np.concatenate([src, np.zeros(2, dtype=np.uint8)]).astype(np.uint32)
+
+    def extract(bitpos: int, width: int, count: int) -> np.ndarray:
+        starts = bitpos + width * np.arange(count, dtype=np.int64)
+        b0 = starts >> 3
+        v = (padded[b0] << 16) | (padded[b0 + 1] << 8) | padded[b0 + 2]
+        shift = 24 - (starts & 7) - width
+        return (v >> shift) & ((1 << width) - 1)
+
+    # output holds slack for one max-length entry past `expected` (entries
+    # grow by one byte per code; table depth bounds their length)
+    out = bytearray(expected + _LZW_MAX + 2)
+    out_mv = memoryview(out)
+    pos = 0
+    bitpos = 0
+    width = 9
+    # table for codes >= _LZW_FIRST as output slices
+    ent_start: list[int] = []
+    ent_len: list[int] = []
+    prev_start = -1
+    prev_len = 0
+    done = False
+
+    while not done and pos < expected and bitpos + width <= n_bits:
+        # codes remaining before the deterministic width bump (the table
+        # grows by one entry per code except the first after a reset)
+        tlen = _LZW_FIRST + len(ent_start)
+        if width < 12:
+            seg_n = ((1 << width) - 1) - tlen + (1 if prev_start < 0 else 0)
+        else:
+            seg_n = (n_bits - bitpos) // width
+        seg_n = min(seg_n, (n_bits - bitpos) // width)
+        if seg_n <= 0:
+            # exactly at a width boundary (or out of bits)
+            if (n_bits - bitpos) // width <= 0:
+                break
+            seg_n = 1
+        codes = extract(bitpos, width, seg_n)
+        # truncate at the first control code; handle it after the data run
+        # (only CLEAR/EOI are control codes; larger values are table refs)
+        special = -1
+        ctl = np.nonzero((codes == _LZW_CLEAR) | (codes == _LZW_EOI))[0]
+        if len(ctl):
+            special = int(codes[ctl[0]])
+            codes = codes[: ctl[0]]
+        for code in codes.tolist():
+            tlen = _LZW_FIRST + len(ent_start)
+            if code < 256:
+                # literal: emission is one byte
+                if prev_start >= 0:
+                    ent_start.append(prev_start)
+                    ent_len.append(prev_len + 1)
+                out[pos] = code
+                prev_start = pos
+                prev_len = 1
+                pos += 1
+            elif code > tlen or code == _LZW_EOI or code == _LZW_CLEAR:
+                raise ValueError(f"corrupt LZW stream: code {code} out of range")
+            elif code < tlen:
+                i = code - _LZW_FIRST
+                s = ent_start[i]
+                ln = ent_len[i]
+                if prev_start >= 0:
+                    ent_start.append(prev_start)
+                    ent_len.append(prev_len + 1)
+                out_mv[pos : pos + ln] = out_mv[s : s + ln]
+                prev_start = pos
+                prev_len = ln
+                pos += ln
+            else:  # code == tlen: KwKwK
+                if prev_start < 0:
+                    raise ValueError(
+                        f"corrupt LZW stream: code {code} out of range"
+                    )
+                ln = prev_len + 1
+                out_mv[pos : pos + prev_len] = out_mv[prev_start : prev_start + prev_len]
+                out[pos + prev_len] = out[prev_start]
+                ent_start.append(prev_start)
+                ent_len.append(ln)
+                prev_start = pos
+                prev_len = ln
+                pos += ln
+            if pos >= expected:
+                done = True
+                break
+        else:
+            bitpos += width * len(codes)
+            if special == _LZW_EOI:
+                done = True
+            elif special == _LZW_CLEAR:
+                bitpos += width
+                width = 9
+                ent_start = []
+                ent_len = []
+                prev_start = -1
+                prev_len = 0
+            elif width < 12 and _LZW_FIRST + len(ent_start) == (1 << width) - 1:
+                # the decoder's table lags the encoder's by one entry (it
+                # only completes entry e_{k-1} while processing code_k), so
+                # it widens one entry earlier than the encoder's (1<<width)
+                # rule — the boundary real-world writers (libtiff et al.)
+                # expect, verified against the reference's LZW fixtures
+                width += 1
+            continue
+        break  # inner loop hit `expected` mid-run
+    # a stream that ran out of bits returns only what it decoded (same
+    # short-buffer contract as the per-symbol loop)
+    return bytes(out_mv[: min(pos, expected)])
+
+
+def _lzw_decode_ref(data: bytes, expected: int) -> bytes:
+    """Per-symbol reference decoder (the original formulation) — kept as the
+    parity oracle for the vectorized ``lzw_decode`` above."""
     out = bytearray()
     table: list[bytes] = []
     bitbuf = 0
@@ -251,11 +393,6 @@ def lzw_decode(data: bytes, expected: int) -> bytes:
             raise ValueError(f"corrupt LZW stream: code {code} out of range")
         out.extend(entry)
         prev = entry
-        # the decoder's table lags the encoder's by one entry (it only
-        # completes entry e_{k-1} while processing code_k), so it grows the
-        # width one entry earlier than the encoder's (1<<width) rule — the
-        # boundary real-world writers (libtiff et al.) expect, verified
-        # against the LZW fixtures under /root/reference/fixtures
         if len(table) == (1 << width) - 1 and width < 12:
             width += 1
     return bytes(out[:expected])

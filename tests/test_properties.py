@@ -195,3 +195,36 @@ def test_coalesce_ranges_covers_and_bounds(seed):
         for i in idxs:
             assert mo <= offs[i] and offs[i] + lens[i] <= mo + ms
     assert len(merged) <= n
+
+
+# --- fast LZW decoder parity --------------------------------------------------
+@settings(**SETTINGS)
+@given(data=st.binary(min_size=0, max_size=8192))
+def test_lzw_fast_decode_matches_reference_loop(data):
+    """The vectorized lzw_decode must be byte-identical to the per-symbol
+    reference loop on well-formed streams AND truncated ones."""
+    enc = codecs.lzw_encode(data)
+    assert codecs.lzw_decode(enc, len(data)) == data
+    assert codecs._lzw_decode_ref(enc, len(data)) == data
+    # truncated expected (short-final-strip contract)
+    for cut in (0, len(data) // 2):
+        assert codecs.lzw_decode(enc, cut) == codecs._lzw_decode_ref(enc, cut)
+    # truncated input stream (ran-out-of-bits contract)
+    te = enc[: max(len(enc) // 2, 1)]
+    assert codecs.lzw_decode(te, len(data)) == codecs._lzw_decode_ref(te, len(data))
+
+
+@settings(**SETTINGS)
+@given(blob=st.binary(min_size=1, max_size=256), expected=st.integers(0, 512))
+def test_lzw_fast_decode_corrupt_stream_parity(blob, expected):
+    """Arbitrary bytes: both decoders agree on output OR raise the same
+    corrupt-stream error."""
+    try:
+        r1 = codecs.lzw_decode(blob, expected)
+    except ValueError:
+        r1 = "ERR"
+    try:
+        r2 = codecs._lzw_decode_ref(blob, expected)
+    except ValueError:
+        r2 = "ERR"
+    assert r1 == r2
