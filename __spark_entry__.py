@@ -1705,9 +1705,12 @@ def q74_terrain(spark, sf_dir):
     mosaic = rmo.first_valid_mosaic_pixels(
         _chip_pairs(spark), bands=(0, 1), max_images_per_chip=None
     )
-    t = focal.terrain(
-        mosaic, outs=("dzdx", "dzdy", "slope", "aspect", "hillshade")
-    )
+    # only the gradient surfaces feed the query's output columns below;
+    # requesting slope/aspect/hillshade too made the per-pixel struct carry
+    # three trig expressions Catalyst cannot prune through the transform
+    # lambda (dead per-pixel compute — the full 5-output surface stays
+    # pinned by tests/test_focal.py)
+    t = focal.terrain(mosaic, outs=("dzdx", "dzdy"))
 
     def _wsum(col):
         return F.aggregate(
