@@ -79,12 +79,29 @@ def _map_pixels(df: DataFrame, value_col: str, px_fn, out_col: str) -> DataFrame
     return df.select("*", arr.alias(out_col))
 
 
+def _arrow_map(per_band, value_col, out_col, fn):
+    """Run a per-chip 2-D kernel through the shared mapInPandas runner:
+    null/short rows -> null output column (mirrors the ``F.when`` guard of
+    ``_map_pixels``)."""
+    from rasteret_spark.operators import arrow_kernels as ak
+
+    def row_fn(row, arr2d):
+        if arr2d is None:
+            return {out_col: None}
+        return {out_col: fn(row, arr2d)}
+
+    return ak.map_chip_rows(
+        per_band, [(out_col, "array<double>")], row_fn, value_col=value_col
+    )
+
+
 def focal_stats(
     per_band: DataFrame,
     stat: str = "mean",
     radius: int = 1,
     value_col: str = "values",
     out_col: str | None = None,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Moving-window statistic per pixel (focal mean/min/max/sum/count).
 
@@ -99,6 +116,15 @@ def focal_stats(
         raise ValueError("radius must be >= 1")
     _require(per_band, value_col)
     out_col = out_col or f"focal_{stat}"
+    if impl == "arrow" and stat in ("mean", "sum", "count"):
+        # vectorized numpy stencil, bit-identical fold order (guide §4.2);
+        # min/max need total-order reductions and keep the Catalyst tree
+        from rasteret_spark.operators import arrow_kernels as ak
+
+        return _arrow_map(
+            per_band, value_col, out_col,
+            lambda row, a: ak.focal_stat_2d(a, stat, radius),
+        )
 
     def px(i: Column) -> Column:
         vals = F.filter(
@@ -134,6 +160,7 @@ def convolve(
     normalize: bool = False,
     value_col: str = "values",
     out_col: str = "conv",
+    impl: str = "arrow",
 ) -> DataFrame:
     """2-D convolution with an arbitrary odd-sized square kernel.
 
@@ -147,6 +174,13 @@ def convolve(
         raise ValueError("kernel must be square with odd size >= 3")
     radius = size // 2
     _require(per_band, value_col)
+    if impl == "arrow":
+        from rasteret_spark.operators import arrow_kernels as ak
+
+        return _arrow_map(
+            per_band, value_col, out_col,
+            lambda row, a: ak.convolve_2d(a, k, normalize),
+        )
 
     def px(i: Column) -> Column:
         terms = _weighted_terms(_taps(i, radius, value_col), k, radius)
@@ -181,6 +215,7 @@ def terrain(
     value_col: str = "values",
     xres_col: str = "chip_xres",
     yres_col: str = "chip_yres",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Terrain derivatives from elevation chips via Horn's method (the
     standard GIS kernel): per-pixel 3x3 weighted gradients, slope, compass
@@ -208,6 +243,23 @@ def terrain(
     for c in (xres_col, yres_col):
         if c not in per_band.columns:
             raise ValueError(f"terrain needs column {c!r}")
+    if impl == "arrow":
+        # gradient surfaces bit-exact; trig surfaces via libm (pinned by
+        # tolerance in tests, like the reference pins gdaldem parity)
+        from rasteret_spark.operators import arrow_kernels as ak
+
+        def row_fn(row, arr2d):
+            if arr2d is None:
+                return {o: None for o in outs}
+            return ak.terrain_2d(
+                arr2d, tuple(outs), float(row[xres_col]), float(row[yres_col]),
+                float(z_factor), float(altitude), float(azimuth),
+            )
+
+        return ak.map_chip_rows(
+            per_band, [(o, "array<double>") for o in outs], row_fn,
+            value_col=value_col,
+        )
     zf = F.lit(float(z_factor))
     deg = F.lit(180.0 / math.pi)
     zen = math.radians(90.0 - float(altitude))
@@ -268,6 +320,7 @@ def terrain(
 def spatial_stats(
     per_band: DataFrame,
     value_col: str = "values",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Per-chip spatial autocorrelation: Moran's I and Geary's C under
     rook contiguity (unit weights between orthogonally adjacent VALID
@@ -283,6 +336,21 @@ def spatial_stats(
     N/S/W/E offset) order, so independent mirrors reproduce the floats
     bit-exactly."""
     _require(per_band, value_col)
+    if impl == "arrow":
+        from rasteret_spark.operators import arrow_kernels as ak
+
+        def row_fn(row, arr2d):
+            if arr2d is None:
+                return {"n_valid": None, "w_pairs": None,
+                        "morans_i": None, "gearys_c": None}
+            return ak.spatial_stats_row(arr2d)
+
+        return ak.map_chip_rows(
+            per_band,
+            [("n_valid", "int"), ("w_pairs", "bigint"),
+             ("morans_i", "double"), ("gearys_c", "double")],
+            row_fn, value_col=value_col,
+        )
     w = F.col("chip_w").cast("int")
     h = F.col("chip_h").cast("int")
     vals = F.col(value_col)
@@ -388,11 +456,18 @@ def sobel(
     per_band: DataFrame,
     value_col: str = "values",
     out_col: str = "sobel",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Sobel gradient magnitude per pixel: ``sqrt(gx^2 + gy^2)`` with the
     standard 3x3 kernels, strict stencil (any null neighbor -> null).
     Edge-detection / texture features for chip quality screens."""
     _require(per_band, value_col)
+    if impl == "arrow":
+        from rasteret_spark.operators import arrow_kernels as ak
+
+        return _arrow_map(
+            per_band, value_col, out_col, lambda row, a: ak.sobel_2d(a)
+        )
 
     def px(i: Column) -> Column:
         taps = _taps(i, 1, value_col)

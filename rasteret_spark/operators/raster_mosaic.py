@@ -46,6 +46,7 @@ from pyspark.sql import functions as F  # noqa: N812
 
 from rasteret_spark import crs
 from rasteret_spark.format import miniraster as mr
+from rasteret_spark.operators.util import nanlist
 
 CHIP_COLS = ("chip_id", "chip_xmin", "chip_ymax", "chip_xres", "chip_yres",
              "chip_w", "chip_h")
@@ -493,7 +494,7 @@ def first_valid_mosaic_pixels(
                     "n_contributing": contributing,
                     "filled": filled,
                     "v_sum": float(np.nansum(canvas)) if filled else None,
-                    "values": [None if np.isnan(v) else float(v) for v in canvas.ravel()],
+                    "values": nanlist(canvas.ravel()),
                     **gcols,
                     "n_failed": n_failed,
                     "capped": capped,
@@ -564,9 +565,7 @@ def chip_stack_pixels(
                             **base,
                             "band": band,
                             "filled": int((~np.isnan(rep)).sum()),
-                            "values": [
-                                None if np.isnan(v) else float(v) for v in rep.ravel()
-                            ],
+                            "values": nanlist(rep.ravel()),
                             "status": "ok",
                         }
                     )

@@ -114,10 +114,10 @@ def gap_fill(
             out, fixed = fill_time_series(vals, tsec)
             live_idx = np.flatnonzero(~null_rows.to_numpy())
             new_vals = pdf[value_col].tolist()
+            from rasteret_spark.operators.util import nanlist
+
             for j, i in enumerate(live_idx):
-                new_vals[i] = [
-                    None if np.isnan(v) else float(v) for v in out[j]
-                ]
+                new_vals[i] = nanlist(out[j])
             pdf[value_col] = new_vals
             pdf.loc[~null_rows, "n_filled"] = fixed.sum(axis=1).astype(np.int64)
             if "filled" in pdf.columns:  # keep the CHIP_STACK invariant

@@ -193,13 +193,19 @@ def test_validation_errors(per_band):
 
 
 def test_plan_is_pure_projection(per_band):
-    """No Python nodes and NO exchange: the stencil pipelines into the scan."""
+    """catalyst impl: no Python nodes and NO exchange.  Default (arrow)
+    impl: vectorized numpy batches, still ZERO added exchanges — the
+    stencil stays where the pixels are either way."""
     df, _ = per_band
-    fm = focal.focal_stats(df, "mean", radius=1, out_col="fm")
-    sb = focal.sobel(fm, value_col="fm", out_col="sb")
+    fm = focal.focal_stats(df, "mean", radius=1, out_col="fm", impl="catalyst")
+    sb = focal.sobel(fm, value_col="fm", out_col="sb", impl="catalyst")
     plan = sb._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "InPandas" not in plan
     assert plan.count("Exchange") == 0
+    fm_a = focal.focal_stats(df, "mean", radius=1, out_col="fm")
+    sb_a = focal.sobel(fm_a, value_col="fm", out_col="sb")
+    plan_a = sb_a._jdf.queryExecution().executedPlan().toString()
+    assert plan_a.count("Exchange") == 0
 
 
 def _np_terrain(a2d, xres, yres, z_factor=1.0, altitude=45.0, azimuth=315.0):
@@ -289,10 +295,13 @@ def test_terrain_validation_and_plan(per_band):
         focal.terrain(df, outs=("slope", "curvature"))
     with pytest.raises(ValueError, match="needs column"):
         focal.terrain(df.drop("chip_xres"))
-    plan = (focal.terrain(df)._jdf.queryExecution()
+    plan = (focal.terrain(df, impl="catalyst")._jdf.queryExecution()
             .executedPlan().toString())
     assert "EvalPython" not in plan and "InPandas" not in plan
     assert plan.count("Exchange") == 0
+    plan_a = (focal.terrain(df)._jdf.queryExecution()
+              .executedPlan().toString())
+    assert plan_a.count("Exchange") == 0
 
 
 def _np_spatial(a2d):
@@ -354,9 +363,12 @@ def test_spatial_stats_known_patterns(spark):
     assert got["checker"].morans_i == -1.0  # every neighbor pair opposes
     assert got["halves"].morans_i > 0.5
     assert got["checker"].gearys_c > 1.0 and got["halves"].gearys_c < 0.5
-    plan = (focal.spatial_stats(spark.createDataFrame(rows))
+    plan = (focal.spatial_stats(spark.createDataFrame(rows), impl="catalyst")
             ._jdf.queryExecution().executedPlan().toString())
     assert "EvalPython" not in plan and plan.count("Exchange") == 0
+    plan_a = (focal.spatial_stats(spark.createDataFrame(rows))
+              ._jdf.queryExecution().executedPlan().toString())
+    assert plan_a.count("Exchange") == 0
 
 
 def test_spatial_stats_truth_mirror_agrees_on_real_chips(spark):
@@ -451,3 +463,35 @@ def test_focal_over_real_mosaic_composes(spark, images_pdf):
         np.testing.assert_allclose(
             _got(got[chip_id], "sb"), want, rtol=0, atol=1e-9, equal_nan=True)
     mosaic.unpersist()
+
+
+def test_arrow_impl_matches_catalyst_bit_exact(per_band):
+    """The vectorized (arrow) kernels are drop-in replacements: every
+    non-trig surface must equal the Catalyst HOF implementation bit for
+    bit (fold order, null semantics, -0.0 handling)."""
+    df, _ = per_band
+
+    def rows(d):
+        return {
+            (r["chip_id"], r["band"]): r.asDict()
+            for r in d.collect()
+        }
+
+    pairs = [
+        (focal.focal_stats(df, "mean", radius=1, impl="arrow"),
+         focal.focal_stats(df, "mean", radius=1, impl="catalyst")),
+        (focal.sobel(df, impl="arrow"), focal.sobel(df, impl="catalyst")),
+        (focal.convolve(df, [[1, 2, 1], [2, 4, 2], [1, 2, 1]],
+                        normalize=True, impl="arrow"),
+         focal.convolve(df, [[1, 2, 1], [2, 4, 2], [1, 2, 1]],
+                        normalize=True, impl="catalyst")),
+        (focal.terrain(df, outs=("dzdx", "dzdy"), impl="arrow"),
+         focal.terrain(df, outs=("dzdx", "dzdy"), impl="catalyst")),
+        (focal.spatial_stats(df, impl="arrow"),
+         focal.spatial_stats(df, impl="catalyst")),
+    ]
+    for a_df, c_df in pairs:
+        a, c = rows(a_df), rows(c_df)
+        assert a.keys() == c.keys()
+        for k in a:
+            assert a[k] == c[k], (k, a[k], c[k])
