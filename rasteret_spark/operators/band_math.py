@@ -185,6 +185,62 @@ def _pixel_stat(tcol: Column, i: Column, stat: str) -> Column:
     return F.when(n > 0, (lo + hi) / 2)
 
 
+def _stat_matrix(mat, stat: str):
+    """Per-slot statistic across a (T, N) float64 matrix with NaN nulls —
+    the vectorized mirror of ``_pixel_stat`` (same fold order / sort
+    semantics).  Returns a length-N float64 array with NaN where no valid
+    observation exists."""
+    import numpy as np
+
+    from rasteret_spark.operators.arrow_kernels import total_order_key
+
+    T, N = mat.shape
+    valid = ~np.isnan(mat)
+    n = valid.sum(axis=0)
+    if stat == "count":
+        return n.astype(np.float64)
+    if T == 0:
+        return np.full(N, np.nan)
+    if stat == "mean":
+        acc = np.zeros(N)
+        for t in range(T):  # sequential fold in collected order
+            acc = np.where(valid[t], acc + np.where(valid[t], mat[t], 0.0), acc)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return np.where(n > 0, acc / n, np.nan)
+    # order statistics: total-order sort per slot, invalid keys after valid
+    keys = np.where(valid, total_order_key(np.where(valid, mat, 0.0)),
+                    np.uint64(0xFFFFFFFFFFFFFFFF))
+    order = np.argsort(keys, axis=0, kind="stable")
+    svals = np.take_along_axis(mat, order, axis=0)
+    cols = np.arange(N)
+    if stat == "min":
+        return np.where(n > 0, svals[np.zeros(N, dtype=int), cols], np.nan)
+    if stat == "max":
+        return np.where(n > 0, svals[np.maximum(n - 1, 0), cols], np.nan)
+    # median: ((n-1)/2, n/2) with the Catalyst int-division truncation
+    lo = svals[np.maximum((n - 1) // 2, 0), cols]
+    hi = svals[np.maximum(n // 2, 0), cols]
+    return np.where(n > 0, (lo + hi) / 2, np.nan)
+
+
+def _group_matrix(arrs) -> "tuple":
+    """List of per-timestep pixel arrays (None entries allowed) -> (T, N)
+    float64 matrix in list order + N (0 when undeterminable)."""
+    import numpy as np
+
+    rows = [None if a is None else np.asarray(a, dtype=np.float64) for a in arrs]
+    n_px = next((r.size for r in rows if r is not None), 0)
+    mat = np.full((len(rows), n_px), np.nan)
+    for t, r in enumerate(rows):
+        if r is None:
+            continue  # null array: every slot null (get(null, i) -> null)
+        if r.size >= n_px:
+            mat[t] = r[:n_px]
+        else:  # short array: slots past its end are null
+            mat[t, : r.size] = r
+    return mat, n_px
+
+
 def temporal_composite(
     stack: DataFrame,
     stat: str = "median",
@@ -192,6 +248,7 @@ def temporal_composite(
     key_cols: tuple[str, ...] = ("chip_id", "band"),
     carry_cols: tuple[str, ...] = GRID_COLS,
     out_col: str = "composite",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Per-pixel reduction ACROSS TIME over chip-stack rows — the
     cloud-free-composite primitive (monthly median NDVI, max-value
@@ -212,6 +269,40 @@ def temporal_composite(
         *[F.first(c).alias(c) for c in carry_cols
           if c in stack.columns and c not in key_cols],
     )
+    carry = [c for c in g.columns if c != "_t"]
+    if impl == "arrow":
+        # same single-shuffle plan; the per-pixel reduction runs as one
+        # vectorized numpy pass per group row instead of interpreted
+        # Catalyst lambdas (bit-identical: see _stat_matrix)
+        import pandas as pd
+
+        from rasteret_spark.operators.arrow_kernels import _out_schema
+        from rasteret_spark.operators.util import nanlist
+
+        schema = _out_schema(
+            g.drop("_t"), [("n_t", "int"), (out_col, "array<double>")]
+        )
+
+        def run(batches):
+            import numpy as np
+
+            for pdf in batches:
+                n_t, comps = [], []
+                for arrs in pdf["_t"]:
+                    n_t.append(len(arrs))
+                    mat, n_px = _group_matrix(arrs)
+                    if len(arrs) == 0:
+                        comps.append(None)
+                    elif n_px == 0:
+                        comps.append([])
+                    else:
+                        comps.append(nanlist(_stat_matrix(mat, stat)))
+                out = pdf.drop(columns=["_t"])
+                out["n_t"] = pd.array(n_t, dtype="int32")
+                out[out_col] = comps
+                yield out
+
+        return g.mapInPandas(run, schema=schema)
 
     def reduce_pixel(i: Column) -> Column:
         return _pixel_stat(F.col("_t"), i, stat)
@@ -221,7 +312,6 @@ def temporal_composite(
     comp = F.when(
         n_px > 0, F.transform(F.sequence(F.lit(0), n_px - 1), reduce_pixel)
     ).otherwise(F.expr("array()").cast("array<double>"))
-    carry = [c for c in g.columns if c != "_t"]
     return g.select(
         *carry,
         F.size("_t").alias("n_t"),
@@ -239,6 +329,7 @@ def change_detect(
     key_cols: tuple[str, ...] = ("chip_id", "band"),
     carry_cols: tuple[str, ...] = GRID_COLS,
     out_col: str = "delta",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Two-epoch per-pixel change detection over chip-stack rows: composite
     the timesteps BEFORE ``split_ts`` and the timesteps AT/AFTER it with the
@@ -272,6 +363,71 @@ def change_detect(
         *[F.first(c).alias(c) for c in carry_cols
           if c in stack.columns and c not in key_cols],
     )
+
+    if impl == "arrow":
+        import pandas as pd
+
+        from rasteret_spark.operators.arrow_kernels import _out_schema
+        from rasteret_spark.operators.util import nanlist
+
+        extra = [("n_before", "int"), ("n_after", "int"),
+                 (out_col, "array<double>"), (f"{out_col}_valid", "int")]
+        if threshold is not None:
+            extra.append((f"{out_col}_changed", "int"))
+        schema = _out_schema(g.drop("_a", "_b"), extra)
+        thr = None if threshold is None else float(threshold)
+
+        def run(batches):
+            import numpy as np
+
+            for pdf in batches:
+                cols: dict[str, list] = {n: [] for n, _ in extra}
+                for arrs_a, arrs_b in zip(pdf["_a"], pdf["_b"]):
+                    cols["n_before"].append(len(arrs_a))
+                    cols["n_after"].append(len(arrs_b))
+                    first = next(
+                        (np.asarray(a) for a in list(arrs_a) + list(arrs_b)
+                         if a is not None),
+                        None,
+                    )
+                    n_px = 0 if first is None else first.size
+                    if n_px <= 0:
+                        cols[out_col].append([])
+                        cols[f"{out_col}_valid"].append(0)
+                        if thr is not None:
+                            cols[f"{out_col}_changed"].append(0)
+                        continue
+                    mat_a, _ = _group_matrix(list(arrs_a)[: len(arrs_a)])
+                    mat_b, _ = _group_matrix(list(arrs_b)[: len(arrs_b)])
+                    # both matrices sized by the SHARED n_px (first array of
+                    # either epoch), mirroring get(arr, i) null semantics
+                    def sized(mat):
+                        out = np.full((mat.shape[0], n_px), np.nan)
+                        m = min(mat.shape[1], n_px)
+                        out[:, :m] = mat[:, :m]
+                        return out
+
+                    delta = _stat_matrix(sized(mat_b), stat) - _stat_matrix(
+                        sized(mat_a), stat
+                    )
+                    cols[out_col].append(nanlist(delta))
+                    fin = ~np.isnan(delta)
+                    cols[f"{out_col}_valid"].append(int(fin.sum()))
+                    if thr is not None:
+                        with np.errstate(invalid="ignore"):
+                            cols[f"{out_col}_changed"].append(
+                                int((np.abs(delta[fin]) > thr).sum())
+                            )
+                out = pdf.drop(columns=["_a", "_b"])
+                for n, t in extra:
+                    out[n] = (
+                        pd.array(cols[n], dtype="int32")
+                        if t == "int"
+                        else cols[n]
+                    )
+                yield out
+
+        return g.mapInPandas(run, schema=schema)
 
     def px(i: Column) -> Column:
         return _pixel_stat(F.col("_b"), i, stat) - _pixel_stat(
@@ -317,6 +473,7 @@ def temporal_trend(
     tie_cols: tuple[str, ...] = ("image_id",),
     carry_cols: tuple[str, ...] = GRID_COLS,
     per_seconds: float = 86400.0,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Per-pixel least-squares temporal trend over chip-stack rows: for
     every pixel, the OLS slope and intercept of ``value ~ time`` across the
@@ -355,6 +512,72 @@ def temporal_trend(
         *[F.first(c).alias(c) for c in carry_cols
           if c in stack.columns and c not in key_cols],
     )
+    if impl == "arrow":
+        import pandas as pd
+
+        from rasteret_spark.operators.arrow_kernels import _out_schema
+        from rasteret_spark.operators.util import nanlist
+
+        schema = _out_schema(
+            g.drop("_obs"),
+            [("n_t", "int"), ("slope", "array<double>"),
+             ("intercept", "array<double>")],
+        )
+        per_s = float(per_seconds)
+
+        def _ts_seconds(ts) -> float:
+            # mirror Catalyst cast(timestamp as double): whole microseconds
+            # divided by 1e6 as ONE double division
+            return (pd.Timestamp(ts).value // 1000) / 1000000.0
+
+        def run(batches):
+            import numpy as np
+
+            for pdf in batches:
+                n_t, slopes, intercepts = [], [], []
+                for obs in pdf["_obs"]:
+                    n_t.append(len(obs))
+                    if len(obs) == 0:
+                        slopes.append(None)
+                        intercepts.append(None)
+                        continue
+                    first_v = obs[0]["v"]
+                    n_px = 0 if first_v is None else len(first_v)
+                    mat, _ = _group_matrix([e["v"] for e in obs])
+                    if mat.shape[1] != n_px:  # first v null: every get null
+                        mat = np.full((len(obs), n_px), np.nan)
+                    t0 = _ts_seconds(obs[0]["t"])
+                    tdays = np.array(
+                        [(_ts_seconds(e["t"]) - t0) / per_s for e in obs]
+                    )
+                    n = np.zeros(n_px); st = np.zeros(n_px)
+                    sv = np.zeros(n_px); stt = np.zeros(n_px)
+                    stv = np.zeros(n_px)
+                    for k in range(len(obs)):  # time-major fold, T order
+                        v = mat[k]
+                        ok = ~np.isnan(v)
+                        t = tdays[k]
+                        n = np.where(ok, n + 1.0, n)
+                        st = np.where(ok, st + t, st)
+                        sv = np.where(ok, sv + np.where(ok, v, 0.0), sv)
+                        stt = np.where(ok, stt + t * t, stt)
+                        stv = np.where(ok, stv + t * np.where(ok, v, 0.0), stv)
+                    den = n * stt - st * st
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        slope = np.where(
+                            den != 0.0, (n * stv - st * sv) / den, np.nan
+                        )
+                        intercept = (sv - slope * st) / n
+                    slopes.append(nanlist(slope))
+                    intercepts.append(nanlist(intercept))
+                out = pdf.drop(columns=["_obs"])
+                out["n_t"] = pd.array(n_t, dtype="int32")
+                out["slope"] = slopes
+                out["intercept"] = intercepts
+                yield out
+
+        return g.mapInPandas(run, schema=schema)
+
     first = F.try_element_at(F.col("_obs"), F.lit(1))
     t0 = first["t"].cast("double")
     zero = F.lit(0.0)
@@ -424,6 +647,7 @@ def chip_stats(
     per_band: DataFrame,
     probs: tuple[float, ...] = (0.25, 0.5, 0.75),
     value_col: str = "values",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Per-chip radiometric QA: exact linear-interpolated quantiles, value
     range, null fraction and saturated-pixel count over one chip band's
@@ -442,6 +666,72 @@ def chip_stats(
     for p in probs:
         if not 0.0 <= p <= 1.0:
             raise ValueError(f"quantile prob {p} outside [0, 1]")
+    if impl == "arrow":
+        import math
+
+        import pandas as pd
+
+        from rasteret_spark.operators.arrow_kernels import (
+            _out_schema,
+            sort_doubles,
+        )
+
+        qnames = [f"q{int(round(p * 100)):02d}" for p in probs]
+        extra = (
+            [("n_valid", "int"), ("null_frac", "double"), ("vmin", "double"),
+             ("vmax", "double"), ("at_max_px", "int")]
+            + [(qn, "double") for qn in qnames]
+        )
+        schema = _out_schema(per_band, extra)
+        pvals = [float(p) for p in probs]
+
+        def run(batches):
+            import numpy as np
+
+            for pdf in batches:
+                cols: dict[str, list] = {n: [] for n, _ in extra}
+                for cell in pdf[value_col]:
+                    if cell is None or (
+                        isinstance(cell, float) and np.isnan(cell)
+                    ):
+                        for n_, _t in extra:
+                            cols[n_].append(None)
+                        continue
+                    arr = np.asarray(cell, dtype=np.float64)
+                    s = sort_doubles(arr[~np.isnan(arr)])
+                    n = int(s.size)
+                    n_px = int(arr.size)
+                    cols["n_valid"].append(n)
+                    cols["null_frac"].append(
+                        float(n_px - n) / float(n_px) if n_px > 0 else None
+                    )
+                    cols["vmin"].append(float(s[0]) if n else None)
+                    vmax = float(s[-1]) if n else None
+                    cols["vmax"].append(vmax)
+                    if vmax is None:
+                        cols["at_max_px"].append(0)
+                    else:
+                        with np.errstate(invalid="ignore"):
+                            cols["at_max_px"].append(int((arr == vmax).sum()))
+                    for p, qn in zip(pvals, qnames):
+                        if n == 0:
+                            cols[qn].append(None)
+                            continue
+                        idx = p * float(n - 1)
+                        lo = int(math.floor(idx))
+                        hi = int(math.ceil(idx))
+                        vlo, vhi = float(s[lo]), float(s[hi])
+                        cols[qn].append(vlo + (vhi - vlo) * (idx - float(lo)))
+                out = pdf.copy()
+                for n_, t in extra:
+                    out[n_] = (
+                        pd.array(cols[n_], dtype="Int32")
+                        if t == "int"
+                        else cols[n_]
+                    )
+                yield out
+
+        return per_band.mapInPandas(run, schema=schema)
     # stage the sorted valid pixels ONCE: Catalyst does not CSE
     # lambda-bearing expressions, so inlining the sort into every statistic
     # re-sorts per output column — and re-sorts PER ELEMENT inside the

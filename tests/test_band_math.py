@@ -271,10 +271,13 @@ class TestTemporalComposite:
 
     def test_plan_pure_catalyst(self, stack):
         df, _ = stack
-        plan = (bm.temporal_composite(df, stat="median")
+        plan = (bm.temporal_composite(df, stat="median", impl="catalyst")
                 ._jdf.queryExecution().executedPlan().toString())
         assert "EvalPython" not in plan and "InPandas" not in plan
         assert plan.count("Exchange") == 1
+        plan_a = (bm.temporal_composite(df, stat="median")
+                  ._jdf.queryExecution().executedPlan().toString())
+        assert plan_a.count("Exchange") == 1  # arrow impl adds no shuffle
 
 
 class TestChangeDetect:
@@ -335,10 +338,14 @@ class TestChangeDetect:
 
     def test_plan_pure_catalyst_single_shuffle(self, stack):
         df, _ = stack
-        plan = (bm.change_detect(df, "2024-01-01", threshold=1.0)
+        plan = (bm.change_detect(df, "2024-01-01", threshold=1.0,
+                                 impl="catalyst")
                 ._jdf.queryExecution().executedPlan().toString())
         assert "EvalPython" not in plan and "InPandas" not in plan
         assert plan.count("Exchange") == 1
+        plan_a = (bm.change_detect(df, "2024-01-01", threshold=1.0)
+                  ._jdf.queryExecution().executedPlan().toString())
+        assert plan_a.count("Exchange") == 1
 
     def test_truth_mirror_agrees_on_real_chips(self, spark):
         """q72 closure: the engine path over real encoded chip stacks equals
@@ -449,10 +456,13 @@ class TestTemporalTrend:
 
     def test_plan_pure_catalyst_single_shuffle(self, stack):
         df, _, _ = stack
-        plan = (bm.temporal_trend(df)
+        plan = (bm.temporal_trend(df, impl="catalyst")
                 ._jdf.queryExecution().executedPlan().toString())
         assert "EvalPython" not in plan and "InPandas" not in plan
         assert plan.count("Exchange") == 1
+        plan_a = (bm.temporal_trend(df)
+                  ._jdf.queryExecution().executedPlan().toString())
+        assert plan_a.count("Exchange") == 1
 
     def test_truth_mirror_agrees_on_real_chips(self, spark):
         """q73 closure: engine OLS over real encoded chip stacks equals the
@@ -521,10 +531,13 @@ class TestChipStats:
 
     def test_plan_zero_shuffle(self, per_band):
         df, _ = per_band
-        plan = (bm.chip_stats(df)
+        plan = (bm.chip_stats(df, impl="catalyst")
                 ._jdf.queryExecution().executedPlan().toString())
         assert "EvalPython" not in plan and "InPandas" not in plan
         assert plan.count("Exchange") == 0
+        plan_a = (bm.chip_stats(df)
+                  ._jdf.queryExecution().executedPlan().toString())
+        assert plan_a.count("Exchange") == 0
 
     def test_truth_mirror_agrees_on_real_chips(self, spark):
         """q75 closure: engine QA stats over real encoded mosaics equal the
