@@ -196,18 +196,21 @@ def refine_rect_polygon(
 ) -> DataFrame:
     """Exact rectangle x polygon refine for candidate pairs (Arrow-batched).
 
-    The candidate rows are byte-small but CPU-heavy per row, so AQE's
-    size-based coalescing would serialize this python stage — pin an explicit
-    round-robin repartition sized to the cluster.  ONE task per core (not
-    2x): the per-row kernel is cheap and uniform (vectorized rect x polygon
-    tests), so a second wave of tasks buys no balance and doubles the
-    python-stage dispatch floor (measured: 64 tasks on 32 cores ~2x the
-    wall of 32 tasks for the same 39k candidates)."""
+    Partitioning: the refine fuses into whatever stage produces the
+    candidates (usually the cell join's scan/shuffle stage) — adding a
+    dedicated exchange + python stage costs more in task-dispatch floor
+    than the vectorized kernel itself (the whole 39k-row bench refine is
+    68 ms single-core; a separate 32-task pandas stage costs ~1 s on this
+    host).  Only an UNDER-SPLIT input (fewer partitions than cores — e.g.
+    a one-split scan feeding a big explode) gets a conditional round-robin
+    spread, same policy as ``util.spread_compute``."""
     from rasteret_spark import geom
+    from rasteret_spark.operators.util import spread_compute
 
-    if parallelism is None:
-        parallelism = cands.sparkSession.sparkContext.defaultParallelism
-    cands = cands.repartition(parallelism)
+    if parallelism is not None:
+        cands = cands.repartition(parallelism)
+    else:
+        cands = spread_compute(cands)
 
     import numpy as np
 

@@ -35,6 +35,12 @@ def get_spark(
         # blob tables are tiny in bytes but heavy in decode CPU: scan splits
         # sized for compute, not IO
         .config("spark.sql.files.maxPartitionBytes", "16m")
+        # many-small-files packing: the default 4m open-cost charge makes a
+        # 3 MB blob file occupy ~7 MB of a split, over-splitting compact
+        # blob tables into 2x the tasks (each python decode task pays a
+        # fixed dispatch cost).  Local/NVMe opens are far cheaper than 4 MB
+        # of scan; big single-file tables are unaffected by this knob.
+        .config("spark.sql.files.openCostInBytes", "524288")
         # wide binary columns: the default 4096-row columnar batch tries to
         # reserve ~rowsize*4096 contiguous bytes PER TASK (multi-band blobs
         # ~300KB -> >1GB/task at 32 tasks = guaranteed heap OOM); size the
