@@ -155,26 +155,41 @@ _LZW_CLEAR, _LZW_EOI, _LZW_FIRST = 256, 257, 258
 _LZW_MAX = 4094  # reset threshold
 
 
+def _pack_codes(codes: list[int], widths: list[int]) -> bytes:
+    """Pack variable-width (<=12 bit) codes MSB-first into bytes, final
+    partial byte zero-padded — vectorized mirror of the per-code shift
+    loop (each code spans at most 3 bytes; colliding byte ORs accumulate
+    through the unbuffered ``np.bitwise_or.at``)."""
+    c = np.asarray(codes, dtype=np.uint32)
+    w = np.asarray(widths, dtype=np.int64)
+    ends = np.cumsum(w)
+    offs = ends - w
+    total_bits = int(ends[-1]) if len(ends) else 0
+    out = np.zeros((total_bits + 7) // 8 + 2, dtype=np.uint8)
+    val24 = (c.astype(np.uint32) << (24 - w - (offs & 7)).astype(np.uint32))
+    b0 = (offs >> 3).astype(np.int64)
+    np.bitwise_or.at(out, b0, (val24 >> 16).astype(np.uint8))
+    np.bitwise_or.at(out, b0 + 1, ((val24 >> 8) & 0xFF).astype(np.uint8))
+    np.bitwise_or.at(out, b0 + 2, (val24 & 0xFF).astype(np.uint8))
+    return out[: (total_bits + 7) // 8].tobytes()
+
+
 def lzw_encode(data: bytes) -> bytes:
     # Strings in the table are represented as (prefix_code, next_byte) pairs
     # — the textbook trie keying — so the hot loop allocates no bytes
     # objects.  The emitted code sequence is identical to the byte-string
     # table formulation (greedy longest-match over the same dictionary).
-    out = bytearray()
-    bitbuf = 0
-    bitcnt = 0
-
-    def emit(code: int, width: int) -> None:
-        nonlocal bitbuf, bitcnt
-        bitbuf = (bitbuf << width) | code
-        bitcnt += width
-        while bitcnt >= 8:
-            bitcnt -= 8
-            out.append((bitbuf >> bitcnt) & 0xFF)
+    # Codes collect as (code, width) pairs and pack into the bit stream in
+    # ONE vectorized pass at the end (the per-code shift-and-append emitter
+    # was the profile's top cost in the overview-building re-encode path).
+    codes: list[int] = []
+    wids: list[int] = []
+    emit = codes.append
+    emit_w = wids.append
 
     table: dict[int, int] = {}
     next_code, width = _LZW_FIRST, 9
-    emit(_LZW_CLEAR, width)
+    emit(_LZW_CLEAR); emit_w(width)
     w = -1  # current match: a code (single bytes are their own codes)
     for byte in data:
         if w < 0:
@@ -185,7 +200,7 @@ def lzw_encode(data: bytes) -> bytes:
         if nxt is not None:
             w = nxt
             continue
-        emit(w, width)
+        emit(w); emit_w(width)
         table[key] = next_code
         next_code += 1
         # libtiff-compatible width accounting (verified against real-world
@@ -195,12 +210,12 @@ def lzw_encode(data: bytes) -> bytes:
         if next_code == (1 << width) and width < 12:
             width += 1
         if next_code >= _LZW_MAX:
-            emit(_LZW_CLEAR, width)
+            emit(_LZW_CLEAR); emit_w(width)
             table = {}
             next_code, width = _LZW_FIRST, 9
         w = byte
     if w >= 0:
-        emit(w, width)
+        emit(w); emit_w(width)
         # the decoder appends a (speculative) table entry for this final
         # code even though the encoder assigns none — mid-stream its table
         # sits one behind (len == next_code - 1), after the final code it
@@ -211,10 +226,8 @@ def lzw_encode(data: bytes) -> bytes:
         # strip whose final data code sat at next_code == 2^11 - 1).
         if next_code == (1 << width) - 1 and width < 12:
             width += 1
-    emit(_LZW_EOI, width)
-    if bitcnt:
-        out.append((bitbuf << (8 - bitcnt)) & 0xFF)
-    return bytes(out)
+    emit(_LZW_EOI); emit_w(width)
+    return _pack_codes(codes, wids)
 
 
 def lzw_decode(data: bytes, expected: int) -> bytes:
