@@ -36,6 +36,48 @@ def cosine_expr(a, b) -> F.Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def _cosine_batch_py(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized mirror of ``cosine_expr`` — bit-identical: elementwise
+    double products in array order, SEQUENTIAL left-fold sums (cumsum's
+    last slot, matching Catalyst ``aggregate``; pairwise np.sum rounds
+    differently), then the same sqrt/divide tree.  Unequal lengths or null
+    elements poison the dot exactly like zip_with's null padding (NaN ->
+    null on return)."""
+    n = len(a)
+    out = np.full(n, np.nan)
+    la = np.fromiter((len(v) if v is not None else -1 for v in a), np.int64, n)
+    lb = np.fromiter((len(v) if v is not None else -1 for v in b), np.int64, n)
+    for dim in np.unique(la):
+        if dim < 0:
+            continue
+        sel = np.nonzero((la == dim) & (lb == dim))[0]
+        if not len(sel):
+            continue
+        ma = np.stack([np.asarray(a.iat[i], dtype=np.float64) for i in sel])
+        mb = np.stack([np.asarray(b.iat[i], dtype=np.float64) for i in sel])
+        if dim == 0:
+            continue  # empty arrays: dot aggregates of [] are 0 -> 0/0 = NaN
+        dot = np.cumsum(ma * mb, axis=1)[:, -1]
+        na = np.sqrt(np.cumsum(ma * ma, axis=1)[:, -1])
+        nb = np.sqrt(np.cumsum(mb * mb, axis=1)[:, -1])
+        out[sel] = dot / (na * nb)
+    return pd.Series(out)
+
+
+_COSINE_UDF = None
+
+
+def cosine_score(a, b) -> F.Column:
+    """Cosine scorer used by the rerank paths: the vectorized Arrow batch
+    kernel (bit-identical to ``cosine_expr``, parity-tested) — interpreted
+    HOF folds cost ~6 lambda evals per element per pair.  The UDF wraps
+    lazily (return-type parsing needs an active session)."""
+    global _COSINE_UDF
+    if _COSINE_UDF is None:
+        _COSINE_UDF = F.pandas_udf(_cosine_batch_py, "double")
+    return _COSINE_UDF(a, b)
+
+
 def cosine_topk(
     targets: DataFrame,
     probes: DataFrame,
@@ -54,7 +96,7 @@ def cosine_topk(
     t = spread_compute(targets.select(F.col(target_id), F.col(vec_col)))
     j = t.crossJoin(F.broadcast(p))
     j = j.filter(F.col(target_id) != F.col("_pid")).withColumn(
-        "cosine", cosine_expr(F.col(vec_col), F.col("_pvec"))
+        "cosine", cosine_score(F.col(vec_col), F.col("_pvec"))
     )
     w = Window.partitionBy("_pid").orderBy(F.col("cosine").desc(), F.col(target_id).asc())
     return (
@@ -116,7 +158,7 @@ def lsh_topk(
     )
     j = t.join(p, ["table", "bucket"]).filter(F.col(target_id) != F.col("_pid"))
     j = j.dropDuplicates([target_id, "_pid"]).withColumn(
-        "cosine", cosine_expr(F.col(vec_col), F.col("_pvec"))
+        "cosine", cosine_score(F.col(vec_col), F.col("_pvec"))
     )
     w = Window.partitionBy("_pid").orderBy(F.col("cosine").desc(), F.col(target_id).asc())
     return (
@@ -209,7 +251,7 @@ def ivf_topk(
     j = t.join(p, "_cl").filter(F.col(target_id) != F.col("_pid"))
     # no dedup shuffle needed: a target lives in exactly ONE inverted list,
     # so a (target, probe) pair can only arise once even with nprobe > 1
-    j = j.withColumn("cosine", cosine_expr(F.col(vec_col), F.col("_pvec")))
+    j = j.withColumn("cosine", cosine_score(F.col(vec_col), F.col("_pvec")))
     w = Window.partitionBy("_pid").orderBy(F.col("cosine").desc(), F.col(target_id).asc())
     return (
         j.withColumn("rank", F.row_number().over(w))
@@ -252,7 +294,7 @@ def cosine_near_dup_pairs(
             F.col(f"y.{vec_col}").alias("_vb"),
         )
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("cosine", cosine_expr(F.col("_va"), F.col("_vb")))
+        .withColumn("cosine", cosine_score(F.col("_va"), F.col("_vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
