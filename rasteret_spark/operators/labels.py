@@ -90,6 +90,7 @@ def class_stats(
     pixels: DataFrame,
     value_col: str = "values",
     mask_col: str = "mask",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Class-stratified pixel statistics over (imagery, label) pairs — the
     training-data QA surface (class balance, per-class radiometry) for the
@@ -106,6 +107,56 @@ def class_stats(
     shuffle-order-dependent SQL SUM over exploded pixels), the per-class
     rows explode only AFTER aggregation (K rows per chip, not H x W), and
     the only data movement is the chip-keyed equi-join."""
+    j_in = pixels.join(
+        masks.select("chip_id", F.col(mask_col).alias("_mask")), "chip_id"
+    )
+    carry_a = [c for c in ("chip_id", "band") if c in pixels.columns]
+    if impl == "arrow":
+        # one vectorized numpy pass per row instead of K classes x 3
+        # interpreted HOF sweeps; same chip-keyed join, same output rows.
+        # Fold parity: per-class sums accumulate the valid pixels in array
+        # order via cumsum (the Catalyst aggregate order).
+        schema = ", ".join(
+            [f"{c} {'string' if c == 'chip_id' else 'int'}" for c in carry_a]
+            + ["class_id int", "n_px int", "n_valid int",
+               "v_sum double", "v_mean double"]
+        )
+        sel_cols = carry_a + [value_col, "_mask"]
+
+        def run(batches):
+            for pdf in batches:
+                out: dict[str, list] = {c: [] for c in (
+                    *carry_a, "class_id", "n_px", "n_valid", "v_sum", "v_mean"
+                )}
+                for i in range(len(pdf)):
+                    m_cell = pdf["_mask"].iloc[i]
+                    if m_cell is None:
+                        continue  # explode(null) emits no rows
+                    m = np.asarray(m_cell, dtype=np.int64)
+                    v_cell = pdf[value_col].iloc[i]
+                    v = np.full(m.size, np.nan)
+                    if v_cell is not None:
+                        va = np.asarray(v_cell, dtype=np.float64)
+                        v[: min(va.size, m.size)] = va[: m.size]
+                    for c in np.unique(m[m != 0]):
+                        sel = m == c
+                        ok = sel & ~np.isnan(v)
+                        n_valid = int(ok.sum())
+                        vs = v[ok]
+                        v_sum = float(np.cumsum(vs)[-1]) if n_valid else None
+                        for cc in carry_a:
+                            out[cc].append(pdf[cc].iloc[i])
+                        out["class_id"].append(int(c))
+                        out["n_px"].append(int(sel.sum()))
+                        out["n_valid"].append(n_valid)
+                        out["v_sum"].append(v_sum)
+                        out["v_mean"].append(
+                            None if not n_valid else v_sum / n_valid
+                        )
+                yield pd.DataFrame(out)
+
+        return j_in.select(*sel_cols).mapInPandas(run, schema=schema)
+
     zipped = F.zip_with(
         F.col("_mask"), F.col(value_col), lambda m, v: F.struct(m.alias("m"), v.alias("v"))
     )
