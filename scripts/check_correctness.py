@@ -63,7 +63,11 @@ def compare(got: pd.DataFrame, want: pd.DataFrame) -> str:
     return f"OK~ (float-inexact col={inexact_col})" if inexact_col else "OK"
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None) -> int:
+def main(
+    sf_dir: str = "/root/testdata/sf0.01",
+    only: list[str] | None = None,
+    json_out: str | None = None,
+) -> int:
     import __spark_entry__ as E
     from rasteret_spark.session import get_spark
 
@@ -75,6 +79,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None) -
         )
     qs, os_ = E.queries(), E.oracle_sql()
     failures = 0
+    record: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -83,27 +88,52 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None) -
             got = fn(spark, sf_dir).toPandas()
         except Exception as ex:
             print(f"{name:36s} SPARK-ERROR {type(ex).__name__}: {str(ex)[:120]}")
+            record[name] = {"verdict": f"SPARK-ERROR {type(ex).__name__}", "rows": None}
             failures += 1
             continue
         dt = time.time() - t0
         if name not in os_:
             print(f"{name:36s} rows-only   rows={len(got):7d}  {dt:6.1f}s")
+            record[name] = {"verdict": "rows-only", "rows": len(got)}
             continue
         try:
             want = con.execute(os_[name]).df()
         except Exception as ex:
             print(f"{name:36s} SQL-ERROR   {str(ex)[:140]}")
+            record[name] = {"verdict": f"SQL-ERROR: {str(ex)[:120]}", "rows": len(got)}
             failures += 1
             continue
         verdict = compare(got, want)
         tag = "ok" if verdict.startswith("OK") else "MISMATCH"
         if tag == "MISMATCH":
             failures += 1
+        record[name] = {"verdict": verdict, "rows": len(got)}
         print(f"{name:36s} {verdict:22s} rows={len(got):7d}  {dt:6.1f}s")
     spark.stop()
     print("FAILURES:", failures)
+    if json_out:
+        import datetime as _dt
+        import json as _json
+
+        with open(json_out, "w") as f:
+            _json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "generated": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+                    "failures": failures,
+                    "queries": record,
+                },
+                f, indent=1,
+            )
+            f.write("\n")
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(only=sys.argv[1:] or None))
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    sys.exit(main(only=args or None, json_out=json_out))
