@@ -142,14 +142,24 @@ def write_tar_shards(
                 g = g[g["values"].notna()].sort_values("band")
                 if g.empty:
                     continue
+                if g["band"].duplicated().any():
+                    # same condition write_cogs quarantines: duplicate planes
+                    # must not silently stack into the sample
+                    dup = sorted(set(g["band"][g["band"].duplicated()]))
+                    raise ValueError(
+                        f"duplicate band rows for chip {chip_id}: bands {dup}"
+                    )
                 r0 = g.iloc[0]
                 w, h = int(r0["chip_w"]), int(r0["chip_h"])
                 planes = []
                 for vals in g["values"]:
-                    a = np.asarray(
-                        [np.nan if v is None else float(v) for v in vals],
-                        dtype="float64",
-                    )
+                    try:  # Arrow hands ndarrays (nulls already NaN)
+                        a = np.asarray(vals, dtype=np.float64)
+                    except (TypeError, ValueError):  # list-of-None inputs
+                        a = np.asarray(
+                            [np.nan if v is None else float(v) for v in vals],
+                            dtype="float64",
+                        )
                     if a.size != w * h:
                         raise ValueError(
                             f"chip {chip_id}: band array size {a.size} != {w}x{h}"
@@ -196,21 +206,41 @@ def _read_shard_samples(spark, pattern: str, columns: list[str],
     files = spark.read.format("binaryFile").load(pattern)
 
     def parse(batches):
+        import sys
         import tarfile
 
         for pdf in batches:
             out = []
             for _, r in pdf.iterrows():
-                name = r["path"].rsplit("/", 1)[1]
-                shard_id = int(name.removeprefix("shard-").removesuffix(".tar"))
-                with tarfile.open(fileobj=io.BytesIO(bytes(r["content"]))) as t:
-                    members = {m.name: t.extractfile(m).read()
-                               for m in t.getmembers() if m.isfile()}
+                # read-side quarantine: one corrupt shard (unparseable tar,
+                # duplicate member names, a .json without its .npy sibling)
+                # skips with a logged count instead of killing the scan —
+                # the read leg mirrors the write side's per-shard isolation
+                try:
+                    name = r["path"].rsplit("/", 1)[1]
+                    shard_id = int(
+                        name.removeprefix("shard-").removesuffix(".tar")
+                    )
+                    with tarfile.open(fileobj=io.BytesIO(bytes(r["content"]))) as t:
+                        files_in = [m for m in t.getmembers() if m.isfile()]
+                        members = {m.name: t.extractfile(m).read()
+                                   for m in files_in}
+                    if len(members) != len(files_in):
+                        raise ValueError("duplicate member names in tar")
+                except Exception as e:
+                    print(f"shard quarantined on read: {r['path']}: "
+                          f"{type(e).__name__}: {e}", file=sys.stderr)
+                    continue
                 for ename in members:
-                    if ename.endswith(".json"):
-                        out.append(
-                            build_row(ename.removesuffix(".json"), shard_id, members)
-                        )
+                    if not ename.endswith(".json"):
+                        continue
+                    key = ename.removesuffix(".json")
+                    try:
+                        out.append(build_row(key, shard_id, members))
+                    except Exception as e:
+                        print(f"sample quarantined on read: {r['path']} "
+                              f"{key}: {type(e).__name__}: {e}",
+                              file=sys.stderr)
             yield pd.DataFrame(out, columns=columns)
 
     return files.mapInPandas(parse, schema=schema)

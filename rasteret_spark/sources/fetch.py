@@ -319,6 +319,17 @@ def _put_file(url: str, data: bytes) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
+    # durability of the RENAME itself: fsync the directory entry so a power
+    # loss after the atomic swap cannot roll the name back (best-effort —
+    # some platforms/filesystems refuse O_RDONLY dir fsync)
+    try:
+        dfd = os.open(d, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass
 
 
 _WRITERS: dict[str, Callable[[str, bytes], None]] = {

@@ -34,14 +34,15 @@ def _overwrite_epoch_partition(df: DataFrame, path: str) -> None:
     """Dynamic-partition OVERWRITE of the ``epoch=`` partition the frame
     carries — the idempotency half of exactly-once for foreachBatch sinks
     (a replayed epoch overwrites its own output instead of appending
-    duplicates).  Saves/restores the session-wide overwrite-mode conf."""
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        df.write.partitionBy("epoch").mode("overwrite").parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    duplicates).  The overwrite mode is set PER WRITE via the writer
+    option, never by toggling the session conf — two concurrent streams
+    on one session raced on the set/restore of the global setting."""
+    (
+        df.write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch")
+        .mode("overwrite")
+        .parquet(path)
+    )
 
 
 def read_image_stream(spark: SparkSession, path: str, files_per_trigger: int = 4) -> DataFrame:
@@ -122,7 +123,18 @@ def stream_image_shards(
     from rasteret_spark.operators import shard_sink
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        cap = caption_col if caption_col in batch_df.columns else None
+        # only the IMPLICIT default degrades to caption-less shards when the
+        # stream carries no caption column; an explicitly named column that
+        # is absent is a caller bug and must fail the batch (mirrors
+        # write_image_shards / Collection.to_image_shards)
+        cap = caption_col
+        if caption_col is not None and caption_col not in batch_df.columns:
+            if caption_col != "caption":
+                raise ValueError(
+                    f"caption_col {caption_col!r} not in stream columns "
+                    f"{batch_df.columns}"
+                )
+            cap = None
         man = shard_sink.write_image_shards(
             batch_df,
             f"{out_dir.rstrip('/')}/epoch={int(epoch_id)}",

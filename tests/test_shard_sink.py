@@ -357,3 +357,54 @@ def test_shard_sink_plan_single_exchange(spark, shard_pixels, images_pdf):
     plan2 = man2._jdf.queryExecution().executedPlan().toString()
     assert plan2.count("Exchange hashpartitioning(shard_id") == 1, plan2
     assert plan2.count("Exchange hashpartitioning") == 1, plan2  # blobs move once
+
+
+def test_duplicate_band_rows_quarantine_the_shard(spark, tmp_path_factory):
+    """ADVICE r5: duplicate (chip_id, band) rows must not silently stack
+    into the sample — the shard quarantines like write_cogs does."""
+    out = str(tmp_path_factory.mktemp("shards_dupband"))
+    base = {
+        "chip_xmin": 0.0, "chip_ymax": 1.0, "chip_xres": 0.001,
+        "chip_yres": 0.001, "chip_w": 8, "chip_h": 8, "grid_epsg": 4326,
+    }
+    vals = [float(i) for i in range(64)]
+    rows = [
+        {"chip_id": "dup-chip", "band": 0, "values": vals, **base},
+        {"chip_id": "dup-chip", "band": 0, "values": vals, **base},
+    ]
+    man = ss.write_tar_shards(
+        spark.createDataFrame(pd.DataFrame(rows)), out, n_shards=2
+    ).toPandas()
+    bad = [s for s in man.itertuples() if s.status.startswith("error:")]
+    assert len(bad) == 1 and "duplicate band" in bad[0].status
+
+
+def test_read_side_quarantine_skips_corrupt_shards(spark, shard_pixels,
+                                                   tmp_path_factory):
+    """ADVICE r5: a shard whose .json lacks its .npy sibling (or whose tar
+    is garbage) must not kill the read job — its samples skip, every other
+    shard still reads."""
+    import os
+
+    out = str(tmp_path_factory.mktemp("shards_corrupt"))
+    man = ss.write_tar_shards(shard_pixels, out, n_shards=4).toPandas()
+    assert set(man["status"]) == {"ok"}
+    clean = ss.read_tar_shards(spark, out + "/*.tar").toPandas()
+    victim = sorted(
+        s.href for s in man.itertuples() if s.n_samples > 0
+    )[0]
+    lost = int(next(s.n_samples for s in man.itertuples() if s.href == victim))
+    # corrupt ONE shard: keep the .json members, drop every .npy
+    with tarfile.open(victim) as t:
+        members = [(m.name, t.extractfile(m).read())
+                   for m in t.getmembers() if m.isfile()]
+    kept = [(n, b) for n, b in members if n.endswith(".json")]
+    with open(victim, "wb") as f:
+        f.write(ustar.tar_bytes(kept))
+    back = ss.read_tar_shards(spark, out + "/*.tar").toPandas()
+    assert len(back) == len(clean) - lost
+    # and a fully garbage tar skips whole
+    with open(victim, "wb") as f:
+        f.write(b"not a tar at all")
+    back2 = ss.read_tar_shards(spark, out + "/*.tar").toPandas()
+    assert len(back2) == len(clean) - lost
