@@ -68,10 +68,14 @@ _COSINE_UDF = None
 
 
 def cosine_score(a, b) -> F.Column:
-    """Cosine scorer used by the rerank paths: the vectorized Arrow batch
-    kernel (bit-identical to ``cosine_expr``, parity-tested) — interpreted
-    HOF folds cost ~6 lambda evals per element per pair.  The UDF wraps
-    lazily (return-type parsing needs an active session)."""
+    """Vectorized cosine scorer (Arrow batch kernel, bit-identical to
+    ``cosine_expr`` — parity-pinned in tests).  Use it in place of
+    ``cosine_expr`` when the candidate set is large: the numpy matmul
+    amortizes the python-stage round trip above roughly 10^5 pairs,
+    while below that the in-stage JVM expression wins (measured ~0.1 s
+    either way at the bench's 10^4-pair rerank sizes, which is why the
+    rerank paths default to the expression).  The UDF wraps lazily
+    (return-type parsing needs an active session)."""
     global _COSINE_UDF
     if _COSINE_UDF is None:
         _COSINE_UDF = F.pandas_udf(_cosine_batch_py, "double")
@@ -96,7 +100,7 @@ def cosine_topk(
     t = spread_compute(targets.select(F.col(target_id), F.col(vec_col)))
     j = t.crossJoin(F.broadcast(p))
     j = j.filter(F.col(target_id) != F.col("_pid")).withColumn(
-        "cosine", cosine_score(F.col(vec_col), F.col("_pvec"))
+        "cosine", cosine_expr(F.col(vec_col), F.col("_pvec"))
     )
     w = Window.partitionBy("_pid").orderBy(F.col("cosine").desc(), F.col(target_id).asc())
     return (
@@ -158,7 +162,7 @@ def lsh_topk(
     )
     j = t.join(p, ["table", "bucket"]).filter(F.col(target_id) != F.col("_pid"))
     j = j.dropDuplicates([target_id, "_pid"]).withColumn(
-        "cosine", cosine_score(F.col(vec_col), F.col("_pvec"))
+        "cosine", cosine_expr(F.col(vec_col), F.col("_pvec"))
     )
     w = Window.partitionBy("_pid").orderBy(F.col("cosine").desc(), F.col(target_id).asc())
     return (
@@ -251,7 +255,7 @@ def ivf_topk(
     j = t.join(p, "_cl").filter(F.col(target_id) != F.col("_pid"))
     # no dedup shuffle needed: a target lives in exactly ONE inverted list,
     # so a (target, probe) pair can only arise once even with nprobe > 1
-    j = j.withColumn("cosine", cosine_score(F.col(vec_col), F.col("_pvec")))
+    j = j.withColumn("cosine", cosine_expr(F.col(vec_col), F.col("_pvec")))
     w = Window.partitionBy("_pid").orderBy(F.col("cosine").desc(), F.col(target_id).asc())
     return (
         j.withColumn("rank", F.row_number().over(w))
@@ -294,7 +298,7 @@ def cosine_near_dup_pairs(
             F.col(f"y.{vec_col}").alias("_vb"),
         )
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("cosine", cosine_score(F.col("_va"), F.col("_vb")))
+        .withColumn("cosine", cosine_expr(F.col("_va"), F.col("_vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
